@@ -1,0 +1,409 @@
+"""Chunk metadata catalog — the Spark-native re-expression of the
+reference's DataManager + StorageEngine (SURVEY.md §1.3, §2.1 R1-R14).
+
+Reference semantics reproduced here (with citations into /root/reference):
+
+- ``DataChunk {id, dataset_id, block_range, files}``  (src/lib.rs:17-28)
+    → a ``ChunkMeta`` row in an append-only Parquet metadata log plus a
+      directory (or external references) of Parquet data files.
+- RocksDB big-endian composite range index  (src/rocksdb_storage_engine.rs:181-192)
+    → containment predicate on the metadata table; Parquet min/max pruning
+      plays the role of key ordering. NOTE divergence D1: the reference's
+      ``find_chunk_id`` does an exact get on ``[n, n+1)`` and so never finds
+      a containing chunk (src/rocksdb_storage_engine.rs:39-49); we implement
+      the documented intent: ``block_start <= n < block_end``.
+- dedupe-by-id admission (``Entry::Vacant``, src/data_manager.rs:226-228)
+    → idempotent ``register_chunk``.
+- 1 TB cap check (src/data_manager.rs:19, :229-239)
+    → ``SUM(size_bytes)`` guard raising ``MaxSizeAllocated`` (real, unlike
+      the reference's stubbed size accounting — divergence D2).
+- per-chunk reader semaphore / ``DataChunkRef`` RAII pin
+  (src/data_manager.rs:16-55) → lease records + ``pin()`` context manager.
+- deferred delete draining all permits (src/data_manager.rs:124-162)
+    → ``schedule_delete`` flips state to PENDING_DELETE (immediately
+      invisible to ``find_chunk`` — divergence D4 semantics) and ``vacuum``
+      physically removes chunks whose lease count is zero (the
+      ``acquire_many`` barrier, src/data_manager.rs:141-144).
+
+Design for scale: the metadata log is O(#chunks), not O(data); every data
+operation is a Spark DataFrame over the chunk files; driver-side work is
+metadata-only. The log is append-only one-Parquet-file-per-commit with
+atomic tmp+rename, last-writer-wins per chunk_id (the reference's
+optimistic single-writer assumption, src/data_manager.rs:259-262);
+``compact()`` folds the log. On a cluster the same layout works on any
+rename-atomic store; for S3-class stores swap the backend (CatalogBackend
+is the ``StorageEngine`` trait analog, src/lib.rs:75-103).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from abc import ABC, abstractmethod
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import MaxSizeAllocated
+
+# Reference: MAX_SIZE_ON_DISK = 1 TB (src/data_manager.rs:19)
+MAX_SIZE_ON_DISK = 1_000_000_000_000
+
+ACTIVE = "ACTIVE"
+PENDING_DELETE = "PENDING_DELETE"
+DELETED = "DELETED"
+
+_META_SCHEMA = pa.schema(
+    [
+        ("dataset_id", pa.string()),
+        ("chunk_id", pa.string()),
+        ("block_start", pa.int64()),
+        ("block_end", pa.int64()),
+        ("files", pa.string()),  # JSON map name -> url/path
+        ("size_bytes", pa.int64()),
+        ("state", pa.string()),
+        ("seq", pa.int64()),
+        ("created_at", pa.timestamp("us")),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class ChunkMeta:
+    """A chunk descriptor (analog of DataChunk, src/lib.rs:17-28)."""
+
+    dataset_id: str
+    chunk_id: str
+    block_start: int
+    block_end: int
+    files: dict = field(default_factory=dict)
+    size_bytes: int = 0
+
+    def __post_init__(self):
+        if not (0 <= self.block_start < self.block_end):
+            raise ValueError("block range must be non-empty half-open [start, end)")
+
+
+class CatalogBackend(ABC):
+    """Backend-agnostic storage contract (StorageEngine trait analog,
+    src/lib.rs:75-103)."""
+
+    @abstractmethod
+    def append_record(self, record: dict) -> None: ...
+
+    @abstractmethod
+    def read_records(self) -> list[dict]: ...
+
+    @abstractmethod
+    def add_lease(self, lease_id: str, chunk_id: str) -> None: ...
+
+    @abstractmethod
+    def remove_lease(self, lease_id: str) -> None: ...
+
+    @abstractmethod
+    def live_leases(self) -> dict[str, str]: ...
+
+    @abstractmethod
+    def delete_chunk_files(self, path: str) -> None: ...
+
+
+class ParquetCatalogBackend(CatalogBackend):
+    """Default backend: Parquet metadata log + lease marker files on a
+    rename-atomic filesystem (the RocksDB analog,
+    src/rocksdb_storage_engine.rs:16-19)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "_meta")
+        self.lease_dir = os.path.join(root, "_leases")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.lease_dir, exist_ok=True)
+
+    def append_record(self, record: dict) -> None:
+        table = pa.Table.from_pylist([record], schema=_META_SCHEMA)
+        name = f"{record['seq']:020d}-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.meta_dir, f".tmp-{name}")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.meta_dir, name))
+
+    def read_records(self) -> list[dict]:
+        files = [
+            os.path.join(self.meta_dir, f)
+            for f in sorted(os.listdir(self.meta_dir))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return []
+        out: list[dict] = []
+        for f in files:
+            out.extend(pq.read_table(f).to_pylist())
+        return out
+
+    def compact(self) -> None:
+        records = self.read_records()
+        if not records:
+            return
+        table = pa.Table.from_pylist(records, schema=_META_SCHEMA)
+        name = f"compacted-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.meta_dir, f".tmp-{name}")
+        pq.write_table(table, tmp)
+        old = [f for f in os.listdir(self.meta_dir) if f.endswith(".parquet")]
+        os.rename(tmp, os.path.join(self.meta_dir, name))
+        for f in old:
+            os.remove(os.path.join(self.meta_dir, f))
+
+    def add_lease(self, lease_id: str, chunk_id: str) -> None:
+        tmp = os.path.join(self.lease_dir, f".tmp-{lease_id}")
+        with open(tmp, "w") as fh:
+            json.dump({"lease_id": lease_id, "chunk_id": chunk_id}, fh)
+        os.rename(tmp, os.path.join(self.lease_dir, lease_id))
+
+    def remove_lease(self, lease_id: str) -> None:
+        try:
+            os.remove(os.path.join(self.lease_dir, lease_id))
+        except FileNotFoundError:
+            pass
+
+    def live_leases(self) -> dict[str, str]:
+        out = {}
+        for f in os.listdir(self.lease_dir):
+            if f.startswith(".tmp-"):
+                continue
+            try:
+                with open(os.path.join(self.lease_dir, f)) as fh:
+                    rec = json.load(fh)
+                out[rec["lease_id"]] = rec["chunk_id"]
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def delete_chunk_files(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+
+class ChunkRef:
+    """RAII read pin (DataChunkRef analog, src/lib.rs:40-45,
+    src/data_manager.rs:24-55): while held, vacuum will not remove the
+    chunk; ``path()`` resolves the data location (implements the
+    reference's stubbed ``chunk_path``, src/rocksdb_storage_engine.rs:138-141)."""
+
+    def __init__(self, catalog: ChunkCatalog, meta: ChunkMeta, lease_id: str):
+        self._catalog = catalog
+        self.meta = meta
+        self.lease_id = lease_id
+        self._released = False
+
+    def path(self) -> str:
+        return self._catalog.chunk_path(self.meta)
+
+    def release(self) -> None:
+        if not self._released:
+            self._catalog.backend.remove_lease(self.lease_id)
+            self._released = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+        return False
+
+
+class ChunkCatalog:
+    """The DataManager analog (src/data_manager.rs:57-186)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        backend: CatalogBackend | None = None,
+        max_size_bytes: int = MAX_SIZE_ON_DISK,
+    ):
+        self.spark = spark
+        self.root = root
+        self.backend = backend or ParquetCatalogBackend(root)
+        self.max_size_bytes = max_size_bytes
+        self._seq = int(time.time() * 1e6)
+
+    # -- state assembly ----------------------------------------------------
+    def _next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    def _current(self) -> dict[str, dict]:
+        """Fold the log: last record per chunk_id wins."""
+        state: dict[str, dict] = {}
+        for rec in sorted(self.backend.read_records(), key=lambda r: r["seq"]):
+            state[rec["chunk_id"]] = rec
+        return state
+
+    # -- R1/R2/R9: ingest --------------------------------------------------
+    def register_chunk(self, meta: ChunkMeta) -> bool:
+        """Admit a chunk (download_chunk analog, src/data_manager.rs:189-276).
+
+        Returns False if the id is already present (idempotent — the
+        Entry::Vacant dedupe, src/data_manager.rs:226-228). Raises
+        MaxSizeAllocated if the cap would trip (src/data_manager.rs:229-239).
+        """
+        cur = self._current()
+        if meta.chunk_id in cur and cur[meta.chunk_id]["state"] != DELETED:
+            return False
+        total = sum(
+            r["size_bytes"] for r in cur.values() if r["state"] != DELETED
+        )
+        if total + meta.size_bytes > self.max_size_bytes:
+            raise MaxSizeAllocated(total + meta.size_bytes, self.max_size_bytes)
+        self.backend.append_record(
+            {
+                "dataset_id": meta.dataset_id,
+                "chunk_id": meta.chunk_id,
+                "block_start": meta.block_start,
+                "block_end": meta.block_end,
+                "files": json.dumps(meta.files, sort_keys=True),
+                "size_bytes": meta.size_bytes,
+                "state": ACTIVE,
+                "seq": self._next_seq(),
+                "created_at": pa.scalar(int(time.time() * 1e6), pa.timestamp("us")).as_py(),
+            }
+        )
+        return True
+
+    # -- R3: list ----------------------------------------------------------
+    def list_chunks(self, state: str = ACTIVE) -> list[str]:
+        return sorted(
+            cid for cid, r in self._current().items() if r["state"] == state
+        )
+
+    # -- R4/R5: containment lookup (divergence D1: intended semantics) -----
+    def find_chunk_meta(self, dataset_id: str, block_number: int) -> ChunkMeta | None:
+        for r in self._current().values():
+            if (
+                r["dataset_id"] == dataset_id
+                and r["state"] == ACTIVE
+                and r["block_start"] <= block_number < r["block_end"]
+            ):
+                return ChunkMeta(
+                    r["dataset_id"],
+                    r["chunk_id"],
+                    r["block_start"],
+                    r["block_end"],
+                    json.loads(r["files"]),
+                    r["size_bytes"],
+                )
+        return None
+
+    # -- R12/R13: pin ------------------------------------------------------
+    def find_chunk(self, dataset_id: str, block_number: int) -> ChunkRef | None:
+        """find_chunk analog (src/data_manager.rs:95-121): containment
+        lookup + read pin; None if absent or PENDING_DELETE (D4)."""
+        meta = self.find_chunk_meta(dataset_id, block_number)
+        if meta is None:
+            return None
+        lease_id = uuid.uuid4().hex
+        self.backend.add_lease(lease_id, meta.chunk_id)
+        # re-check state after lease: a delete scheduled concurrently makes
+        # the chunk invisible (the try_acquire_owned failure path,
+        # src/data_manager.rs:110)
+        cur = self._current().get(meta.chunk_id)
+        if cur is None or cur["state"] != ACTIVE:
+            self.backend.remove_lease(lease_id)
+            return None
+        return ChunkRef(self, meta, lease_id)
+
+    @contextmanager
+    def pin(self, dataset_id: str, block_number: int):
+        ref = self.find_chunk(dataset_id, block_number)
+        try:
+            yield ref
+        finally:
+            if ref is not None:
+                ref.release()
+
+    # -- R7: deferred delete ----------------------------------------------
+    def schedule_delete(self, chunk_id: str) -> bool:
+        """spawn_delete_chunk analog (src/data_manager.rs:124-162): flip to
+        PENDING_DELETE; physical removal deferred to vacuum()."""
+        cur = self._current().get(chunk_id)
+        if cur is None or cur["state"] != ACTIVE:
+            return False
+        rec = dict(cur, state=PENDING_DELETE, seq=self._next_seq())
+        self.backend.append_record(rec)
+        return True
+
+    # -- R7/R8: vacuum (the acquire_many barrier, src/data_manager.rs:141-144)
+    def vacuum(self) -> list[str]:
+        """Physically remove PENDING_DELETE chunks with zero live leases."""
+        pinned = set(self.backend.live_leases().values())
+        removed = []
+        for cid, r in self._current().items():
+            if r["state"] == PENDING_DELETE and cid not in pinned:
+                meta = ChunkMeta(
+                    r["dataset_id"], cid, r["block_start"], r["block_end"],
+                    json.loads(r["files"]), r["size_bytes"],
+                )
+                path = self.chunk_path(meta)
+                if path.startswith(self.root):  # only managed dirs
+                    self.backend.delete_chunk_files(path)
+                self.backend.append_record(
+                    dict(r, state=DELETED, seq=self._next_seq())
+                )
+                removed.append(cid)
+        return sorted(removed)
+
+    # -- R10: chunk_path (implements the todo!(), rocksdb_storage_engine.rs:140)
+    def chunk_path(self, meta: ChunkMeta) -> str:
+        files = meta.files
+        if files:
+            # single-location chunks: the manifest points directly at the
+            # data (one file, or several files in one directory)
+            paths = sorted(set(files.values()))
+            if len(paths) == 1:
+                return paths[0]
+            dirs = sorted(set(os.path.dirname(p) for p in paths))
+            if len(dirs) == 1:
+                return dirs[0]
+        return os.path.join(self.root, "data", meta.dataset_id, meta.chunk_id)
+
+    # -- R11: storage accounting (implements the stub, rocksdb_storage_engine.rs:143-148)
+    def total_size(self) -> int:
+        return sum(
+            r["size_bytes"]
+            for r in self._current().values()
+            if r["state"] != DELETED
+        )
+
+    # -- Spark query surface ----------------------------------------------
+    def chunks_df(self) -> DataFrame:
+        """The metadata table as a DataFrame (current state, log folded)."""
+        recs = sorted(self.backend.read_records(), key=lambda r: r["seq"])
+        if not recs:
+            return self.spark.createDataFrame(
+                [],
+                "dataset_id string, chunk_id string, block_start long, "
+                "block_end long, files string, size_bytes long, state string, "
+                "seq long, created_at timestamp",
+            )
+        df = self.spark.createDataFrame(recs)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("chunk_id").orderBy(F.col("seq").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def read_chunk(self, dataset_id: str, block_number: int) -> DataFrame | None:
+        """Resolve + scan: the E1 lifecycle end-to-end (SURVEY §3)."""
+        with self.pin(dataset_id, block_number) as ref:
+            if ref is None:
+                return None
+            return self.spark.read.parquet(ref.path())

@@ -1,0 +1,197 @@
+"""Lake-core operators exposed as oracle-checked queries (SURVEY.md §2.2
+"Lake-core").
+
+Each query builds a deterministic chunk catalog over the sf_dir tables
+(dataset "tpch", table i ↔ block range [1000·i, 1000·(i+1)),
+chunk_id = sha256(table name)) and runs one lake operation through the
+real ``ChunkCatalog``, returning its result as a DataFrame. The DuckDB
+oracle reconstructs the same state from VALUES + sha256(), so the state
+machine (registration, containment lookup with D1 semantics, D4
+pending-delete invisibility, vacuum barrier, size accounting) is
+hash-verified — not just property-tested.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .catalog import ChunkCatalog, ChunkMeta
+from .registry import register
+from .sources import TABLES
+
+# (table, index) — block range [1000*i, 1000*(i+1))
+_CHUNK_TABLES = list(TABLES)
+
+_SQL_CHUNKS_CTE = """
+    chunks AS (
+        SELECT 'tpch' AS dataset_id,
+               sha256(name) AS chunk_id,
+               CAST(idx * 1000 AS BIGINT) AS block_start,
+               CAST((idx + 1) * 1000 AS BIGINT) AS block_end,
+               name
+        FROM (VALUES
+            ('region', 0), ('nation', 1), ('customer', 2), ('supplier', 3),
+            ('part', 4), ('orders', 5), ('lineitem', 6), ('events', 7),
+            ('documents', 8), ('embeddings', 9)) t(name, idx)
+    )
+"""
+
+
+def _build_catalog(spark, sf_dir, row_counts: dict[str, int] | None = None) -> ChunkCatalog:
+    """Register the sf_dir tables as chunks of dataset 'tpch'.
+
+    size_bytes := table row count (oracle-computable across scale factors;
+    the on-disk-bytes variant is exercised in the pytest lifecycle suite).
+    """
+    import pyarrow.parquet as pq
+
+    root = tempfile.mkdtemp(prefix="dlw_catalog_")
+    cat = ChunkCatalog(spark, root)
+    for i, name in enumerate(_CHUNK_TABLES):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        # row count from parquet footer metadata — no Spark job needed
+        n = row_counts[name] if row_counts else pq.ParquetFile(path).metadata.num_rows
+        cid = _sha256_hex(name)
+        cat.register_chunk(
+            ChunkMeta(
+                dataset_id="tpch",
+                chunk_id=cid,
+                block_start=1000 * i,
+                block_end=1000 * (i + 1),
+                files={f"{name}.parquet": path},
+                size_bytes=n,
+            )
+        )
+    return cat
+
+
+def _sha256_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+@register(
+    "lk01_list_chunks",
+    f"""
+    WITH {_SQL_CHUNKS_CTE}
+    SELECT dataset_id, chunk_id, block_start, block_end, 'ACTIVE' AS state
+    FROM chunks
+    """,
+    category="lake-core",
+    doc="register_chunk + list_chunks (R1/R3): active chunk inventory.",
+)
+def lk01_list_chunks(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    return cat.chunks_df().select(
+        "dataset_id", "chunk_id", "block_start", "block_end", "state"
+    )
+
+
+@register(
+    "lk02_find_chunk_containment",
+    f"""
+    WITH {_SQL_CHUNKS_CTE},
+    probes AS (SELECT CAST(unnest([0, 999, 1000, 3500, 6999, 9999]) AS BIGINT) AS probe)
+    SELECT p.probe, c.chunk_id, c.block_start, c.block_end
+    FROM probes p JOIN chunks c
+      ON c.block_start <= p.probe AND p.probe < c.block_end
+    """,
+    category="lake-core",
+    doc="find_chunk (R4/R5) with D1 containment semantics incl. boundary probes.",
+)
+def lk02_find_chunk_containment(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    rows = []
+    for probe in [0, 999, 1000, 3500, 6999, 9999]:
+        meta = cat.find_chunk_meta("tpch", probe)
+        if meta is not None:
+            rows.append((probe, meta.chunk_id, meta.block_start, meta.block_end))
+    return spark.createDataFrame(
+        rows, "probe long, chunk_id string, block_start long, block_end long"
+    )
+
+
+@register(
+    "lk03_delete_lifecycle",
+    f"""
+    WITH {_SQL_CHUNKS_CTE}
+    SELECT chunk_id,
+           CASE
+             WHEN name = 'events' THEN 'DELETED'          -- vacuumed (no lease)
+             WHEN name = 'orders' THEN 'PENDING_DELETE'   -- pinned: survives vacuum
+             ELSE 'ACTIVE'
+           END AS state,
+           CASE WHEN name = 'orders' THEN TRUE ELSE FALSE END AS visible_to_find_is_false
+    FROM chunks
+    """,
+    category="lake-core",
+    doc=(
+        "schedule_delete + vacuum (R7/R8) with the lease barrier: a pinned "
+        "PENDING_DELETE chunk survives vacuum and is invisible to find (D4); "
+        "an unpinned one is physically removed."
+    ),
+)
+def lk03_delete_lifecycle(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    orders_id = _sha256_hex("orders")
+    events_id = _sha256_hex("events")
+    # pin orders (block 5000 ∈ [5000,6000)), then schedule both deletes
+    ref = cat.find_chunk("tpch", 5000)
+    assert ref is not None and ref.meta.chunk_id == orders_id
+    cat.schedule_delete(orders_id)
+    cat.schedule_delete(events_id)
+    # D4: pending-delete chunk invisible to new finds even while pinned
+    invisible = cat.find_chunk("tpch", 5000) is None
+    removed = cat.vacuum()  # events goes; orders survives (lease barrier)
+    assert removed == [events_id], removed
+    ref.release()
+    df = cat.chunks_df().select("chunk_id", "state")
+    return df.withColumn(
+        "visible_to_find_is_false",
+        (F.col("chunk_id") == orders_id) & F.lit(invisible),
+    )
+
+
+@register(
+    "lk04_total_size",
+    """
+    SELECT CAST(
+        (SELECT COUNT(*) FROM region) + (SELECT COUNT(*) FROM nation) +
+        (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier) +
+        (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM orders) +
+        (SELECT COUNT(*) FROM lineitem) + (SELECT COUNT(*) FROM events) +
+        (SELECT COUNT(*) FROM documents) + (SELECT COUNT(*) FROM embeddings)
+      AS BIGINT) AS total_size
+    """,
+    category="lake-core",
+    doc="total_size / cap accounting (R11) — implements the reference's stub for real.",
+)
+def lk04_total_size(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    return spark.createDataFrame([(cat.total_size(),)], "total_size long")
+
+
+@register(
+    "lk05_query_through_chunk",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="lake-core",
+    doc="E1 lifecycle end-to-end: find → pin → path → Spark scan → aggregate (SURVEY §3).",
+)
+def lk05_query_through_chunk(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    # lineitem is chunk index 6 → blocks [6000, 7000)
+    df = cat.read_chunk("tpch", 6500)
+    assert df is not None
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )

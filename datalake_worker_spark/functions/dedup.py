@@ -1,0 +1,341 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.2 "LLM-pipeline extensions").
+
+All hot paths are JVM-side expressions (xxhash64 / array transforms /
+aggregates) — no Python UDFs. The MinHash pipeline is the scale path:
+signatures are computed per-row with zero shuffles (array_min over a
+transform), banding turns the O(n²) pair problem into a
+groupBy(band_hash) bucket join, and only bucket-collided candidates get
+the exact-Jaccard verification. This is the standard shingle → minhash →
+band → bucket-join construction; at 100 TB the band shuffle is the only
+wide dependency and is keyed on (band_idx, band_hash) which is uniform
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# building blocks (engine API, reusable on any DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles; whole text if shorter than n words."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    w = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(w) < n, F.array(c)).otherwise(grams)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 64
+) -> DataFrame:
+    """k min-hashes per row: h_i = min over shingles of xxhash64(s, i).
+
+    Shingles are exploded once and reduced with k MIN aggregates —
+    map-side partial aggregation collapses each partition to one row per
+    doc before the shuffle, so the wide stage moves O(#docs · k) longs
+    regardless of document length. (The tempting alternative — k
+    ``array_min(transform(...))`` expressions per row — re-evaluates the
+    shingle array k times and blows codegen up; measured ~100× slower.)
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col)).alias("_sh"))
+    aggs = [
+        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"h{i}") for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def with_minhash_bands(
+    df: DataFrame, id_col: str, text_col: str, k: int = 64, bands: int = 16
+) -> DataFrame:
+    """Attach (band_idx, band_hash) rows: one output row per band per doc."""
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(*[F.col(f"h{b * rows + j}") for j in range(rows)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_cols).alias("band")).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
+def exact_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Jaccard of two distinct-token arrays (JVM-side)."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens)).cast("double")
+    union = (
+        F.size(a_tokens).cast("double") + F.size(b_tokens).cast("double") - inter
+    )
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def near_dup_pairs_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    shingle → minhash → band → bucket-join → verify. Returns
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    b = with_minhash_bands(docs, id_col, text_col, k, bands)
+    left = b.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+    verified = (
+        cand.join(toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("ta")), "id_a")
+        .join(toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("tb")), "id_b")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("ta"), F.col("tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash64(text_col: str | Column) -> Column:
+    """64-bit SimHash over word tokens, pure JVM expression.
+
+    Per bit b: vote = Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1);
+    simhash bit b = vote > 0.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    # per-bit vote: Σ over tokens of ±1 (shift amounts must be literals,
+    # so the 64 bits are unrolled — still one codegen'd expression tree)
+    def _vote_fn(b: int):
+        # pyspark introspects lambda arity — bind b via closure, not a
+        # default arg
+        def fn(acc, t):
+            sign = F.when(
+                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+            return acc + sign
+
+        return fn
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        vote = F.aggregate(toks, F.lit(0), _vote_fn(b))
+        bitval = (1 << b) if b < 63 else -(1 << 63)  # signed top bit
+        out = out + F.when(vote > 0, F.lit(bitval).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d01_exact_dedup_keep_first",
+    """
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+    category="llm-dedup",
+    doc="exact dedup, keep lowest doc_id per identical text (window, no collect).",
+)
+def d01_exact_dedup_keep_first(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "d02_exact_dedup_hash_groups",
+    """
+    SELECT sha256(text) AS text_sha, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM documents
+    GROUP BY text_sha
+    """,
+    category="llm-dedup",
+    doc="content-hash groups: sha256(text) ↔ Spark sha2; duplicate multiplicity.",
+)
+def d02_exact_dedup_hash_groups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2(F.col("text"), 256).alias("text_sha")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper")
+    )
+
+
+@register(
+    "d03_ngram_jaccard_pairs",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS grams
+        FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+             AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND b.n_chars BETWEEN a.n_chars - 2 AND a.n_chars + 2
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+    """,
+    category="llm-dedup",
+    doc="exact word-bigram Jaccard over blocked candidate pairs (lang + length blocking).",
+)
+def d03_ngram_jaccard_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.array_distinct(word_shingles(F.col("text"), 2)).alias("grams"),
+        )
+    )
+    # Length-bucket blocking: bucket = n_chars div 5; |Δn_chars| ≤ 2 means
+    # the partner's bucket is within ±1, so probing 3 buckets per left row
+    # gives a *granular equi-join key* (lang, bucket). Joining on lang
+    # alone (5 distinct keys) serializes the cluster; (lang, bucket) keys
+    # scale with the data. Each (a,b) pair meets exactly once because b's
+    # own bucket is unique.
+    bucket = (F.col("n_chars") / 5).cast("long")
+    a = (
+        t.withColumn("probe_bucket", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("lang").alias("lang_a"),
+            F.col("n_chars").alias("nc_a"),
+            F.col("grams").alias("ga"),
+            "probe_bucket",
+        )
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("grams").alias("gb"),
+        bucket.alias("bucket_b"),
+    )
+    jac = exact_jaccard(F.col("ga"), F.col("gb"))
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("probe_bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & F.col("nc_b").between(F.col("nc_a") - 2, F.col("nc_a") + 2),
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "d04_minhash_near_dups",
+    None,  # banding uses xxhash64 (no DuckDB equivalent); exact-verify is tested in pytest
+    category="llm-dedup",
+    doc="MinHash+LSH near-dup pairs (k=64, 16 bands), exact-Jaccard verified ≥0.6.",
+)
+def d04_minhash_near_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(d, "doc_id", "text", k=64, bands=16, threshold=0.6)
+
+
+@register(
+    "d05_simhash_fingerprints",
+    None,  # xxhash64-based; properties tested in pytest
+    category="llm-dedup",
+    doc="64-bit SimHash per document (pure JVM expression; Hamming-bucket near-dup basis).",
+)
+def d05_simhash_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+@register(
+    "d06_embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 25 = 0)
+    SELECT q.vec_id AS id_a, e.vec_id AS id_b,
+           ROUND(list_dot_product(q.v, e.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+             AS cosine
+    FROM q JOIN e ON q.label = e.label AND q.vec_id < e.vec_id
+    WHERE list_dot_product(q.v, e.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) >= 0.9
+    """,
+    category="llm-dedup",
+    doc="embedding-cosine near-dup: label-blocked exact pairs ≥0.9 for sampled probes.",
+)
+def d06_embedding_near_dups(spark, sf_dir):
+    from .similarity import cosine_sim, to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("v").alias("va")
+    )
+    r = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+    )
+    cos = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        q.join(r, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= 0.9)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -1,0 +1,133 @@
+"""Multimodal column support (SURVEY.md §2.2 extensions).
+
+Images/audio/video are opaque ``binary`` payload columns plus typed
+``struct`` metadata. The Spark-side plumbing — schemas, Arrow-batched
+``mapInPandas`` decode/feature/frame-sample operators, partitioning —
+is real and tested; the actual codec calls are stubbed deterministically
+(the image/audio libraries are not in this container, per the build
+brief). Swap ``_fake_decode`` with a real decoder and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_frames int, format string"
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image/video decoder.
+
+    A real implementation would call PIL/ffmpeg here (NotImplementedError
+    territory in this container); the fake derives plausible metadata
+    purely from the byte length so tests are reproducible.
+    """
+    n = len(payload)
+    return {
+        "width": n % 640 + 1,
+        "height": (n // 640) % 480 + 1,
+        "n_frames": n % 5 + 1,
+        "format": "img" if n % 2 == 0 else "vid",
+    }
+
+
+def decode_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched decode: binary payload → typed metadata rows.
+
+    mapInPandas streams batches through Python once — this is the pattern
+    for any real multimodal feature extraction at scale (each task decodes
+    its own partition; no shuffle, no collect).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_decode(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in pdf[payload_col]],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                }
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(decode, DECODE_SCHEMA)
+
+
+@register(
+    "m01_binary_payload_dedup",
+    """
+    SELECT sha256(text) AS payload_sha,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(MIN(strlen(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY payload_sha
+    """,
+    category="llm-multimodal",
+    doc="binary payload column + content-hash dedup (sha2 over bytes).",
+)
+def m01_binary_payload_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    return d.groupBy(F.sha2("payload", 256).alias("payload_sha")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper"),
+        F.min(F.length("payload")).cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "m02_decode_metadata",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+           CAST((strlen(text) // 640) % 480 + 1 AS INTEGER) AS height,
+           CAST(strlen(text) % 5 + 1 AS INTEGER) AS n_frames,
+           CASE WHEN strlen(text) % 2 = 0 THEN 'img' ELSE 'vid' END AS format
+    FROM documents
+    """,
+    category="llm-multimodal",
+    doc="mapInPandas decode plumbing (Arrow binary batches) with deterministic stub codec.",
+)
+def m02_decode_metadata(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    return decode_metadata(d, "doc_id", "payload")
+
+
+@register(
+    "m03_frame_sample",
+    """
+    SELECT doc_id, CAST(unnest(range(0, strlen(text) % 5 + 1)) AS INTEGER) AS frame_idx
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    category="llm-multimodal",
+    doc="frame sampling plumbing: explode one row per (stubbed) video frame index.",
+)
+def m03_frame_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    meta = decode_metadata(
+        d.withColumn("payload", F.encode("text", "utf-8")), "doc_id", "payload"
+    )
+    return meta.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    )

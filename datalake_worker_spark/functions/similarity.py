@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (SURVEY.md §2.2 extensions).
+
+- Exact top-k: brute-force cosine — broadcast the (small) query set against
+  the full corpus; ranking via window row_number, never a driver-side sort.
+- ANN: random-hyperplane LSH — deterministic signed projections bucket the
+  corpus; candidates are reranked exactly. At 100 TB the bucket join is the
+  only shuffle and the hyperplane matrix is a broadcast literal.
+
+Dot products run as JVM ``zip_with``/``aggregate`` expressions over
+``array<double>`` — sequential fold, bit-identical to the DuckDB oracle's
+``list_dot_product``.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def to_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rn<=k).
+
+    queries is expected to be small → broadcast; corpus streams through.
+    Ranking on (rounded cosine desc, neighbor id) is fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side literals)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Signed-projection bucket id: bit p = sign(v · plane_p)."""
+    bits = [
+        F.when(
+            dot(vec_col, F.array(*[F.lit(x) for x in plane])) > 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: bucket by hyperplane signs, exact-rerank within bucket.
+
+    Scale path for brute-force: candidates shrink ~2^-n_planes per bucket;
+    recall is tested against exact_topk in the test suite.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v01_exact_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv, e.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+                 AS cosine
+        FROM q JOIN e ON q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+        FROM scored)
+    WHERE rn <= 5
+    """,
+    category="llm-similarity",
+    doc="exact brute-force cosine top-5 for 20 probe vectors (broadcast × corpus).",
+)
+def v01_exact_cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    return exact_topk(e, q, "vec_id", "v", k=5)
+
+
+@register(
+    "v02_ann_lsh_topk",
+    None,  # approximate by construction — recall vs v01 is tested in pytest
+    category="llm-similarity",
+    doc="ANN top-5 via random-hyperplane LSH (8 planes, seed=42) + exact rerank.",
+)
+def v02_ann_lsh_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    return ann_topk_lsh(e, q, "vec_id", "v", k=5, n_planes=8, dim=64, seed=42)
+
+
+@register(
+    "v03_embedding_stats",
+    """
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(ROUND(sqrt(list_dot_product(v, v)), 6)) AS DOUBLE) / COUNT(*), 6)
+             AS avg_norm,
+           ROUND(MIN(sqrt(list_dot_product(v, v))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(v, v))), 6) AS max_norm
+    FROM e
+    GROUP BY label
+    """,
+    category="llm-similarity",
+    doc="per-label embedding norm stats (vector column aggregation).",
+)
+def v03_embedding_stats(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", to_double_array("embedding").alias("v")
+    )
+    nrm = norm(F.col("v"))
+    return (
+        e.withColumn("nrm6", F.round(nrm, 6))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("nrm6") / F.count("*"), 6).alias("avg_norm"),
+            F.round(F.min(nrm), 6).alias("min_norm"),
+            F.round(F.max(nrm), 6).alias("max_norm"),
+        )
+    )

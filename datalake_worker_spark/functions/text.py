@@ -1,0 +1,253 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.2):
+token counting, quality scoring, language-ID heuristic, document
+frequency, fingerprinting. All built-in string/array expressions —
+JVM-side, no UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# language marker words for the n-gram language-ID heuristic.
+# (The test corpus is synthetic; the heuristic itself is the operator.)
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " de "],
+    "fr": [" le ", " les ", " des "],
+    "zh": [" zh ", " zhong ", " wen "],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+
+def count_occurrences(text: Column, needle: str) -> Column:
+    """# of occurrences of a literal substring (JVM: length arithmetic)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: split on word boundaries/punctuation clusters."""
+    return F.size(
+        F.filter(
+            F.split(text, r"[\s]+|(?=[^\w\s])|(?<=[^\w\s])"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+
+
+@register(
+    "t01_token_stats",
+    r"""
+    WITH d AS (SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_unique,
+           ROUND(CAST(n_chars AS DOUBLE) / len(w), 6) AS chars_per_token,
+           ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
+    FROM d
+    """,
+    category="llm-text",
+    doc="token counting: whitespace tokens, unique tokens, type-token ratio.",
+)
+def t01_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    return d.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_unique"),
+        F.round(F.col("n_chars").cast("double") / F.size("w"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(
+            F.size(F.array_distinct("w")).cast("double") / F.size("w"), 6
+        ).alias("ttr"),
+    )
+
+
+@register(
+    "t02_quality_score",
+    r"""
+    WITH d AS (
+        SELECT doc_id, text, n_chars,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+               length(text) - length(replace(lower(text), ' the ', ''))  AS _dummy
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_chars, n_tok,
+               ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+               ROUND(CAST(
+                 (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+               + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+               + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+                 AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio
+        FROM d
+    )
+    SELECT doc_id, n_tok AS n_tokens, punct_ratio, stopword_ratio,
+           ROUND(0.5 * LEAST(n_tok / 100.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * LEAST(stopword_ratio * 5.0, 1.0), 6) AS quality
+    FROM s
+    """,
+    category="llm-text",
+    doc="quality scoring: length/punctuation/stopword ratios → composite score.",
+)
+def t02_quality_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    n_tok = token_count(F.col("text"))
+    punct_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+        / F.col("n_chars"),
+        6,
+    )
+    stop_hits = (
+        count_occurrences(padded, " the ")
+        + count_occurrences(padded, " a ")
+        + count_occurrences(padded, " of ")
+    )
+    stopword_ratio = F.round(stop_hits.cast("double") / n_tok, 6)
+    quality = F.round(
+        0.5 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.2 * F.least(stopword_ratio * 5.0, F.lit(1.0)),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def _langid_scores_spark(text: Column) -> list[tuple[str, Column]]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        score = None
+        for m in markers:
+            c = count_occurrences(padded, m)
+            score = c if score is None else score + c
+        out.append((lang, score))
+    return out
+
+
+def _langid_sql_score(lang: str) -> str:
+    parts = [
+        f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}"
+        for m in LANG_MARKERS[lang]
+    ]
+    return " + ".join(parts)
+
+
+@register(
+    "t03_language_id",
+    f"""
+    WITH d AS (SELECT doc_id, lang AS label, ' ' || lower(text) || ' ' AS p FROM documents),
+    s AS (
+        SELECT doc_id, label,
+               {', '.join(f"CAST({_langid_sql_score(lng)} AS INTEGER) AS s_{lng}" for lng in sorted(LANG_MARKERS))}
+        FROM d
+    )
+    SELECT doc_id, label,
+           CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+             WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted,
+           CAST(GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS INTEGER) AS best_score
+    FROM s
+    """,
+    category="llm-text",
+    doc="language-ID heuristic: marker-word counts, argmax with alphabetical tie-break.",
+)
+def t03_language_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scores = _langid_scores_spark(F.col("text"))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("zh")
+    # CASE chain in alphabetical order — first match wins, same as the SQL
+    expr = None
+    for lang, s in scores:
+        cond = s == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("zh")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        pred.alias("predicted"),
+        best.cast("int").alias("best_score"),
+    )
+
+
+@register(
+    "t04_doc_frequency",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+        FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tok GROUP BY tok
+    ORDER BY df DESC, tok ASC
+    LIMIT 20
+    """,
+    category="llm-text",
+    doc="document frequency (idf numerator): distinct-token explode → count per token.",
+)
+def t04_doc_frequency(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "t05_fingerprint",
+    None,  # xxhash64-based rolling fingerprint — no DuckDB analog; pytest property-tested
+    category="llm-text",
+    doc=(
+        "document fingerprint: min-of-rolling-hash (winnowing-lite) over char "
+        "5-gram xxhash64 + content hash of the normalized token sequence."
+    ),
+)
+def t05_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))
+    toks = F.split(F.trim(norm), r"\s+")
+    content_fp = F.xxhash64(F.concat_ws("\x01", toks))
+    # rolling 5-gram hashes via substr over positions
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 4, F.lit(1))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(5))),
+    )
+    winnow_fp = F.array_min(grams)
+    return d.select(
+        "doc_id",
+        content_fp.alias("content_fp"),
+        winnow_fp.alias("winnow_fp"),
+    )

@@ -1,0 +1,192 @@
+"""As-of joins and range joins (SURVEY.md §2.2 "joins": as-of, theta/range).
+
+Spark has no native AS OF join. The scalable pattern used here is
+union + window ("last known value"):
+
+  1. tag right-side rows (the lookup stream) and left-side rows (probes),
+  2. union them on the join key,
+  3. sort within each key by (ts, tag, tie-break) — one shuffle total,
+  4. ``last(value, ignorenulls=True)`` over the running frame gives each
+     probe the most recent right-side row with ts <= probe ts.
+
+Unlike the naive range-join + row_number approach this never builds the
+O(probes × candidates) intermediate, so it survives 100 TB: cost is one
+shuffle + one sorted window pass, both on the join key.
+
+Range joins against a small bucket/dimension table broadcast the dim and
+let the executor filter (BroadcastNestedLoopJoin on the non-equi part).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """Generic as-of join: for each left row, attach the right row with the
+    greatest (right_ts, tie_col) such that right_ts <= left_ts.
+
+    Returns the left columns plus ``asof_<value_col>`` columns.
+    """
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_probe"),
+        F.col(tie_col).alias("_tie"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_probe"),
+        F.lit(None).cast("long").alias("_tie"),
+        *[F.lit(None).cast(r.schema[f"_v_{c}"].dataType).alias(f"_v_{c}") for c in value_cols],
+        *[F.col(c) for c in lcols],
+    )
+    r = r.select(
+        "_k", "_ts", "_is_probe", "_tie",
+        *[F.col(f"_v_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    u = r.unionByName(l)
+    # right rows sort before a probe at the same ts (tag 0 < 1) ⇒ "<=" as-of.
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_is_probe", "_tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = u.select(
+        *lcols,
+        F.col("_is_probe"),
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return out.filter(F.col("_is_probe") == 1).drop("_is_probe")
+
+
+@register(
+    "x01_asof_purchase_click",
+    """
+    WITH u AS (
+        SELECT user_id, ts, 0 AS is_probe, event_id AS tie,
+               event_id AS click_id, NULL::BIGINT AS probe_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 1 AS is_probe, NULL AS tie,
+               NULL AS click_id, event_id AS probe_id
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT probe_id, is_probe,
+               last_value(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_probe, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
+        FROM u
+    )
+    SELECT probe_id AS event_id, asof_event_id
+    FROM w WHERE is_probe = 1
+    """,
+    doc="as-of join: each purchase ↔ most recent click (<= ts) of the same user.",
+)
+def x01_asof_purchase_click(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id"],
+        tie_col="event_id",
+    )
+    return out.select("event_id", F.col("asof_event_id"))
+
+
+@register(
+    "x02_asof_event_order",
+    """
+    WITH u AS (
+        SELECT o_custkey AS k, o_orderdate AS ts, 0 AS is_probe, o_orderkey AS tie,
+               o_orderkey AS val, NULL::BIGINT AS probe_id
+        FROM orders
+        UNION ALL
+        SELECT user_id AS k, ts, 1 AS is_probe, NULL AS tie,
+               NULL AS val, event_id AS probe_id
+        FROM events
+    ), w AS (
+        SELECT probe_id, is_probe,
+               last_value(val IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY ts, is_probe, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_o_orderkey
+        FROM u
+    )
+    SELECT probe_id AS event_id, asof_o_orderkey
+    FROM w WHERE is_probe = 1
+    """,
+    doc="as-of join across tables: event ↔ latest order (o_orderdate <= ts) of that customer.",
+)
+def x02_asof_event_order(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), "ts"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        e,
+        o.select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+        tie_col="o_orderkey",
+    )
+    return out.select("event_id", "asof_o_orderkey")
+
+
+@register(
+    "x03_range_join_buckets",
+    """
+    SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (VALUES ('small', 0.0, 50.0), ('mid', 50.0, 150.0), ('large', 150.0, 1e9))
+         t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+    doc="range join against a broadcast tier dimension (non-equi condition).",
+)
+def x03_range_join_buckets(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 50.0), ("mid", 50.0, 150.0), ("large", 150.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(tiers),
+            (e.value >= tiers.lo) & (e.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )

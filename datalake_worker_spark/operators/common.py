@@ -1,0 +1,55 @@
+"""Shared helpers for deterministic cross-engine aggregation.
+
+Floating-point SUM/AVG are order-dependent; Spark and DuckDB will not
+accumulate doubles in the same order, so every money-ish aggregate goes
+through DECIMAL (exact, order-independent) and is cast back to DOUBLE
+at the end. The test data carries 2-decimal money values, so
+DECIMAL(18,2) / DECIMAL(4,2) casts are lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# money-valued column (prices, balances, quantities)
+MONEY = "decimal(18,2)"
+# rate-valued column (discount, tax: 0.00-1.00)
+RATE = "decimal(4,2)"
+
+
+def dec(col, typ: str = MONEY) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dsum(col, typ: str = MONEY) -> Column:
+    """Exact, order-independent SUM for float money columns → DOUBLE."""
+    return F.sum(dec(col, typ)).cast("double")
+
+
+def davg(col, typ: str = MONEY) -> Column:
+    """AVG as exact decimal SUM / COUNT → DOUBLE (same formula as oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, typ)).cast("double") / F.count(c)
+
+
+def revenue_expr() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal arithmetic."""
+    one = F.lit(1).cast(RATE)
+    return dec("l_extendedprice") * (one - dec("l_discount", RATE))
+
+
+# Oracle-side SQL fragments (kept adjacent so both sides stay in sync).
+SQL_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def sql_dsum(col: str, typ: str = "DECIMAL(18,2)") -> str:
+    return f"CAST(SUM(CAST({col} AS {typ})) AS DOUBLE)"
+
+
+def sql_davg(col: str, typ: str = "DECIMAL(18,2)") -> str:
+    return f"CAST(SUM(CAST({col} AS {typ})) AS DOUBLE) / COUNT({col})"

@@ -1,0 +1,207 @@
+"""Window functions & sort/limit/top-k operators (SURVEY.md §2.2).
+
+Per-group top-k is always a window + row_number (never a driver-side
+collect-and-sort): at 100 TB the window shuffles once on the partition
+key and each partition is processed independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .common import dec, dsum
+
+
+@register(
+    "w01_topk_per_group",
+    """
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="top-3 orders by price per priority: row_number window, key tie-break.",
+)
+def w01_topk_per_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "w02_rank_dense_ntile",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(RANK()       OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4)     OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    doc="rank / dense_rank / ntile over a deterministic ordering.",
+)
+def w02_rank_dense_ntile(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "w03_running_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total,
+           CAST(LAG(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_order,
+           CAST(LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="running sum (decimal-exact), lag/lead, first/last over full frame.",
+)
+def w03_running_lag_lead(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(wrun).cast("double").alias("running_total"),
+        F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+        F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+        F.first("o_orderkey").over(w).cast("long").alias("first_order"),
+        F.last("o_orderkey").over(wall).cast("long").alias("last_order"),
+    )
+
+
+@register(
+    "w04_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS orders_last_90d
+    FROM orders
+    """,
+    doc="RANGE frame over epoch seconds: orders in trailing 90 days per customer.",
+)
+def w04_range_frame(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "epoch_s", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-90 * 24 * 3600, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).cast("long").alias("orders_last_90d"),
+    )
+
+
+@register(
+    "w05_multikey_sort_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_extendedprice AS DOUBLE) AS price
+    FROM lineitem
+    ORDER BY l_returnflag ASC, price DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 50
+    """,
+    doc="multi-key global sort + limit (TakeOrderedAndProject — no full sort at scale).",
+)
+def w05_multikey_sort_limit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc(),
+            F.col("price").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "w06_sessionization",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800.0
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+    doc="batch sessionization: lag-gap flag + running sum = session ids (30 min gap).",
+)
+def w06_sessionization(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts").over(w)
+    # full-microsecond gap math (unix_timestamp truncates to seconds —
+    # cast to double keeps the fraction, matching DuckDB's epoch()).
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts").cast("double") - prev.cast("double")) > 1800.0),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wrun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )

@@ -1,0 +1,93 @@
+"""Sources: the engine's scan layer.
+
+The reference downloads opaque chunk blobs from S3 and re-decodes them
+per read (/root/reference/src/data_manager.rs:189-220). Spark-native,
+a "chunk" is a directory of Parquet files and a scan is
+``spark.read.parquet`` — columnar, predicate-pushdown, partition-pruned.
+CSV/JSON readers are provided with explicit schemas (no inference in
+production paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (cached per path)."""
+    if path not in _NANOS_CACHE:
+        import pyarrow.parquet as pq
+
+        cols = []
+        f = _first_parquet_file(path)
+        if f is not None:
+            schema = pq.ParquetFile(f).schema_arrow
+            for field in schema:
+                if str(field.type) == "timestamp[ns]":
+                    cols.append(field.name)
+        _NANOS_CACHE[path] = cols
+    return _NANOS_CACHE[path]
+
+
+_NANOS_CACHE: dict[str, list[str]] = {}
+
+
+def _first_parquet_file(path: str) -> str | None:
+    if os.path.isfile(path):
+        return path
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return None
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Filters/projections applied by the caller are
+    pushed down into this Parquet scan by Catalyst.
+
+    TIMESTAMP(NANOS) parquet columns (no Spark equivalent; read as long
+    via the nanosAsLong session config) are converted to microsecond
+    timestamps — truncation, matching DuckDB's/Arrow's downcast.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in nanos_timestamp_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,213 @@
+"""Structured Streaming operators (SURVEY.md §2.2 "Streaming").
+
+Each declared query REALLY runs as a stream: the events table is replayed
+through ``readStream`` (file source), the streaming query runs to
+completion against a memory sink, and the sink table is returned. Spark's
+unified batch/stream semantics make the DuckDB batch query a legitimate
+oracle — the same windows/aggregations must come out identical.
+
+Watermarks bound state at scale: a 100 TB stream with a 10-minute
+watermark holds only the open windows in the state store (RocksDB-backed
+in production — an apt nod to the reference's storage backend,
+/root/reference/src/rocksdb_storage_engine.rs:16-19).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_SINK_N = 0
+
+
+def _stream_parquet(spark: SparkSession, path: str, raw_schema, **options) -> DataFrame:
+    """readStream a parquet path, converting TIMESTAMP(NANOS) columns
+    (surfaced as long via the nanosAsLong config) to real timestamps."""
+    from ..sources.readers import nanos_timestamp_columns
+
+    reader = spark.readStream.schema(raw_schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.parquet(path)
+    for c in nanos_timestamp_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file stream source requires a directory — expose the single
+    # parquet file through a symlinked staging dir
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if path not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="dlw_stream_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
+        _STREAM_DIRS[path] = d
+    raw = spark.read.parquet(path).schema  # pre-conversion schema (ts as long)
+    return _stream_parquet(spark, _STREAM_DIRS[path], raw)
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming query to completion against a memory sink and
+    return the sink as a DataFrame (test/driver harness path)."""
+    global _SINK_N
+    _SINK_N += 1
+    name = f"dlw_sink_{_SINK_N}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "st01_tumbling_window",
+    """
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY w_start, event_type
+    """,
+    category="streaming",
+    doc="streaming tumbling 1-day window agg (complete mode) ≡ batch time-bucket.",
+)
+def st01_tumbling_window(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("w_start"), "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "st02_sliding_window",
+    """
+    WITH s AS (
+        SELECT e.*, to_timestamp(CAST(floor(epoch(e.ts) / 21600) * 21600 - o.off AS BIGINT)) AS w_start
+        FROM events e JOIN (VALUES (0), (21600)) o(off) ON TRUE
+        WHERE epoch(e.ts) >= floor(epoch(e.ts) / 21600) * 21600 - o.off
+          AND epoch(e.ts) <  floor(epoch(e.ts) / 21600) * 21600 - o.off + 43200
+    )
+    SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY w_start
+    """,
+    category="streaming",
+    doc="streaming sliding window (12h window, 6h slide): each event in 2 windows.",
+)
+def st02_sliding_window(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "12 hours", "6 hours").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("w.start").alias("w_start"), "n")
+
+
+@register(
+    "st03_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    category="streaming",
+    doc="streaming session windows (30 min gap) ≡ batch gap-based sessionization.",
+)
+def st03_session_window(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
+    )
+
+
+@register(
+    "st04_stream_dedup",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    category="streaming",
+    doc="stateful streaming dedup on event_id (watermarked) over a doubled replay.",
+)
+def st04_stream_dedup(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    # replay the stream TWICE (two copies of the file) — dedup must collapse
+    tmp = tempfile.mkdtemp(prefix="dlw_replay_")
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(tmp, "a.parquet"))
+    shutil.copy(src, os.path.join(tmp, "b.parquet"))
+    raw = spark.read.parquet(src).schema
+    s = _stream_parquet(spark, tmp, raw, maxFilesPerTrigger=1)
+    deduped = s.withWatermark("ts", "10 days").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique")
+    )
+    out = run_to_memory(agg, "complete")
+    return out
+
+
+@register(
+    "st05_stream_static_join",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    category="streaming",
+    doc="stream-static join: streaming events enriched against the static customer dim.",
+)
+def st05_stream_static_join(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return run_to_memory(agg, "complete")
