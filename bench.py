@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = sum of per-query median wall-clock (3 runs after 1 warm-up for
+the session). Headline set spans the operator families: scans/aggs,
+joins (broadcast/theta/as-of), windows, set ops, dedup (exact/MinHash),
+similarity, text, streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "j01_left_outer_counts",
+    "j05_theta_join",
+    "j06_broadcast_join",
+    "a01_rollup",
+    "a03_count_distinct_having",
+    "w01_topk_per_group",
+    "w03_running_lag_lead",
+    "w06_sessionization",
+    "u01_union_all",
+    "x01_asof_purchase_click",
+    "x02_asof_event_order",
+    "s05_explode_tokens",
+    "s07_json_map",
+    "d01_exact_dedup_keep_first",
+    "d04_minhash_near_dups",
+    "v01_exact_cosine_topk",
+    "t01_token_stats",
+    "t03_language_id",
+    "st01_tumbling_window",
+    "st05_stream_static_join",
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from datalake_worker_spark.session import get_spark
+    from datalake_worker_spark import registry
+
+    spark = get_spark(
+        app_name="dlw-bench",
+        cpus=cpus,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(min(int(cpus) * 2, 64)))),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm-up once (JIT/codegen/file listing), then median of RUNS
+        fn(spark, sf_dir).count()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -150,11 +150,15 @@ class ParquetCatalogBackend(CatalogBackend):
         records = self.read_records()
         if not records:
             return
+        old = [
+            f
+            for f in os.listdir(self.meta_dir)
+            if f.endswith(".parquet") and not f.startswith(".tmp-")
+        ]
         table = pa.Table.from_pylist(records, schema=_META_SCHEMA)
         name = f"compacted-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.meta_dir, f".tmp-{name}")
         pq.write_table(table, tmp)
-        old = [f for f in os.listdir(self.meta_dir) if f.endswith(".parquet")]
         os.rename(tmp, os.path.join(self.meta_dir, name))
         for f in old:
             os.remove(os.path.join(self.meta_dir, f))

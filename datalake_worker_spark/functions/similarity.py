@@ -102,32 +102,53 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "v",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 10,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k: bucket by hyperplane signs, exact-rerank within bucket.
+    """ANN top-k: multi-table random-hyperplane LSH + exact rerank.
 
-    Scale path for brute-force: candidates shrink ~2^-n_planes per bucket;
-    recall is tested against exact_topk in the test suite.
+    Each of the L tables buckets vectors by the sign pattern of n_planes
+    projections; a (query, candidate) pair is considered if it collides
+    in ANY table (explode L bucket structs → equi-join on (table, bucket)
+    → distinct). Recall ≈ 1-(1-p^n_planes)^L; candidates shrink
+    ~2^-n_planes per table, so the bucket join — the only shuffle —
+    touches a small fraction of the corpus per query. Tested against
+    exact_topk for recall.
     """
-    planes = hyperplanes(dim, n_planes, seed)
+    buckets = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        buckets.append(
+            F.struct(
+                F.lit(t).alias("tbl"), lsh_bucket(F.col(vec_col), planes).alias("bkt")
+            )
+        )
+    bucket_arr = F.array(*buckets)
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.explode(bucket_arr).alias("b"),
+    ).select("query_id", "qv", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(bucket_arr).alias("b"),
+    ).select(
+        "neighbor_id", "cv", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")
     )
     sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    # dedupe multi-table collisions AFTER scoring (cosine is identical per
+    # pair, max() collapses) — avoids a distinct() over vector columns
     scored = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(c, ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", sim)
+        .withColumn("_cos", sim)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("_cos").alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -177,14 +198,14 @@ def v01_exact_cosine_topk(spark, sf_dir):
     "v02_ann_lsh_topk",
     None,  # approximate by construction — recall vs v01 is tested in pytest
     category="llm-similarity",
-    doc="ANN top-5 via random-hyperplane LSH (8 planes, seed=42) + exact rerank.",
+    doc="ANN top-5 via multi-table random-hyperplane LSH (6 planes × 8 tables, seed=42) + exact rerank.",
 )
 def v02_ann_lsh_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)
-    return ann_topk_lsh(e, q, "vec_id", "v", k=5, n_planes=8, dim=64, seed=42)
+    return ann_topk_lsh(e, q, "vec_id", "v", k=5, n_planes=6, n_tables=8, dim=64, seed=42)
 
 
 @register(

@@ -40,6 +40,13 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return sorted(cols)
 
 
+def final_plan(df: DataFrame) -> str:
+    """Executed plan AFTER an action — under AQE the pre-execution plan is
+    a placeholder (isFinalPlan=false); run it, then read the real one."""
+    df.collect()  # count() would build a separate plan; collect executes THIS one
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in simple_plan(df) or "BroadcastNestedLoopJoin" in simple_plan(df)
 

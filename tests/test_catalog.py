@@ -1,0 +1,146 @@
+"""Lake-core lifecycle property tests (SURVEY.md §5.3): the reference's
+DataManager semantics — idempotent admission, cap, pin/lease barrier,
+pending-delete invisibility (D4), containment lookup (D1) — verified
+against a brute-force Python model."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datalake_worker_spark.catalog import (
+    ACTIVE,
+    DELETED,
+    PENDING_DELETE,
+    ChunkCatalog,
+    ChunkMeta,
+)
+from datalake_worker_spark.errors import MaxSizeAllocated
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return ChunkCatalog(spark, str(tmp_path / "cat"))
+
+
+def _meta(i: int, start: int, end: int, size: int = 10, ds: str = "d1") -> ChunkMeta:
+    return ChunkMeta(ds, f"chunk{i:02d}", start, end, {"f": f"/tmp/none{i}"}, size)
+
+
+def test_register_idempotent(cat):
+    assert cat.register_chunk(_meta(1, 0, 100)) is True
+    # same id again → vacancy check rejects (src/data_manager.rs:226-228)
+    assert cat.register_chunk(_meta(1, 0, 100)) is False
+    assert cat.list_chunks() == ["chunk01"]
+
+
+def test_containment_lookup_boundaries(cat):
+    # reference README index shape: 0..100, 101..120, 121..1000
+    cat.register_chunk(_meta(1, 0, 100))
+    cat.register_chunk(_meta(2, 101, 120))
+    cat.register_chunk(_meta(3, 121, 1000))
+    # half-open [start, end): end excluded, start included (D1 semantics)
+    assert cat.find_chunk_meta("d1", 0).chunk_id == "chunk01"
+    assert cat.find_chunk_meta("d1", 99).chunk_id == "chunk01"
+    assert cat.find_chunk_meta("d1", 100) is None  # gap: 100 ∉ [0,100) ∪ [101,120)
+    assert cat.find_chunk_meta("d1", 101).chunk_id == "chunk02"
+    assert cat.find_chunk_meta("d1", 119).chunk_id == "chunk02"
+    assert cat.find_chunk_meta("d1", 120) is None
+    assert cat.find_chunk_meta("d1", 999).chunk_id == "chunk03"
+    assert cat.find_chunk_meta("d1", 1000) is None
+    assert cat.find_chunk_meta("other", 50) is None  # dataset isolation
+
+
+def test_containment_vs_bruteforce(cat):
+    """Property: find == brute-force containment over a random layout."""
+    import random
+
+    rng = random.Random(42)
+    chunks = []
+    pos = 0
+    for i in range(20):
+        gap = rng.randint(0, 5)
+        width = rng.randint(1, 50)
+        chunks.append((i, pos + gap, pos + gap + width))
+        pos += gap + width
+    for i, s, e in chunks:
+        cat.register_chunk(_meta(i, s, e))
+    for probe in range(0, pos + 10):
+        expect = next(
+            (f"chunk{i:02d}" for i, s, e in chunks if s <= probe < e), None
+        )
+        got = cat.find_chunk_meta("d1", probe)
+        assert (got.chunk_id if got else None) == expect, probe
+
+
+def test_size_cap_enforced(spark, tmp_path):
+    cat = ChunkCatalog(spark, str(tmp_path / "cap"), max_size_bytes=100)
+    cat.register_chunk(_meta(1, 0, 10, size=60))
+    with pytest.raises(MaxSizeAllocated):
+        cat.register_chunk(_meta(2, 10, 20, size=50))
+    # under-cap admission still works after the failure
+    assert cat.register_chunk(_meta(3, 20, 30, size=40)) is True
+    assert cat.total_size() == 100
+
+
+def test_pin_blocks_vacuum_and_d4_invisibility(cat):
+    cat.register_chunk(_meta(1, 0, 100))
+    ref = cat.find_chunk("d1", 50)
+    assert ref is not None
+    assert cat.schedule_delete("chunk01") is True
+    # D4: scheduling the delete makes the chunk invisible to NEW readers
+    assert cat.find_chunk("d1", 50) is None
+    # the existing pin holds: vacuum must not remove it (acquire_many barrier)
+    assert cat.vacuum() == []
+    state = {r["chunk_id"]: r["state"] for r in cat.backend.read_records()[-1:]}
+    # release the last pin → vacuumable
+    ref.release()
+    assert cat.vacuum() == ["chunk01"]
+    assert cat.list_chunks(DELETED) == ["chunk01"]
+    assert cat.list_chunks(ACTIVE) == []
+
+
+def test_schedule_delete_nonexistent(cat):
+    assert cat.schedule_delete("nope") is False
+    cat.register_chunk(_meta(1, 0, 10))
+    cat.schedule_delete("chunk01")
+    # double-delete is a no-op (already PENDING_DELETE)
+    assert cat.schedule_delete("chunk01") is False
+
+
+def test_pin_context_manager(cat):
+    cat.register_chunk(_meta(1, 0, 100))
+    with cat.pin("d1", 5) as ref:
+        assert ref is not None
+        assert cat.backend.live_leases()
+    assert not cat.backend.live_leases()  # released on exit
+
+
+def test_read_chunk_end_to_end(spark, tmp_path, sf_dir):
+    """E1 lifecycle: register real parquet → find → pin → scan (SURVEY §3)."""
+    cat = ChunkCatalog(spark, str(tmp_path / "e1"))
+    path = os.path.join(sf_dir, "nation.parquet")
+    cat.register_chunk(
+        ChunkMeta("tpch", "nat", 0, 1000, {"nation.parquet": path}, 100)
+    )
+    df = cat.read_chunk("tpch", 500)
+    assert df is not None and df.count() == 25
+
+
+def test_chunks_df_folds_log(cat, spark):
+    cat.register_chunk(_meta(1, 0, 10))
+    cat.register_chunk(_meta(2, 10, 20))
+    cat.schedule_delete("chunk01")
+    df = cat.chunks_df()
+    rows = {r["chunk_id"]: r["state"] for r in df.collect()}
+    assert rows == {"chunk01": PENDING_DELETE, "chunk02": ACTIVE}
+
+
+def test_compaction_preserves_state(cat):
+    cat.register_chunk(_meta(1, 0, 10))
+    cat.register_chunk(_meta(2, 10, 20))
+    cat.schedule_delete("chunk01")
+    cat.backend.compact()
+    assert cat.list_chunks(PENDING_DELETE) == ["chunk01"]
+    assert cat.list_chunks(ACTIVE) == ["chunk02"]

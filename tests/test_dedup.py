@@ -1,0 +1,119 @@
+"""Dedup operator properties (SURVEY.md §5.5): MinHash recall on planted
+near-duplicates, SimHash locality, blocking completeness vs brute force."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.functions.dedup import (
+    exact_jaccard,
+    hamming64,
+    near_dup_pairs_minhash,
+    simhash64,
+)
+
+VOCAB = (
+    "spark data query join filter window agg scan merge sort hash table row "
+    "column stream batch fast slow big small key value group order part line"
+).split()
+
+
+def _corpus(spark, n_base=60, n_dups=20, seed=7):
+    """Base docs + planted near-dups (1-2 word edits of a base doc)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        words = [rng.choice(VOCAB) for _ in range(30)]
+        rows.append((i, " ".join(words)))
+    dup_pairs = []
+    for j in range(n_dups):
+        base_id, base_text = rows[rng.randrange(n_base)]
+        words = base_text.split()
+        for _ in range(rng.randint(1, 2)):  # tiny edit → jaccard stays high
+            words[rng.randrange(len(words))] = rng.choice(VOCAB)
+        new_id = n_base + j
+        rows.append((new_id, " ".join(words)))
+        dup_pairs.append((base_id, new_id))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df, dup_pairs
+
+
+def test_minhash_recall_on_planted_dups(spark):
+    df, planted = _corpus(spark)
+    found = near_dup_pairs_minhash(df, "doc_id", "text", k=64, bands=16, threshold=0.5)
+    got = {(min(a, b), max(a, b)) for a, b in ((r.id_a, r.id_b) for r in found.collect())}
+    # compute which planted pairs actually have jaccard >= 0.5 (ground truth)
+    toks = df.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    a = toks.select(F.col("doc_id").alias("ia"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("ib"), F.col("t").alias("tb"))
+    truth = {
+        (min(r.ia, r.ib), max(r.ia, r.ib))
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("j", exact_jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    planted_true = {(min(a_, b_), max(a_, b_)) for a_, b_ in planted} & truth
+    assert planted_true, "corpus generation produced no true dups?"
+    recall = len(got & planted_true) / len(planted_true)
+    assert recall >= 0.9, f"recall {recall}: {planted_true - got}"
+    # no false positives: every reported pair really has jaccard >= 0.5
+    assert got <= truth
+
+
+def test_minhash_verification_is_exact(spark, oracle):
+    """Candidate verification (exact jaccard) hash-matches DuckDB on the
+    same pair set."""
+    df, _ = _corpus(spark, n_base=30, n_dups=10)
+    pdf = df.toPandas()
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE _dd AS SELECT * FROM pdf")
+    pairs = near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.3).collect()
+    for r in pairs:
+        (dj,) = con.execute(
+            """
+            SELECT ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                   / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
+            FROM (SELECT list_distinct(string_split(text,' ')) t FROM _dd WHERE doc_id = ?) a,
+                 (SELECT list_distinct(string_split(text,' ')) t FROM _dd WHERE doc_id = ?) b
+            """,
+            [r.id_a, r.id_b],
+        ).fetchone()
+        assert abs(r.jaccard - dj) < 1e-9
+
+
+def test_simhash_locality(spark):
+    """Near-identical docs get close simhashes; unrelated docs don't."""
+    df, planted = _corpus(spark, n_base=40, n_dups=10)
+    sh = {r.doc_id: r.sh for r in df.select("doc_id", simhash64("text").alias("sh")).collect()}
+    near = [
+        bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") for a, b in planted
+    ]
+    rng = random.Random(1)
+    far_pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    far = [
+        bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in far_pairs
+        if a != b
+    ]
+    assert sum(near) / len(near) < sum(far) / len(far) - 5, (near, far)
+
+
+def test_simhash_deterministic(spark):
+    df, _ = _corpus(spark, n_base=10, n_dups=0)
+    a = df.select("doc_id", simhash64("text").alias("s")).collect()
+    b = df.select("doc_id", simhash64("text").alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hamming64_matches_python(spark):
+    rows = [(1, 0b1010, 0b0110), (2, -1, 0), (3, 12345678901234, 98765432109876)]
+    df = spark.createDataFrame(rows, "i long, a long, b long")
+    got = {r.i: r.h for r in df.select("i", hamming64(F.col("a"), F.col("b")).alias("h")).collect()}
+    for i, a, b in rows:
+        assert got[i] == bin((a ^ b) & ((1 << 64) - 1)).count("1")

@@ -1,0 +1,88 @@
+"""Plan-quality gates (SURVEY.md §4, the 100 TB discipline): filters
+reach the parquet scan, projections prune columns, small dims broadcast,
+top-k never globally sorts, window ops shuffle once."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.plans.inspect import (
+    formatted_plan,
+    has_pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    simple_plan,
+    uses_broadcast_join,
+)
+from datalake_worker_spark.registry import REGISTRY, _load_all
+from datalake_worker_spark.sources import load_table
+
+_load_all()
+
+
+def test_filter_pushdown_q06(spark, sf_dir):
+    df = REGISTRY["q06_forecast_revenue"].spark_fn(spark, sf_dir)
+    assert has_pushed_filters(df), formatted_plan(df)
+
+
+def test_column_pruning_q01(spark, sf_dir):
+    df = REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir)
+    cols = read_schema_columns(df)
+    # only the 7 columns the query needs — not all 11 of lineitem
+    assert set(cols) <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, cols
+
+
+def test_small_dims_broadcast_q05(spark, sf_dir):
+    df = REGISTRY["q05_local_supplier_volume"].spark_fn(spark, sf_dir)
+    assert uses_broadcast_join(df), simple_plan(df)
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject, not a full sort."""
+    df = REGISTRY["w05_multikey_sort_limit"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    """Per-group top-k: one exchange (on the partition key), no more."""
+    df = REGISTRY["w01_topk_per_group"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1, simple_plan(df)
+
+
+def test_asof_single_shuffle(spark, sf_dir):
+    """The union+window as-of join shuffles once on the join key — this is
+    the property that makes it viable at 100 TB (vs the O(n·m) range join)."""
+    df = REGISTRY["x01_asof_purchase_click"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1, simple_plan(df)
+
+
+def test_agg_partial_before_shuffle(spark, sf_dir):
+    """groupBy agg uses two-phase (partial_ before the exchange)."""
+    df = REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_" in plan or "HashAggregate" in plan, plan
+
+
+def test_scan_reads_only_needed_columns_projection(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(li)
+    assert cols == ["l_orderkey", "l_quantity"], cols
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    df = REGISTRY["j06_broadcast_join"].spark_fn(spark, sf_dir)
+    assert uses_broadcast_join(df), simple_plan(df)
+
+
+def test_codegen_engaged(spark, sf_dir):
+    from datalake_worker_spark.plans.inspect import final_plan
+
+    df = REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir)
+    plan = final_plan(df)
+    # "*(n)" prefixes mark whole-stage-codegen stages in the simple plan
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan

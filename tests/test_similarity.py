@@ -1,0 +1,93 @@
+"""Similarity-search properties (SURVEY.md §5.5): ANN recall vs the exact
+oracle, cosine correctness vs numpy."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.functions.similarity import (
+    ann_topk_lsh,
+    cosine_sim,
+    exact_topk,
+    to_double_array,
+)
+
+
+def _vectors(spark, n=200, dim=16, seed=5):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>"), rows
+
+
+def test_cosine_matches_python(spark):
+    df, rows = _vectors(spark, n=20, dim=8)
+    a = df.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    got = {
+        (r.ia, r.ib): r.c
+        for r in a.crossJoin(b)
+        .withColumn("c", cosine_sim(F.col("va"), F.col("vb")))
+        .collect()
+    }
+    vecs = dict(rows)
+    for (ia, ib), c in got.items():
+        va, vb = vecs[ia], vecs[ib]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        assert abs(c - dot / (na * nb)) < 1e-9
+
+
+def test_exact_topk_is_true_topk(spark):
+    df, rows = _vectors(spark, n=100, dim=8)
+    q = df.filter(F.col("vec_id") < 5)
+    got = exact_topk(df, q, "vec_id", "v", k=3).collect()
+    vecs = dict(rows)
+    for qid in range(5):
+        mine = sorted(
+            [(r.neighbor_id, r.cosine) for r in got if r.query_id == qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+            )
+        brute = sorted(
+            (
+                (i, round(cos(vecs[qid], v), 6))
+                for i, v in rows
+                if i != qid
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        assert mine == brute, qid
+
+
+def test_ann_recall_vs_exact(spark):
+    """Multi-table LSH recovers most of the exact top-5 even on hard
+    (near-orthogonal gaussian) data: recall ≈ 1-(1-p^planes)^tables."""
+    df, _ = _vectors(spark, n=300, dim=16)
+    q = df.filter(F.col("vec_id") < 20)
+    exact = exact_topk(df, q, "vec_id", "v", k=5).collect()
+    ann = ann_topk_lsh(
+        df, q, "vec_id", "v", k=5, n_planes=4, n_tables=10, dim=16, seed=42
+    ).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+
+
+def test_ann_deterministic(spark):
+    df, _ = _vectors(spark, n=100, dim=16)
+    q = df.filter(F.col("vec_id") < 5)
+    r1 = sorted(map(tuple, ann_topk_lsh(df, q, k=3, n_planes=4, n_tables=6, dim=16).collect()))
+    r2 = sorted(map(tuple, ann_topk_lsh(df, q, k=3, n_planes=4, n_tables=6, dim=16).collect()))
+    assert r1 == r2

@@ -1,0 +1,152 @@
+"""Streaming tests (SURVEY.md §5.4): foreachBatch ingest into the chunk
+catalog (the reference's R1/R2 path), watermark late-data semantics, and
+batch/stream agreement (the oracle suite covers the window ops)."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.catalog import ChunkCatalog
+from datalake_worker_spark.streaming.ingest import ingest_stream
+from datalake_worker_spark.streaming.ops import run_to_memory
+
+
+def test_foreachbatch_ingest_registers_chunks(spark, tmp_path):
+    """Landing files stream → chunked parquet + catalog rows (R1/R2)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    df1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(0, 150)], "block long, payload string"
+    )
+    df1.coalesce(1).write.mode("append").parquet(str(landing))
+
+    cat = ChunkCatalog(spark, str(tmp_path / "cat"))
+    q = ingest_stream(
+        spark,
+        cat,
+        str(landing),
+        df1.schema,
+        dataset_id="ds1",
+        block_col="block",
+        blocks_per_chunk=100,
+    )
+    q.awaitTermination(60)
+    # blocks 0..149 → chunks [0,100) and [100,200)
+    chunks = cat.list_chunks()
+    assert len(chunks) == 2
+    meta0 = cat.find_chunk_meta("ds1", 50)
+    meta1 = cat.find_chunk_meta("ds1", 149)
+    assert meta0 is not None and meta1 is not None and meta0.chunk_id != meta1.chunk_id
+    # data is readable through the pin path and row-complete
+    df = cat.read_chunk("ds1", 0)
+    assert df.count() == 100
+    assert cat.total_size() > 0
+
+    # second drop: new blocks extend the dataset (new epoch → new chunks)
+    df2 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200, 260)], "block long, payload string"
+    )
+    df2.coalesce(1).write.mode("append").parquet(str(landing))
+    q2 = ingest_stream(
+        spark, cat, str(landing), df1.schema, "ds1", "block", blocks_per_chunk=100
+    )
+    q2.awaitTermination(60)
+    assert cat.find_chunk_meta("ds1", 250) is not None
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Events older than the watermark are dropped from the aggregation.
+
+    Two runs share a checkpoint: run 1 advances the watermark to
+    01:50 (02:00 max event − 10 min delay); run 2 delivers an event at
+    00:00 — below the watermark, so its window never reflects it.
+    """
+    d = tmp_path / "stream"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    schema = "id long, ts timestamp, value double"
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint — use a file sink
+        # glob: each write lands as a subdirectory; the file source does
+        # not recurse without it
+        s = spark.readStream.schema(schema).parquet(str(d) + "/*")
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.sum("value").alias("v"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # run 1 emits nothing (windows close only when a LATER batch's
+        # watermark passes them) → the sink dir may hold no data files yet
+        out_schema = (
+            "w struct<start: timestamp, end: timestamp>, v double"
+        )
+        return {
+            r["w"].start.hour: r["v"]
+            for r in spark.read.schema(out_schema).parquet(out_dir).collect()
+        }
+
+    # run 1: on-time event at 02:00; end-of-batch watermark becomes 01:50
+    spark.createDataFrame(
+        [(1, base + timedelta(hours=2), 5.0)], schema
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    run_once()
+
+    # run 2: a very late event (00:00 < 01:50 watermark → dropped) plus an
+    # on-time event at 03:30 that pushes the watermark past hour 2
+    spark.createDataFrame(
+        [(2, base, 99.0), (3, base + timedelta(hours=3, minutes=30), 7.0)], schema
+    ).coalesce(1).write.parquet(str(d / "f2"))
+    run_once()
+
+    # run 3: closed windows emit in the batch AFTER the watermark passes
+    # them — one more event flushes [02:00, 03:00)
+    spark.createDataFrame(
+        [(4, base + timedelta(hours=5), 1.0)], schema
+    ).coalesce(1).write.parquet(str(d / "f3"))
+    rows = run_once()
+
+    # hour-0 window never appears: its only event was late-dropped
+    assert 0 not in rows, rows
+    # on-time windows closed and emitted exactly the on-time sums
+    assert rows.get(2) == 5.0, rows
+    assert rows.get(3) == 7.0, rows
+
+
+def test_stream_batch_agreement_tumbling(spark, sf_dir):
+    """Same tumbling agg as stream and as batch must agree (unified
+    semantics — this is why DuckDB is a legitimate streaming oracle)."""
+    from datalake_worker_spark.registry import REGISTRY, _load_all
+    from datalake_worker_spark.sources import load_table
+
+    _load_all()
+    stream_out = REGISTRY["st01_tumbling_window"].spark_fn(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+    assert sorted(map(tuple, stream_out.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
