@@ -1,0 +1,108 @@
+"""Engine CLI — parity with the reference's REPL commands
+(/root/reference/src/bin/main.rs:7-12: List / FindWithLock /
+ScheduledDelete / Exit) plus the engine-native additions: `query`,
+`vacuum`, `total-size`, `ingest`.
+
+Usage:
+  python -m datalake_worker_spark.cli --root /path/to/catalog COMMAND [...]
+
+Commands:
+  list-chunks                         (R3, main.rs:66-79)
+  find DATASET BLOCK [--pin]         (R4 FindWithLock, main.rs:80-97;
+                                      containment semantics, divergence D1)
+  schedule-delete CHUNK_ID           (R7 ScheduledDelete, main.rs:98-110)
+  vacuum                             (the deferred-delete barrier)
+  total-size                         (R11)
+  register DATASET CHUNK_ID START END PATH [--size N]
+  query SQL                          (engine-native: Spark SQL over
+                                      registered temp views of chunk data)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="datalake-worker-spark")
+    p.add_argument("--root", required=True, help="catalog root directory")
+    p.add_argument("--master", default="local[*]")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list-chunks")
+    f = sub.add_parser("find")
+    f.add_argument("dataset")
+    f.add_argument("block", type=int)
+    f.add_argument("--pin", action="store_true", help="hold a lease and print its id")
+    d = sub.add_parser("schedule-delete")
+    d.add_argument("chunk_id")
+    sub.add_parser("vacuum")
+    sub.add_parser("total-size")
+    r = sub.add_parser("register")
+    r.add_argument("dataset")
+    r.add_argument("chunk_id")
+    r.add_argument("start", type=int)
+    r.add_argument("end", type=int)
+    r.add_argument("path")
+    r.add_argument("--size", type=int, default=0)
+    q = sub.add_parser("query")
+    q.add_argument("sql")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .catalog import ChunkCatalog, ChunkMeta
+    from .session import get_spark
+
+    spark = get_spark(app_name="dlw-cli", cpus=args.master.strip("local[]") or "*")
+    cat = ChunkCatalog(spark, args.root)
+
+    if args.cmd == "list-chunks":
+        for cid in cat.list_chunks():
+            print(cid)
+    elif args.cmd == "find":
+        if args.pin:
+            ref = cat.find_chunk(args.dataset, args.block)
+            if ref is None:
+                print("not found")
+                return 1
+            print(json.dumps({"chunk_id": ref.meta.chunk_id, "path": ref.path(), "lease_id": ref.lease_id}))
+        else:
+            meta = cat.find_chunk_meta(args.dataset, args.block)
+            if meta is None:
+                print("not found")
+                return 1
+            print(json.dumps({"chunk_id": meta.chunk_id, "block_start": meta.block_start, "block_end": meta.block_end}))
+    elif args.cmd == "schedule-delete":
+        ok = cat.schedule_delete(args.chunk_id)
+        print("scheduled" if ok else "not active / unknown chunk")
+        return 0 if ok else 1
+    elif args.cmd == "vacuum":
+        removed = cat.vacuum()
+        print(json.dumps({"removed": removed}))
+    elif args.cmd == "total-size":
+        print(cat.total_size())
+    elif args.cmd == "register":
+        ok = cat.register_chunk(
+            ChunkMeta(args.dataset, args.chunk_id, args.start, args.end, {"data": args.path}, args.size)
+        )
+        print("registered" if ok else "already present")
+    elif args.cmd == "query":
+        # expose every ACTIVE chunk as a temp view "<dataset>_<start>" and
+        # run the SQL; results stream to stdout as JSON lines
+        for r in cat.chunks_df().filter("state = 'ACTIVE'").collect():
+            files = json.loads(r["files"])
+            meta = ChunkMeta(r["dataset_id"], r["chunk_id"], r["block_start"], r["block_end"], files, r["size_bytes"])
+            view = f"{r['dataset_id']}_{r['block_start']}"
+            spark.read.parquet(cat.chunk_path(meta)).createOrReplaceTempView(view)
+        for row in spark.sql(args.sql).toJSON().toLocalIterator():
+            print(row)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Pandas-UDF surface (SURVEY.md §2.2 "UDF surface"): scalar pandas UDF,
+grouped-map ``applyInPandas``, grouped-agg pandas UDF.
+
+These exist to prove the Arrow-vectorized Python path — the semantics
+chosen here are deliberately SQL-expressible so the DuckDB oracle can
+verify the plumbing end-to-end. Real workloads put the non-SQL logic
+(model scoring, tokenizers) in these hooks; the batch shape is identical.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "p01_scalar_pandas_udf",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+    doc="scalar pandas UDF (Arrow-vectorized): net price per line item.",
+)
+def p01_scalar_pandas_udf(spark, sf_dir):
+    @pandas_udf("double")
+    def net_price(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        # no .round(2) here: pandas rounds half-even, SQL engines round
+        # half-away — 6 dp is boundary-free for 2-dp input products
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net_price("l_extendedprice", "l_discount", "l_tax"), 6).alias("net_price"),
+    )
+
+
+@register(
+    "p02_grouped_map_pandas",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+             AS price_dev
+    FROM orders
+    """,
+    doc="applyInPandas grouped-map: per-customer mean-centering of order price.",
+)
+def p02_grouped_map_pandas(spark, sf_dir):
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["o_custkey", "o_orderkey"]].copy()
+        out["price_dev"] = (
+            pdf["o_totalprice"] - pdf["o_totalprice"].mean()
+        ).round(6)
+        return out
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        center, "o_custkey long, o_orderkey long, price_dev double"
+    )
+
+
+@register(
+    "p03_grouped_agg_pandas",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="grouped-agg pandas UDF: quantity-weighted average price.",
+)
+def p03_grouped_agg_pandas(spark, sf_dir):
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        )
+    )

@@ -66,8 +66,9 @@ def _load_all():
     global _LOADED
     if _LOADED:
         return
-    from .operators import asof, relational, setops, scalars, windows  # noqa: F401
-    from .functions import dedup, multimodal, similarity, text  # noqa: F401
+    from .operators import asof, misc, relational, setops, scalars, udfs, windows  # noqa: F401
+    from .functions import dedup, multimodal, similarity, text, textrank  # noqa: F401
+    from .sources import roundtrip  # noqa: F401
     from . import catalog_queries  # noqa: F401
     from .streaming import ops  # noqa: F401
 

@@ -1,0 +1,79 @@
+"""Source/sink round-trip queries (SURVEY.md §2.2 "sources/sinks"):
+Parquet (partitioned write), CSV, JSON — each written by the engine,
+read back by the engine, and verified against the original table via
+the oracle (round-trip identity)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .readers import read_csv, read_json, write_parquet
+
+
+@register(
+    "io01_parquet_roundtrip_partitioned",
+    """
+    SELECT o_orderstatus, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    """,
+    category="sources",
+    doc="partitioned parquet write (partitionBy status) → read back → identity.",
+)
+def io01_parquet_roundtrip_partitioned(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", F.col("o_totalprice").cast("double")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "orders_part")
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    # partition column comes back as the partition value — same data
+    return back.select("o_orderstatus", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "io02_csv_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    category="sources",
+    doc="CSV sink + schema'd CSV source (no inference) → identity.",
+)
+def io02_csv_roundtrip(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "nation_csv")
+    n.write.mode("overwrite").option("header", True).csv(out)
+    return read_csv(spark, out, n.schema, header=True)
+
+
+@register(
+    "io03_json_roundtrip",
+    """
+    SELECT r_regionkey, r_name FROM region
+    """,
+    category="sources",
+    doc="JSON-lines sink + schema'd JSON source → identity.",
+)
+def io03_json_roundtrip(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "region_json")
+    r.write.mode("overwrite").json(out)
+    return read_json(spark, out, r.schema)
+
+
+@register(
+    "io04_in_memory_source",
+    """
+    SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(id, tag)
+    """,
+    category="sources",
+    doc="in-memory (createDataFrame / VALUES) source.",
+)
+def io04_in_memory_source(spark, sf_dir):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, tag string"
+    )
