@@ -573,6 +573,39 @@ def a05_pivot(spark, sf_dir):
 
 
 @register(
+    "q11_scalar_subquery",
+    """
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+             AS max_order,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
+             AS n_above_avg
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    doc="scalar + correlated subqueries (Catalyst rewrites to joins).",
+)
+def q11_scalar_subquery(spark, sf_dir):
+    from ..sources import load_table as _lt
+
+    for t in ("customer", "orders"):
+        _lt(spark, sf_dir, t).createOrReplaceTempView(f"_sq_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM _sq_orders WHERE o_custkey = c_custkey)
+                 AS max_order,
+               (SELECT COUNT(*) FROM _sq_orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > (SELECT AVG(o_totalprice) FROM _sq_orders))
+                 AS n_above_avg
+        FROM _sq_customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM _sq_customer)
+        """
+    )
+
+
+@register(
     "a06_grouping_sets",
     """
     SELECT n_name, c_mktsegment,

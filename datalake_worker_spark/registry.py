@@ -70,6 +70,6 @@ def _load_all():
     from .functions import dedup, multimodal, similarity, text, textrank  # noqa: F401
     from .sources import roundtrip  # noqa: F401
     from . import catalog_queries  # noqa: F401
-    from .streaming import ops  # noqa: F401
+    from .streaming import ops, stateful  # noqa: F401
 
     _LOADED = True
