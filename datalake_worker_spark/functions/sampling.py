@@ -1,0 +1,150 @@
+"""Training-data pipeline utilities: deterministic sampling, document
+packing, exact distribution stats (SURVEY.md §2.2 "beyond the
+reference" — the ops a 100 TB data-curation run needs around dedup).
+
+Sampling is hash/key-deterministic (never ``rand()``): re-running the
+pipeline, or running it at different parallelism, selects the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def deterministic_sample(df: DataFrame, key: str, pct: int, mod: int = 100) -> DataFrame:
+    """Keep rows where key % mod < pct — stable across runs/partitions."""
+    return df.filter(F.pmod(F.col(key), F.lit(mod)) < pct)
+
+
+@register(
+    "smp01_stratified_sample",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    WHERE ((doc_id % 10) + 10) % 10 < 3
+    GROUP BY lang
+    """,
+    category="llm-sampling",
+    doc="deterministic 30% stratified sample (key-hash, not rand()) + per-stratum counts.",
+)
+def smp01_stratified_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(d, "doc_id", 3, 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "smp02_doc_packing",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM t
+    )
+    SELECT source, CAST((running - n_tok) // 512 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM r
+    GROUP BY source, bin
+    """,
+    category="llm-sampling",
+    doc=(
+        "context-window packing: greedy sequential 512-token bins per source "
+        "via running-sum window (one shuffle on the pack key)."
+    ),
+)
+def smp02_doc_packing(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = t.withColumn("running", F.sum("n_tok").over(w))
+    return (
+        r.withColumn(
+            "bin", F.floor((F.col("running") - F.col("n_tok")) / 512).cast("long")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
+    )
+
+
+@register(
+    "smp03_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="llm-sampling",
+    doc="exact interpolated percentiles (quality-threshold selection at scale).",
+)
+def smp03_exact_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D, 0.99D))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        F.round(F.element_at(pct, 4), 6).alias("p99"),
+    )
+
+
+@register(
+    "smp04_histogram",
+    """
+    SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(n_chars) AS BIGINT) AS lo,
+           CAST(MAX(n_chars) AS BIGINT) AS hi
+    FROM documents
+    GROUP BY bucket
+    """,
+    category="llm-sampling",
+    doc="length histogram (50-char buckets) — distribution shape for curation cuts.",
+)
+def smp04_histogram(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("bucket", F.floor(F.col("n_chars") / 50).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )

@@ -573,6 +573,43 @@ def a05_pivot(spark, sf_dir):
 
 
 @register(
+    "j08_composite_key_join",
+    """
+    WITH first_lines AS (
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber = 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_quantity AS DOUBLE) AS qty,
+           CAST(f.l_quantity AS DOUBLE) AS first_line_qty
+    FROM lineitem l
+    JOIN first_lines f
+      ON l.l_orderkey = f.l_orderkey AND l.l_linenumber <> f.l_linenumber
+    """,
+    doc="composite/multi-condition self-join: later lines vs line 1 of the same order.",
+)
+def j08_composite_key_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    first = li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("f_orderkey"),
+        F.col("l_linenumber").alias("f_linenumber"),
+        F.col("l_quantity").alias("f_quantity"),
+    )
+    return (
+        li.join(
+            first,
+            (li.l_orderkey == first.f_orderkey)
+            & (li.l_linenumber != first.f_linenumber),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("f_quantity").cast("double").alias("first_line_qty"),
+        )
+    )
+
+
+@register(
     "q11_scalar_subquery",
     """
     SELECT c_custkey, c_name,

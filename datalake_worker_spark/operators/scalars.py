@@ -222,6 +222,36 @@ def s07_json_map(spark, sf_dir):
 
 
 @register(
+    "s09_casts",
+    """
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CAST(l_quantity AS VARCHAR) AS qty_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+           (l_discount > 0.05) AS is_discounted,
+           CAST((l_discount > 0.05) AS INTEGER) AS is_discounted_int,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+    doc="cast battery: double↔int↔string↔decimal↔bool↔date round-trips.",
+)
+def s09_casts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty_int"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.col("l_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        (F.col("l_discount") > 0.05).alias("is_discounted"),
+        (F.col("l_discount") > 0.05).cast("int").alias("is_discounted_int"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+    )
+
+
+@register(
     "s08_conditional",
     """
     SELECT l_orderkey, l_linenumber,

@@ -136,6 +136,27 @@ def w04_range_frame(spark, sf_dir):
 
 
 @register(
+    "w07_percent_rank_cume",
+    """
+    SELECT s_suppkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST()    OVER w, 6) AS cd
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal ASC, s_suppkey ASC)
+    """,
+    doc="percent_rank / cume_dist over a global deterministic ordering.",
+)
+def w07_percent_rank_cume(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
     "w05_multikey_sort_limit",
     """
     SELECT l_orderkey, l_linenumber, l_returnflag,
