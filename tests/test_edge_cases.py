@@ -1,0 +1,119 @@
+"""Edge-case unit tests on tiny literal DataFrames (SURVEY.md §5.2):
+empty inputs, all-NULL keys, boundary values, duplicate rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.operators.asof import asof_join
+from datalake_worker_spark.functions.dedup import (
+    exact_jaccard,
+    near_dup_pairs_minhash,
+    simhash64,
+    word_shingles,
+)
+
+
+def test_empty_input_aggregation(spark):
+    e = spark.createDataFrame([], "k string, v double")
+    out = e.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    assert out == []
+    # global agg over empty input yields one row of NULL/0
+    row = e.agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()[0]
+    assert row.s is None and row.n == 0
+
+
+def test_null_join_keys(spark):
+    a = spark.createDataFrame([(1, "x"), (None, "y")], "k int, va string")
+    b = spark.createDataFrame([(1, "p"), (None, "q")], "k int, vb string")
+    inner = a.join(b, a.k.eqNullSafe(b.k) & a.k.isNotNull()).count()
+    assert inner == 1  # plain equality drops NULL keys
+    nullsafe = a.join(b, a.k.eqNullSafe(b.k)).count()
+    assert nullsafe == 2  # <=> matches NULL with NULL
+    left = a.join(b.withColumnRenamed("k", "bk"), a.k == F.col("bk"), "left").count()
+    assert left == 2  # outer keeps the NULL-key row unmatched
+
+
+def test_window_on_single_row_and_ties(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "id int, v double")
+    # rank over the tied value alone: all rank 1
+    wv = W.orderBy(F.col("v").desc())
+    ranks = {r.id: r.rk for r in df.select("id", F.rank().over(wv).alias("rk")).collect()}
+    assert ranks == {1: 1, 2: 1, 3: 1}
+    # row_number with the id tie-break: total order, deterministic
+    w = W.orderBy(F.col("v").desc(), F.col("id").asc())
+    rns = {r.id: r.rn for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert rns == {1: 1, 2: 2, 3: 3}
+
+
+def test_asof_no_match_is_null(spark):
+    probes = spark.createDataFrame(
+        [(1, 100, 10)], "event_id long, user_id long, ts long"
+    )
+    lookup = spark.createDataFrame(
+        [(200, 5, 99)], "user_id long, ts long, val long"
+    )  # different user → no match
+    out = asof_join(
+        probes, lookup, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["val"], tie_col="val",
+    ).collect()
+    assert len(out) == 1 and out[0].asof_val is None
+
+
+def test_asof_equal_timestamp_matches(spark):
+    probes = spark.createDataFrame([(1, 7, 10)], "event_id long, user_id long, ts long")
+    lookup = spark.createDataFrame([(7, 10, 42)], "user_id long, ts long, val long")
+    out = asof_join(
+        probes, lookup, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["val"], tie_col="val",
+    ).collect()
+    assert out[0].asof_val == 42  # "<=" semantics: same-ts row counts
+
+
+def test_shingles_shorter_than_n(spark):
+    df = spark.createDataFrame([(1, "one two")], "id int, text string")
+    row = df.select(word_shingles("text", 3).alias("s")).collect()[0]
+    assert row.s == ["one two"]  # whole-text fallback
+
+
+def test_exact_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], ["a", "b"]), (2, ["a"], ["b"]), (3, [], [])],
+        "id int, x array<string>, y array<string>",
+    )
+    got = {r.id: r.j for r in df.select("id", exact_jaccard(F.col("x"), F.col("y")).alias("j")).collect()}
+    assert got[1] == 1.0 and got[2] == 0.0 and got[3] == 0.0  # empty→0, not NaN
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    pairs = near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.99).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+
+def test_simhash_empty_vs_nonempty(spark):
+    df = spark.createDataFrame([(1, ""), (2, "alpha")], "id int, text string")
+    rows = df.select("id", simhash64("text").alias("s")).collect()
+    assert len(rows) == 2  # no crash on empty text
+
+
+def test_duplicate_rows_setops(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    b = spark.createDataFrame([(1,)], "k int")
+    assert a.exceptAll(b).count() == 2  # one 1 and the 2 survive
+    assert a.subtract(b).count() == 1  # distinct semantics: only 2
+    assert a.intersect(b).count() == 1
+
+
+def test_range_boundary_filters(spark):
+    """Half-open semantics exactness at the boundary (D1 shape)."""
+    df = spark.createDataFrame([(99,), (100,), (101,)], "n int")
+    kept = sorted(
+        r.n
+        for r in df.filter((F.lit(100) <= F.col("n")) & (F.col("n") < 101)).collect()
+    )
+    assert kept == [100]
