@@ -8,7 +8,7 @@ pipeline, or running it at different parallelism, selects the same rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register

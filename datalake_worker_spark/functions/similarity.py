@@ -63,7 +63,9 @@ def exact_topk(
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", sim)
+        # project the vectors away BEFORE the ranking shuffle — only
+        # (ids, cosine) travel to the window stage (~16× narrower rows)
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

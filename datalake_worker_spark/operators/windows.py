@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .common import dec, dsum
+from .common import dec
 
 
 @register(
