@@ -386,24 +386,73 @@ class ChunkCatalog:
 
     # -- Spark query surface ----------------------------------------------
     def chunks_df(self) -> DataFrame:
-        """The metadata table as a DataFrame (current state, log folded)."""
-        recs = sorted(self.backend.read_records(), key=lambda r: r["seq"])
-        if not recs:
+        """The metadata table as a DataFrame (current state, log folded).
+
+        Reads the metadata log directly as Parquet — at 10⁶ chunks this
+        is a distributed scan + one window over O(#chunks) rows, never a
+        driver-side fold (the Python-side `_current()` is reserved for
+        single-chunk admission/lookup control flow).
+        """
+        from pyspark.sql import Window as W
+
+        meta = self.meta_dir_path()
+        if not any(
+            f.endswith(".parquet") and not f.startswith(".tmp-")
+            for f in os.listdir(meta)
+        ):
             return self.spark.createDataFrame(
                 [],
                 "dataset_id string, chunk_id string, block_start long, "
                 "block_end long, files string, size_bytes long, state string, "
                 "seq long, created_at timestamp",
             )
-        df = self.spark.createDataFrame(recs)
-        from pyspark.sql import Window as W
-
+        df = self.spark.read.parquet(meta)
         w = W.partitionBy("chunk_id").orderBy(F.col("seq").desc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def meta_dir_path(self) -> str:
+        backend = self.backend
+        if isinstance(backend, ParquetCatalogBackend):
+            return backend.meta_dir
+        raise NotImplementedError("chunks_df requires a parquet-backed catalog")
+
+    def read_dataset(
+        self,
+        dataset_id: str,
+        block_start: int | None = None,
+        block_end: int | None = None,
+    ) -> DataFrame | None:
+        """Scan a whole dataset (or a block sub-range) as ONE DataFrame.
+
+        The metadata filter prunes to the chunks overlapping
+        [block_start, block_end) — the relational analog of the
+        reference's range-index key order (SURVEY §1.3) — and only those
+        chunks' files are read. Returns None if nothing matches.
+        """
+        metas = [
+            r
+            for r in self._current().values()
+            if r["dataset_id"] == dataset_id
+            and r["state"] == ACTIVE
+            and (block_end is None or r["block_start"] < block_end)
+            and (block_start is None or block_start < r["block_end"])
+        ]
+        if not metas:
+            return None
+        paths = [
+            self.chunk_path(
+                ChunkMeta(
+                    r["dataset_id"], r["chunk_id"], r["block_start"],
+                    r["block_end"], json.loads(r["files"]), r["size_bytes"],
+                )
+            )
+            for r in sorted(metas, key=lambda r: r["block_start"])
+        ]
+        return self.spark.read.parquet(*paths)
 
     def read_chunk(self, dataset_id: str, block_number: int) -> DataFrame | None:
         """Resolve + scan: the E1 lifecycle end-to-end (SURVEY §3)."""
