@@ -196,6 +196,65 @@ def t03_language_id(spark, sf_dir):
 
 
 @register(
+    "t08_text_cleaning",
+    r"""
+    SELECT doc_id,
+           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS no_urls,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS no_numbers,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS normalized,
+           length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    category="llm-text",
+    doc="cleaning/masking battery: URL + number masking, whitespace normalization.",
+)
+def t08_text_cleaning(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", r"https?://[^\s]+", "<URL>").alias("no_urls"),
+        F.regexp_replace("text", r"[0-9]+", "<NUM>").alias("no_numbers"),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+            "normalized"
+        ),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[aeiou]", ""))
+        ).cast("long").alias("n_vowels"),
+    )
+
+
+@register(
+    "t09_bigram_counts",
+    r"""
+    WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    g AS (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram FROM w WHERE len(w) >= 2)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY gram
+    ORDER BY n DESC, gram ASC
+    LIMIT 20
+    """,
+    category="llm-text",
+    doc="word-bigram frequency top-20 (n-gram language-model counts).",
+)
+def t09_bigram_counts(spark, sf_dir):
+    from .dedup import shingles_from_words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    return (
+        w.select(F.explode(shingles_from_words(F.col("w"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+@register(
     "t04_doc_frequency",
     r"""
     WITH tok AS (

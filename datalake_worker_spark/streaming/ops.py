@@ -192,6 +192,52 @@ def st04_stream_dedup(spark, sf_dir):
 
 
 @register(
+    "st07_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+    category="streaming",
+    doc=(
+        "stream-stream interval join: purchases ⋈ clicks of the same user "
+        "within the preceding hour; watermarks bound both join states."
+    ),
+)
+def st07_stream_stream_join(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = run_to_memory(j.select("purchase_id", "click_id"), "append")
+    return out
+
+
+@register(
     "st05_stream_static_join",
     """
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
