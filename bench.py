@@ -103,7 +103,43 @@ def main() -> None:
         covered = [k for k in timings if k in duck]
         out["duckdb_total"] = round(sum(duck[k] for k in covered), 4)
         out["spark_total_on_covered"] = round(sum(timings[k] for k in covered), 4)
+    out["lake_core"] = _lake_core_bench(spark)
     print(json.dumps(out))
+
+
+def _lake_core_bench(spark) -> dict:
+    """Micro-bench of the lake-core lifecycle (the reference's own
+    workload): register 200 chunks, 1000 containment finds, delete+vacuum
+    half. The reference publishes no numbers (BASELINE.md) — this records
+    ours."""
+    import tempfile
+
+    from datalake_worker_spark.catalog import ChunkCatalog, ChunkMeta
+
+    cat = ChunkCatalog(spark, tempfile.mkdtemp(prefix="dlw_lakebench_"))
+    t0 = time.perf_counter()
+    for i in range(200):
+        cat.register_chunk(
+            ChunkMeta("bench", f"c{i:04d}", i * 100, (i + 1) * 100, {"f": f"/x{i}"}, 1)
+        )
+    t_reg = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hits = sum(
+        cat.find_chunk_meta("bench", (i * 37) % 20000) is not None
+        for i in range(1000)
+    )
+    t_find = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(0, 200, 2):
+        cat.schedule_delete(f"c{i:04d}")
+    removed = len(cat.vacuum())
+    t_del = time.perf_counter() - t0
+    assert hits == 1000 and removed == 100
+    return {
+        "register_200_sec": round(t_reg, 4),
+        "find_1000_sec": round(t_find, 4),
+        "delete_vacuum_100_sec": round(t_del, 4),
+    }
 
 
 def _duckdb_timings(sf_dir: str) -> dict[str, float]:

@@ -126,25 +126,36 @@ class ParquetCatalogBackend(CatalogBackend):
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.lease_dir, exist_ok=True)
 
+    # fold the log into one file once it exceeds this many commits (the
+    # LSM-compaction analog of the reference's RocksDB backend)
+    AUTO_COMPACT_AT = 64
+
     def append_record(self, record: dict) -> None:
         table = pa.Table.from_pylist([record], schema=_META_SCHEMA)
         name = f"{record['seq']:020d}-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.meta_dir, f".tmp-{name}")
         pq.write_table(table, tmp)
         os.rename(tmp, os.path.join(self.meta_dir, name))
+        n_files = sum(
+            1
+            for f in os.listdir(self.meta_dir)
+            if f.endswith(".parquet") and not f.startswith(".tmp-")
+        )
+        if n_files > self.AUTO_COMPACT_AT:
+            self.compact()
 
     def read_records(self) -> list[dict]:
         files = [
             os.path.join(self.meta_dir, f)
             for f in sorted(os.listdir(self.meta_dir))
-            if f.endswith(".parquet")
+            if f.endswith(".parquet") and not f.startswith(".tmp-")
         ]
         if not files:
             return []
-        out: list[dict] = []
-        for f in files:
-            out.extend(pq.read_table(f).to_pylist())
-        return out
+        import pyarrow.dataset as ds
+
+        table = ds.dataset(files, schema=_META_SCHEMA, format="parquet").to_table()
+        return sorted(table.to_pylist(), key=lambda r: r["seq"])
 
     def compact(self) -> None:
         records = self.read_records()
@@ -236,6 +247,11 @@ class ChunkCatalog:
         self.backend = backend or ParquetCatalogBackend(root)
         self.max_size_bytes = max_size_bytes
         self._seq = int(time.time() * 1e6)
+        # in-memory fold of the log — the analog of the reference's
+        # startup warm-up + HashMap cache (src/data_manager.rs:165-186):
+        # single-writer assumption means the cache is authoritative;
+        # refresh() re-reads if another process wrote.
+        self._state_cache: dict[str, dict] | None = None
 
     # -- state assembly ----------------------------------------------------
     def _next_seq(self) -> int:
@@ -243,11 +259,23 @@ class ChunkCatalog:
         return self._seq
 
     def _current(self) -> dict[str, dict]:
-        """Fold the log: last record per chunk_id wins."""
-        state: dict[str, dict] = {}
-        for rec in sorted(self.backend.read_records(), key=lambda r: r["seq"]):
-            state[rec["chunk_id"]] = rec
-        return state
+        """Fold the log: last record per chunk_id wins (cached)."""
+        if self._state_cache is None:
+            state: dict[str, dict] = {}
+            for rec in sorted(self.backend.read_records(), key=lambda r: r["seq"]):
+                state[rec["chunk_id"]] = rec
+            self._state_cache = state
+        return self._state_cache
+
+    def _append(self, rec: dict) -> None:
+        """Write-through: commit to the log, then update the cache."""
+        self.backend.append_record(rec)
+        if self._state_cache is not None:
+            self._state_cache[rec["chunk_id"]] = rec
+
+    def refresh(self) -> None:
+        """Drop the cache (pick up records from other writers)."""
+        self._state_cache = None
 
     # -- R1/R2/R9: ingest --------------------------------------------------
     def register_chunk(self, meta: ChunkMeta) -> bool:
@@ -265,7 +293,7 @@ class ChunkCatalog:
         )
         if total + meta.size_bytes > self.max_size_bytes:
             raise MaxSizeAllocated(total + meta.size_bytes, self.max_size_bytes)
-        self.backend.append_record(
+        self._append(
             {
                 "dataset_id": meta.dataset_id,
                 "chunk_id": meta.chunk_id,
@@ -287,6 +315,17 @@ class ChunkCatalog:
         )
 
     # -- R4/R5: containment lookup (divergence D1: intended semantics) -----
+    def find_chunks_df(self, dataset_id: str, block_number: int) -> DataFrame:
+        """Containment lookup through the DataFrame path — for very large
+        catalogs where the Python-side fold would be the bottleneck; the
+        predicate prunes on parquet min/max stats of the metadata log."""
+        return self.chunks_df().filter(
+            (F.col("dataset_id") == dataset_id)
+            & (F.col("state") == ACTIVE)
+            & (F.col("block_start") <= block_number)
+            & (F.lit(block_number) < F.col("block_end"))
+        )
+
     def find_chunk_meta(self, dataset_id: str, block_number: int) -> ChunkMeta | None:
         for r in self._current().values():
             if (
@@ -339,7 +378,7 @@ class ChunkCatalog:
         if cur is None or cur["state"] != ACTIVE:
             return False
         rec = dict(cur, state=PENDING_DELETE, seq=self._next_seq())
-        self.backend.append_record(rec)
+        self._append(rec)
         return True
 
     # -- R7/R8: vacuum (the acquire_many barrier, src/data_manager.rs:141-144)
@@ -356,9 +395,7 @@ class ChunkCatalog:
                 path = self.chunk_path(meta)
                 if path.startswith(self.root):  # only managed dirs
                     self.backend.delete_chunk_files(path)
-                self.backend.append_record(
-                    dict(r, state=DELETED, seq=self._next_seq())
-                )
+                self._append(dict(r, state=DELETED, seq=self._next_seq()))
                 removed.append(cid)
         return sorted(removed)
 
