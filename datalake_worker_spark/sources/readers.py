@@ -68,8 +68,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # self-sufficient against sessions we didn't build (the driver's):
+    # UTC timestamp semantics are part of the engine contract, and without
+    # the nanos conf the events scan fails with PARQUET_TYPE_ILLEGAL
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_cols = nanos_timestamp_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in nanos_timestamp_columns(path):
+    for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 

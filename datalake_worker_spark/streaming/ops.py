@@ -31,6 +31,8 @@ def _stream_parquet(spark: SparkSession, path: str, raw_schema, **options) -> Da
     (surfaced as long via the nanosAsLong config) to real timestamps."""
     from ..sources.readers import nanos_timestamp_columns
 
+    if nanos_timestamp_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(raw_schema)
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -48,11 +50,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet file through a symlinked staging dir
     import tempfile
 
+    from ..sources.readers import nanos_timestamp_columns
+
     path = os.path.join(sf_dir, "events.parquet")
     if path not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="dlw_stream_")
         os.symlink(path, os.path.join(d, "events.parquet"))
         _STREAM_DIRS[path] = d
+    if nanos_timestamp_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path).schema  # pre-conversion schema (ts as long)
     return _stream_parquet(spark, _STREAM_DIRS[path], raw)
 
@@ -177,10 +183,14 @@ def st04_stream_dedup(spark, sf_dir):
     import tempfile
 
     # replay the stream TWICE (two copies of the file) — dedup must collapse
+    from ..sources.readers import nanos_timestamp_columns
+
     tmp = tempfile.mkdtemp(prefix="dlw_replay_")
     src = os.path.join(sf_dir, "events.parquet")
     shutil.copy(src, os.path.join(tmp, "a.parquet"))
     shutil.copy(src, os.path.join(tmp, "b.parquet"))
+    if nanos_timestamp_columns(src):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(src).schema
     s = _stream_parquet(spark, tmp, raw, maxFilesPerTrigger=1)
     deduped = s.withWatermark("ts", "10 days").dropDuplicates(["event_id"])
