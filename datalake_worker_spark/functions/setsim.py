@@ -1,0 +1,128 @@
+"""Set-similarity join via inverted index + prefix filtering — the
+scalable exact-Jaccard path (complements the blocked pair-join in
+``dedup.d03`` and the approximate MinHash path in ``dedup.d04``).
+
+Standard ssjoin construction (PPJoin-family, public literature):
+
+1. order every document's distinct gram set by GLOBAL document frequency
+   (rarest first, ties on the gram string);
+2. keep each doc's *prefix*: the first ``len - ceil(t·len) + 1`` grams —
+   two sets with Jaccard ≥ t MUST share at least one prefix gram
+   (pigeonhole on the overlap bound ⌈t/(1+t)·(|A|+|B|)⌉ ≥ t·max(|A|,|B|));
+3. build candidate pairs by equi-joining the exploded prefixes on the
+   gram (postings of rare grams are short, so the join output is small);
+4. verify candidates with the exact Jaccard.
+
+At scale this shuffles on the gram (uniform by construction after
+step 1's rare-first ordering caps posting lengths) instead of comparing
+blocked row pairs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .dedup import exact_jaccard
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str,
+    grams_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold via prefix-filtered inverted
+    index. ``grams_col`` must be an array of DISTINCT grams.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    base = docs.select(F.col(id_col).alias("_id"), F.col(grams_col).alias("_g"))
+
+    # 1. global document frequency per gram
+    tok = base.select("_id", F.explode("_g").alias("gram"))
+    df_tbl = tok.groupBy("gram").agg(F.count("*").alias("_df"))
+
+    # 2. rank grams per doc by (df asc, gram asc); prefix length
+    #    = |g| - ceil(t*|g|) + 1
+    ranked = tok.join(df_tbl, "gram").withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("gram").asc())
+        ),
+    )
+    sizes = base.select("_id", F.size("_g").alias("_sz"))
+    prefix = (
+        ranked.join(sizes, "_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1
+        )
+        .select("_id", "gram")
+    )
+
+    # 3. candidates: postings self-join on the gram
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "gram")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    # 4. exact verification
+    ga = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("_ga"))
+    gb = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("_gb"))
+    jac = exact_jaccard(F.col("_ga"), F.col("_gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+from ..registry import register  # noqa: E402
+from ..sources import load_table  # noqa: E402
+
+
+@register(
+    "d07_ssjoin_prefix",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE source = 'src0')
+        WHERE len(w) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+             AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+    category="llm-dedup",
+    doc=(
+        "exact all-pairs Jaccard >= 0.5 via prefix-filtered inverted index "
+        "(PPJoin-style; the scalable ssjoin path, no blocking assumptions). "
+        "Scoped to one source partition; the oracle brute-forces the same pairs."
+    ),
+)
+def d07_ssjoin_prefix(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    from .dedup import shingles_from_words
+
+    t = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_from_words(F.col("w"), 2)).alias("grams"),
+        )
+    )
+    return jaccard_pairs_prefix(t, "doc_id", "grams", 0.5)

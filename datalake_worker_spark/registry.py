@@ -67,7 +67,7 @@ def _load_all():
     if _LOADED:
         return
     from .operators import asof, misc, relational, setops, scalars, udfs, windows  # noqa: F401
-    from .functions import dedup, multimodal, sampling, similarity, text, textrank  # noqa: F401
+    from .functions import dedup, multimodal, sampling, setsim, similarity, text, textrank  # noqa: F401
     from .sources import roundtrip  # noqa: F401
     from . import catalog_queries  # noqa: F401
     from .streaming import ops, stateful  # noqa: F401

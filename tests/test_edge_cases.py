@@ -71,6 +71,34 @@ def test_asof_equal_timestamp_matches(spark):
     assert out[0].asof_val == 42  # "<=" semantics: same-ts row counts
 
 
+def test_asof_vs_bruteforce_random(spark):
+    """Property: union+window as-of == brute-force max(right_ts <= left_ts)
+    per probe, over random data with duplicate timestamps."""
+    import random
+
+    rng = random.Random(21)
+    lookup = [
+        (rng.randint(1, 5), rng.randint(0, 50), i)  # (user, ts, val=i)
+        for i in range(60)
+    ]
+    probes = [
+        (1000 + j, rng.randint(1, 5), rng.randint(0, 50)) for j in range(40)
+    ]
+    ldf = spark.createDataFrame(lookup, "user_id long, ts long, val long")
+    pdf = spark.createDataFrame(probes, "event_id long, user_id long, ts long")
+    out = {
+        r.event_id: r.asof_val
+        for r in asof_join(
+            pdf, ldf, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["val"], tie_col="val",
+        ).collect()
+    }
+    for eid, u, t in probes:
+        cands = [(ts, v) for (lu, ts, v) in lookup if lu == u and ts <= t]
+        want = max(cands)[1] if cands else None  # max (ts, tie) → its val
+        assert out[eid] == want, (eid, u, t, out[eid], want)
+
+
 def test_shingles_shorter_than_n(spark):
     df = spark.createDataFrame([(1, "one two")], "id int, text string")
     row = df.select(word_shingles("text", 3).alias("s")).collect()[0]

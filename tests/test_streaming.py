@@ -59,6 +59,31 @@ def test_foreachbatch_ingest_registers_chunks(spark, tmp_path):
     assert cat.find_chunk_meta("ds1", 250) is not None
 
 
+def test_ingest_rollback_on_cap(spark, tmp_path):
+    """Cap overflow mid-ingest: no metadata row, no orphaned data files
+    (the reference's cache-rollback ordering, data_manager.rs:263-274)."""
+    import pytest as _pytest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    df = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(50)], "block long, payload string"
+    )
+    df.coalesce(1).write.mode("append").parquet(str(landing))
+    cat = ChunkCatalog(spark, str(tmp_path / "cat"), max_size_bytes=10)  # tiny cap
+    q = ingest_stream(
+        spark, cat, str(landing), df.schema, "ds", "block", blocks_per_chunk=100
+    )
+    with _pytest.raises(Exception):  # StreamingQueryException wrapping MaxSizeAllocated
+        q.awaitTermination(60)
+    assert cat.list_chunks() == []  # nothing registered
+    data_dir = os.path.join(cat.root, "data", "ds")
+    orphans = []
+    for root, _, files in os.walk(data_dir):
+        orphans.extend(files)
+    assert orphans == [], orphans  # files rolled back
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Events older than the watermark are dropped from the aggregation.
 
