@@ -338,6 +338,58 @@ def d05_simhash_fingerprints(spark, sf_dir):
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
 
+def near_dup_pairs_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    blocks — two fingerprints within Hamming distance ≤ 3 must agree on
+    at least one block (pigeonhole); wider radii trade recall. Candidates
+    from the block-bucket join are verified with the exact popcount.
+    """
+    sh = docs.select(F.col(id_col), simhash64(text_col).alias("_sh"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned(F.col("_sh"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sh.select(id_col, "_sh", F.explode(blocks).alias("b")).select(
+        id_col, "_sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "blk", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "blk", "val"
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@register(
+    "d08_simhash_near_dups",
+    None,  # xxhash64-based fingerprints — property-tested in pytest
+    category="llm-dedup",
+    doc="SimHash banded near-dup pairs (4×16-bit blocks, Hamming ≤ 8, exact verify).",
+)
+def d08_simhash_near_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs_simhash(d, "doc_id", "text", max_hamming=8)
+
+
 @register(
     "d06_embedding_near_dups",
     """

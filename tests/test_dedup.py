@@ -104,6 +104,31 @@ def test_simhash_locality(spark):
     assert sum(near) / len(near) < sum(far) / len(far) - 5, (near, far)
 
 
+def test_simhash_banded_pairs_find_planted_dups(spark):
+    from datalake_worker_spark.functions.dedup import near_dup_pairs_simhash
+
+    df, planted = _corpus(spark, n_base=50, n_dups=15)
+    sh = {r.doc_id: r.s for r in df.select("doc_id", simhash64("text").alias("s")).collect()}
+    # ground truth: planted pairs whose true hamming distance is <= 6
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    truth = {
+        (min(a, b), max(a, b)) for a, b in planted if ham(sh[a], sh[b]) <= 6
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_simhash(df, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert truth, "no close planted pairs generated?"
+    # banding guarantees recall 1.0 for hamming <= 3; near-1 for <= 6
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, (recall, truth - got)
+    # precision: every reported pair's hamming really is <= 6
+    for a, b in got:
+        assert ham(sh[a], sh[b]) <= 6
+
+
 def test_simhash_deterministic(spark):
     df, _ = _corpus(spark, n_base=10, n_dups=0)
     a = df.select("doc_id", simhash64("text").alias("s")).collect()

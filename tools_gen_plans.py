@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for flagship queries at
+sf0.1 (run after changing any headline operator)."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from datalake_worker_spark.session import get_spark
+from datalake_worker_spark import registry
+from datalake_worker_spark.plans.inspect import formatted_plan
+
+FLAGSHIP = [
+    ("q01_pricing_summary", "scan → pushed filter → two-phase decimal agg"),
+    ("q05_local_supplier_volume", "6-way join: facts shuffle on keys, dims broadcast"),
+    ("x01_asof_purchase_click", "as-of join: ONE exchange, sorted window, no range join"),
+    ("w01_topk_per_group", "per-group top-k: single shuffle + window, no global sort"),
+    ("d04_minhash_near_dups", "minhash: explode → partial-agg signatures → band bucket join"),
+    ("v01_exact_cosine_topk", "broadcast query set × corpus, vectors projected away pre-shuffle"),
+]
+
+spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
+sf = "/root/testdata/sf0.1"
+out = ["# PLANS — flagship physical plans (sf0.1, AQE pre-execution)",
+       "",
+       "Regenerate with `python tools_gen_plans.py`. What to look for is noted per query;",
+       "`tests/test_plans.py` asserts these properties mechanically.",
+       ""]
+qs = registry.queries()
+for name, note in FLAGSHIP:
+    plan = formatted_plan(qs[name](spark, sf))
+    # keep the operator tree + the scan details, trim codegen ids noise
+    out.append(f"## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+open("PLANS.md", "w").write("\n".join(out))
+print("PLANS.md written:", len("\n".join(out)), "chars")
