@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--size", type=int, default=0)
     q = sub.add_parser("query")
     q.add_argument("sql")
+    ing = sub.add_parser("ingest")
+    ing.add_argument("landing_dir", help="directory of incoming parquet files")
+    ing.add_argument("dataset")
+    ing.add_argument("block_col")
+    ing.add_argument("--blocks-per-chunk", type=int, default=1000)
     return p
 
 
@@ -91,6 +96,23 @@ def main(argv: list[str] | None = None) -> int:
             ChunkMeta(args.dataset, args.chunk_id, args.start, args.end, {"data": args.path}, args.size)
         )
         print("registered" if ok else "already present")
+    elif args.cmd == "ingest":
+        # streaming ingest of a landing directory (R1/R2: the reference's
+        # parallel S3 download loop as Structured Streaming)
+        from .streaming.ingest import ingest_stream
+
+        schema = spark.read.parquet(args.landing_dir).schema
+        q = ingest_stream(
+            spark,
+            cat,
+            args.landing_dir,
+            schema,
+            dataset_id=args.dataset,
+            block_col=args.block_col,
+            blocks_per_chunk=args.blocks_per_chunk,
+        )
+        q.awaitTermination()
+        print(json.dumps({"chunks": cat.list_chunks()}))
     elif args.cmd == "query":
         # expose every ACTIVE chunk as a temp view "<dataset>_<start>" and
         # run the SQL; results stream to stdout as JSON lines

@@ -157,6 +157,20 @@ def test_chunks_df_folds_log(cat, spark):
     assert rows == {"chunk01": PENDING_DELETE, "chunk02": ACTIVE}
 
 
+def test_external_writer_visible_after_refresh(spark, tmp_path):
+    """Two catalog handles on one root: writes by one are visible to the
+    other after refresh() (single-writer cache is authoritative until
+    told otherwise)."""
+    root = str(tmp_path / "shared")
+    a = ChunkCatalog(spark, root)
+    b = ChunkCatalog(spark, root, backend=a.backend.__class__(root))
+    b.list_chunks()  # warm b's cache while empty
+    a.register_chunk(_meta(1, 0, 10))
+    assert b.list_chunks() == []  # stale by design
+    b.refresh()
+    assert b.list_chunks() == ["chunk01"]
+
+
 def test_compaction_preserves_state(cat):
     cat.register_chunk(_meta(1, 0, 10))
     cat.register_chunk(_meta(2, 10, 20))
