@@ -108,7 +108,7 @@ class CatalogBackend(ABC):
     def remove_lease(self, lease_id: str) -> None: ...
 
     @abstractmethod
-    def live_leases(self) -> dict[str, str]: ...
+    def live_leases(self, ttl_seconds: float | None = None) -> dict[str, str]: ...
 
     @abstractmethod
     def delete_chunk_files(self, path: str) -> None: ...
@@ -158,9 +158,16 @@ class ParquetCatalogBackend(CatalogBackend):
         return sorted(table.to_pylist(), key=lambda r: r["seq"])
 
     def compact(self) -> None:
+        """Fold the log to the LATEST record per chunk_id (keeping DELETED
+        tombstones as single rows). Without the fold, auto-compaction
+        rewrites the full history every time — O(N²) cumulative I/O."""
         records = self.read_records()
         if not records:
             return
+        latest: dict[str, dict] = {}
+        for rec in records:  # read_records is seq-sorted
+            latest[rec["chunk_id"]] = rec
+        records = sorted(latest.values(), key=lambda r: r["seq"])
         old = [
             f
             for f in os.listdir(self.meta_dir)
@@ -177,7 +184,14 @@ class ParquetCatalogBackend(CatalogBackend):
     def add_lease(self, lease_id: str, chunk_id: str) -> None:
         tmp = os.path.join(self.lease_dir, f".tmp-{lease_id}")
         with open(tmp, "w") as fh:
-            json.dump({"lease_id": lease_id, "chunk_id": chunk_id}, fh)
+            json.dump(
+                {
+                    "lease_id": lease_id,
+                    "chunk_id": chunk_id,
+                    "acquired_at": time.time(),
+                },
+                fh,
+            )
         os.rename(tmp, os.path.join(self.lease_dir, lease_id))
 
     def remove_lease(self, lease_id: str) -> None:
@@ -186,14 +200,26 @@ class ParquetCatalogBackend(CatalogBackend):
         except FileNotFoundError:
             pass
 
-    def live_leases(self) -> dict[str, str]:
+    def live_leases(self, ttl_seconds: float | None = None) -> dict[str, str]:
+        """Live leases; with a TTL, leases older than it are EXPIRED —
+        reaped from disk and excluded. (The reference's semaphore permits
+        die with the process; durable lease files need an expiry so a
+        crashed reader cannot block vacuum forever.)"""
         out = {}
+        now = time.time()
         for f in os.listdir(self.lease_dir):
             if f.startswith(".tmp-"):
                 continue
+            p = os.path.join(self.lease_dir, f)
             try:
-                with open(os.path.join(self.lease_dir, f)) as fh:
+                with open(p) as fh:
                     rec = json.load(fh)
+                if (
+                    ttl_seconds is not None
+                    and now - rec.get("acquired_at", 0) > ttl_seconds
+                ):
+                    os.remove(p)
+                    continue
                 out[rec["lease_id"]] = rec["chunk_id"]
             except (OSError, json.JSONDecodeError):
                 continue
@@ -241,11 +267,16 @@ class ChunkCatalog:
         root: str,
         backend: CatalogBackend | None = None,
         max_size_bytes: int = MAX_SIZE_ON_DISK,
+        lease_ttl_seconds: float | None = None,
     ):
         self.spark = spark
         self.root = root
         self.backend = backend or ParquetCatalogBackend(root)
         self.max_size_bytes = max_size_bytes
+        # None = leases never expire (exact reference semantics: permits
+        # held until release). Set a TTL in deployments where readers can
+        # crash without releasing.
+        self.lease_ttl_seconds = lease_ttl_seconds
         self._seq = int(time.time() * 1e6)
         # in-memory fold of the log — the analog of the reference's
         # startup warm-up + HashMap cache (src/data_manager.rs:165-186):
@@ -384,7 +415,7 @@ class ChunkCatalog:
     # -- R7/R8: vacuum (the acquire_many barrier, src/data_manager.rs:141-144)
     def vacuum(self) -> list[str]:
         """Physically remove PENDING_DELETE chunks with zero live leases."""
-        pinned = set(self.backend.live_leases().values())
+        pinned = set(self.backend.live_leases(self.lease_ttl_seconds).values())
         removed = []
         for cid, r in self._current().items():
             if r["state"] == PENDING_DELETE and cid not in pinned:
@@ -492,8 +523,18 @@ class ChunkCatalog:
         return self.spark.read.parquet(*paths)
 
     def read_chunk(self, dataset_id: str, block_number: int) -> DataFrame | None:
-        """Resolve + scan: the E1 lifecycle end-to-end (SURVEY §3)."""
-        with self.pin(dataset_id, block_number) as ref:
-            if ref is None:
-                return None
-            return self.spark.read.parquet(ref.path())
+        """Resolve + scan: the E1 lifecycle end-to-end (SURVEY §3).
+
+        The lease is held for the DataFrame's LIFETIME (released when the
+        DataFrame is garbage-collected), so vacuum cannot remove the files
+        out from under a pending scan. Callers needing deterministic
+        release use ``pin()`` directly.
+        """
+        import weakref
+
+        ref = self.find_chunk(dataset_id, block_number)
+        if ref is None:
+            return None
+        df = self.spark.read.parquet(ref.path())
+        weakref.finalize(df, ref.release)
+        return df

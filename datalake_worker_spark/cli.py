@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--pin", action="store_true", help="hold a lease and print its id")
     d = sub.add_parser("schedule-delete")
     d.add_argument("chunk_id")
+    rl = sub.add_parser("release-lease")
+    rl.add_argument("lease_id")
     sub.add_parser("vacuum")
     sub.add_parser("total-size")
     r = sub.add_parser("register")
@@ -63,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     from .catalog import ChunkCatalog, ChunkMeta
     from .session import get_spark
 
-    spark = get_spark(app_name="dlw-cli", cpus=args.master.strip("local[]") or "*")
+    spark = get_spark(app_name="dlw-cli", master=args.master)
     cat = ChunkCatalog(spark, args.root)
 
     if args.cmd == "list-chunks":
@@ -82,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
                 print("not found")
                 return 1
             print(json.dumps({"chunk_id": meta.chunk_id, "block_start": meta.block_start, "block_end": meta.block_end}))
+    elif args.cmd == "release-lease":
+        cat.backend.remove_lease(args.lease_id)
+        print("released")
     elif args.cmd == "schedule-delete":
         ok = cat.schedule_delete(args.chunk_id)
         print("scheduled" if ok else "not active / unknown chunk")
@@ -115,11 +120,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"chunks": cat.list_chunks()}))
     elif args.cmd == "query":
         # expose every ACTIVE chunk as a temp view "<dataset>_<start>" and
-        # run the SQL; results stream to stdout as JSON lines
-        for r in cat.chunks_df().filter("state = 'ACTIVE'").collect():
+        # run the SQL; results stream to stdout as JSON lines. Chunks
+        # sharing (dataset, block_start) — e.g. one block bucket filled
+        # across several ingest epochs — get _2/_3 suffixes instead of
+        # silently shadowing each other; names are sanitized to SQL ids.
+        import re as _re
+
+        taken: set[str] = set()
+        rows = sorted(
+            cat.chunks_df().filter("state = 'ACTIVE'").collect(),
+            key=lambda r: (r["dataset_id"], r["block_start"], r["chunk_id"]),
+        )
+        for r in rows:
             files = json.loads(r["files"])
             meta = ChunkMeta(r["dataset_id"], r["chunk_id"], r["block_start"], r["block_end"], files, r["size_bytes"])
-            view = f"{r['dataset_id']}_{r['block_start']}"
+            base = _re.sub(r"[^A-Za-z0-9_]", "_", f"{r['dataset_id']}_{r['block_start']}")
+            view, k = base, 1
+            while view in taken:
+                k += 1
+                view = f"{base}_{k}"
+            taken.add(view)
             spark.read.parquet(cat.chunk_path(meta)).createOrReplaceTempView(view)
         for row in spark.sql(args.sql).toJSON().toLocalIterator():
             print(row)

@@ -54,12 +54,13 @@ def jaccard_pairs_prefix(
         ),
     )
     sizes = base.select("_id", F.size("_g").alias("_sz"))
+    # ceil over float products can overshoot the exact integer
+    # (0.55*20 → 11.000000000000002 → ceil 12), which would shorten the
+    # prefix and drop qualifying pairs; the epsilon keeps ceil exact.
+    need = F.ceil(F.col("_sz") * F.lit(threshold) - F.lit(1e-9))
     prefix = (
         ranked.join(sizes, "_id")
-        .filter(
-            F.col("_rn")
-            <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1
-        )
+        .filter(F.col("_rn") <= F.col("_sz") - need + 1)
         .select("_id", "gram")
     )
 

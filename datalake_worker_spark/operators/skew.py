@@ -4,10 +4,12 @@ AQE's skew-join splitting (enabled in the session factory) handles most
 skew at runtime; ``salted_join`` is the explicit fallback for the cases
 AQE can't fix — e.g. a single hot key whose build side also explodes.
 
-Mechanics: the skewed (large) side gets a random salt in [0, S); the
+Mechanics: the skewed (large) side gets a per-row salt in [0, S); the
 small side is replicated S× with every salt value; the join key becomes
-(key, salt), spreading one hot key over S reducers. Salting uses a
-deterministic per-row hash (not rand()) so results are reproducible.
+(key, salt), spreading one hot key over S reducers. The salt must vary
+across IDENTICAL rows (duplicate rows are exactly the hot-key shape), so
+it derives from the row's physical position, not its content — join
+RESULTS are unaffected, only the partitioning of work.
 """
 
 from __future__ import annotations
@@ -26,9 +28,13 @@ def salted_join(
     """Equi-join `large ⋈ small` on column `on` with key salting.
 
     `small` is replicated salt_buckets×: only use when small is
-    dim-sized. Output columns = large.* + small.* minus the duplicate key.
+    dim-sized, and only with inner/left joins (an outer small side would
+    surface each unmatched row S times).
+    Output columns = large.* + small.* minus the duplicate key.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_buckets))
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     l = large.withColumn("_salt", salt.cast("int"))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

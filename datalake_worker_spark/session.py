@@ -20,12 +20,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
-    On a real cluster only the master/memory settings change; every
-    other config below is what we would ship at 100 TB (AQE on, Arrow
-    on, UTC, explicit shuffle parallelism).
+    ``master`` takes any Spark master URL verbatim (cluster deployments);
+    without it, ``cpus`` picks local[N]. Every other config below is what
+    we would ship at 100 TB (AQE on, Arrow on, UTC, explicit shuffle
+    parallelism).
     """
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle_partitions = shuffle_partitions or int(
@@ -33,8 +35,9 @@ def get_spark(
     )
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
+    master = master or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

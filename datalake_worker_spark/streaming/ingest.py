@@ -79,9 +79,15 @@ def ingest_stream(
                 size_bytes=size,
             )
             try:
-                # 2. …then the metadata row commits (idempotent, cap-checked)
-                if not catalog.register_chunk(meta):
-                    catalog.backend.delete_chunk_files(out_dir)  # already present
+                # 2. …then the metadata row commits (idempotent, cap-checked).
+                # A False return means this exact chunk_id is already ACTIVE —
+                # which, since chunk_id is deterministic per (dataset, bucket,
+                # epoch), only happens on a foreachBatch REPLAY of a batch
+                # whose register already committed. The overwrite above just
+                # re-materialized the same rows at the same path the live
+                # chunk's manifest points to, so the files must be LEFT alone
+                # (deleting them here would destroy an ACTIVE chunk's data).
+                catalog.register_chunk(meta)
             except MaxSizeAllocated:
                 # rollback analog (src/data_manager.rs:263-274): no metadata
                 # row was written, remove the orphaned files and re-raise

@@ -1,18 +1,25 @@
 """Continuous rollup maintenance (hypertable-style): a foreachBatch
-sink keeps a 1-day × event_type aggregate table incrementally up to
-date as events stream in.
+sink keeps a 1-day × event_type aggregate incrementally up to date as
+events stream in.
 
-Pattern: each micro-batch is pre-aggregated (partial), unioned with the
-current rollup state, and re-aggregated — a merge-style upsert without
-requiring Delta. The rollup table is O(#windows × #types), so the
-maintenance cost per batch is bounded by batch size + rollup size,
-never by history. At 100 TB this is the difference between "query the
-rollup" (ms) and "rescan the stream" (hours).
+Exactly-once without a transactional table format: each micro-batch
+writes its PARTIAL aggregate into an epoch-keyed partition
+(``.../epoch=N/``) with overwrite mode — foreachBatch's at-least-once
+replay of an epoch simply rewrites the same partition with the same
+content, never double-counts. Reading the rollup folds the partials
+(counts and decimal-backed sums are associative). ``compact()``
+periodically folds historical epochs into one partition so the read
+stays O(#windows), not O(#epochs).
+
+At 100 TB this is the difference between "query the rollup" (ms) and
+"rescan the stream" (hours); per-batch maintenance cost is bounded by
+batch size, never history.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,11 +43,11 @@ def _aggregate(df: DataFrame) -> DataFrame:
     )
 
 
-def _merge(old: DataFrame, delta: DataFrame) -> DataFrame:
-    # additive merge: counts add, decimal-backed sums add
+def _fold(partials: DataFrame) -> DataFrame:
+    # additive fold: counts add, decimal-backed sums add (associative,
+    # so partials from any epoch split aggregate to the same totals)
     return (
-        old.unionByName(delta)
-        .groupBy("w_start", "event_type")
+        partials.groupBy("w_start", "event_type")
         .agg(
             F.sum("n").cast("long").alias("n"),
             F.sum(F.col("total_value").cast("decimal(18,2)"))
@@ -51,32 +58,49 @@ def _merge(old: DataFrame, delta: DataFrame) -> DataFrame:
 
 
 class RollupMaintainer:
-    """Owns the rollup table path and the foreachBatch updater."""
+    """Owns the rollup partial store and the foreachBatch updater."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
+    def _has_data(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        for root, _, fs in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in fs):
+                return True
+        return False
+
     def read(self) -> DataFrame:
-        if os.path.isdir(self.path) and any(
-            f.endswith(".parquet")
-            for root, _, fs in os.walk(self.path)
-            for f in fs
-        ):
-            return self.spark.read.schema(ROLLUP_SCHEMA).parquet(self.path)
-        return self.spark.createDataFrame([], ROLLUP_SCHEMA)
+        """The folded rollup (current totals)."""
+        if not self._has_data():
+            return self.spark.createDataFrame([], ROLLUP_SCHEMA)
+        partials = self.spark.read.parquet(self.path).drop("epoch")
+        return _fold(partials)
 
     def update(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Idempotent epoch write: a replayed batch overwrites its own
+        partition with identical content (exactly-once effect)."""
         delta = _aggregate(batch_df)
-        merged = _merge(self.read(), delta)
-        # write-then-swap: land the new rollup next to the old, then rename
-        tmp = f"{self.path}.tmp{epoch_id}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import shutil
+        delta.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, f"epoch={epoch_id}")
+        )
 
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+    def compact(self) -> None:
+        """Fold all epoch partials into one partition (bounds read cost)."""
+        if not self._has_data():
+            return
+        folded = self.read()
+        tmp = f"{self.path}.compact"
+        folded.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "epoch=-1")
+        )
+        bak = f"{self.path}.bak"
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(self.path, bak)
         os.rename(tmp, self.path)
+        shutil.rmtree(bak, ignore_errors=True)
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (

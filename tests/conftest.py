@@ -7,8 +7,16 @@ from __future__ import annotations
 import os
 import sys
 
+import time
+
 import duckdb
 import pytest
+
+# PySpark's collect() renders TimestampType through the PROCESS timezone
+# (datetime.fromtimestamp), not spark.sql.session.timeZone — pin the
+# process to UTC so canonical hashes are machine-independent.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

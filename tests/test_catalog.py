@@ -157,6 +157,22 @@ def test_chunks_df_folds_log(cat, spark):
     assert rows == {"chunk01": PENDING_DELETE, "chunk02": ACTIVE}
 
 
+def test_lease_ttl_expires_crashed_readers(spark, tmp_path):
+    """A lease never released (crashed reader) stops blocking vacuum once
+    it ages past the TTL."""
+    import time as _time
+
+    cat = ChunkCatalog(spark, str(tmp_path / "ttl"), lease_ttl_seconds=0.5)
+    cat.register_chunk(_meta(1, 0, 100))
+    ref = cat.find_chunk("d1", 50)  # never released — simulated crash
+    assert ref is not None
+    cat.schedule_delete("chunk01")
+    assert cat.vacuum() == []  # lease still fresh
+    _time.sleep(0.6)
+    assert cat.vacuum() == ["chunk01"]  # expired → reaped → vacuumable
+    assert cat.backend.live_leases() == {}
+
+
 def test_external_writer_visible_after_refresh(spark, tmp_path):
     """Two catalog handles on one root: writes by one are visible to the
     other after refresh() (single-writer cache is authoritative until

@@ -40,6 +40,14 @@ def test_rollup_matches_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, rm.read().collect()))
     want = sorted(map(tuple, _aggregate(e).collect()))
     assert got == want
-    # incremental property: a third batch only touches its own windows
-    n_before = rm.read().count()
-    assert n_before > 0
+
+    # at-least-once replay: re-running an epoch's update must not
+    # double-count (idempotent epoch partition overwrite)
+    half = e.filter(F.col("event_id") % 2 == 0)
+    rm.update(half, 0)
+    rm.update(half, 0)
+    assert sorted(map(tuple, rm.read().collect())) == want
+
+    # compaction folds partials without changing totals
+    rm.compact()
+    assert sorted(map(tuple, rm.read().collect())) == want
