@@ -222,6 +222,35 @@ def s07_json_map(spark, sf_dir):
 
 
 @register(
+    "s10_map_funcs",
+    """
+    SELECT event_id,
+           array_to_string(map_keys(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS keys_joined,
+           array_to_string(map_values(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS values_joined,
+           CAST(cardinality(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS INTEGER) AS map_size,
+           struct_extract(from_json(props, '{"k": "BIGINT"}'), 'k') AS k_from_struct
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+    doc="map construction, map_keys/values/size, from_json to struct + field extract.",
+)
+def s10_map_funcs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    parsed = F.from_json("props", "k BIGINT")
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.array_join(F.map_values(m), ",").alias("values_joined"),
+        F.size(m).alias("map_size"),
+        parsed.getField("k").alias("k_from_struct"),
+    )
+
+
+@register(
     "s09_casts",
     """
     SELECT l_orderkey,
