@@ -1,0 +1,164 @@
+"""Additional TPC-H-shaped queries (SURVEY.md §2.2 breadth): min-per-group
+join-back, distinct-count rollups, HAVING on sums, anti-join with scalar
+subquery, deterministic collect_set aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .common import SQL_REVENUE, dsum, revenue_expr
+
+
+@register(
+    "q02_min_cost_supplier",
+    """
+    WITH nation_bal AS (
+        SELECT s_nationkey, MIN(s_acctbal) AS min_bal
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s.s_suppkey, s.s_name, s.s_nationkey, CAST(s.s_acctbal AS DOUBLE) AS bal
+    FROM supplier s JOIN nation_bal nb
+      ON s.s_nationkey = nb.s_nationkey AND s.s_acctbal = nb.min_bal
+    """,
+    doc="TPC-H Q2 shape: per-group minimum + join-back to recover the row.",
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    nb = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(
+            nb,
+            (s.s_nationkey == nb.nk) & (s.s_acctbal == nb.min_bal),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.col("s_acctbal").cast("double").alias("bal"),
+        )
+    )
+
+
+@register(
+    "q16_part_supplier_counts",
+    """
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size >= 25
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: distinct suppliers per part attribute group.",
+)
+def q16_part_supplier_counts(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN big    ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    doc="TPC-H Q18 shape: HAVING on a decimal sum gates a semi-join, top-25.",
+)
+def q18_large_volume_customer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 250)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average balance + anti-join (never ordered).",
+)
+def q22_dormant_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "a09_collect_set_sorted",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS VARCHAR))), ',') AS linenos
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="collect_set made deterministic: sort_array before rendering.",
+)
+def a09_collect_set_sorted(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("l_linenumber").cast("string"))), ","
+        ).alias("linenos"),
+    )

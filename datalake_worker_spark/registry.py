@@ -66,7 +66,7 @@ def _load_all():
     global _LOADED
     if _LOADED:
         return
-    from .operators import asof, misc, relational, setops, scalars, udfs, windows  # noqa: F401
+    from .operators import asof, misc, relational, setops, scalars, tpch_extra, udfs, windows  # noqa: F401
     from .functions import dedup, multimodal, sampling, setsim, similarity, text, textrank  # noqa: F401
     from .sources import roundtrip  # noqa: F401
     from . import catalog_queries  # noqa: F401
