@@ -79,6 +79,19 @@ def test_broadcast_hint_respected(spark, sf_dir):
     assert uses_broadcast_join(df), simple_plan(df)
 
 
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column prunes
+    directories at planning time (PartitionFilters, not a post-scan filter)."""
+    out = str(tmp_path / "events_by_type")
+    e = load_table(spark, sf_dir, "events")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # only the purchase partition is read
+    assert df.count() == e.filter(F.col("event_type") == "purchase").count()
+
+
 def test_codegen_engaged(spark, sf_dir):
     from datalake_worker_spark.plans.inspect import final_plan
 
