@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .common import SQL_REVENUE, dsum, revenue_expr
+from .common import dsum, sql_davg
 
 
 @register(
@@ -109,9 +109,9 @@ def q18_large_volume_customer(spark, sf_dir):
 
 @register(
     "q22_dormant_customers",
-    """
+    f"""
     WITH avg_bal AS (
-        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        SELECT {sql_davg('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0
     )
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS numcust,
@@ -126,9 +126,12 @@ def q18_large_volume_customer(spark, sf_dir):
 def q22_dormant_customers(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("a")
-    )
+    from .common import davg
+
+    # decimal-exact average (plain double AVG is accumulation-order
+    # dependent — a balance between the two engines' averages would flip
+    # the filter and break the hash match)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("a"))
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
