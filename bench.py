@@ -48,6 +48,12 @@ HEADLINE = [
     "t03_language_id",
     "st01_tumbling_window",
     "st05_stream_static_join",
+    "q16_part_supplier_counts",
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    "smp02_doc_packing",
+    "t06_tfidf_top_terms",
+    "v03_embedding_stats",
 ]
 
 RUNS = 3
