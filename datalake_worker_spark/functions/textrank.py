@@ -79,6 +79,61 @@ def t06_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "t10_unigram_logprob",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY tok
+    ),
+    total AS (SELECT CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS n FROM freq),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-LN(f.c / total.n), 6) AS DECIMAL(18,6)) AS nll
+        FROM tok t JOIN freq f USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nll) AS DOUBLE) AS total_nll,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+    category="llm-text",
+    doc=(
+        "unigram LM scoring: corpus token probabilities → per-doc negative "
+        "log-likelihood (the standard perplexity-style quality filter). "
+        "Per-token -ln p is rounded to 6 dp and summed as DECIMAL so the "
+        "aggregate is order-independent and cross-engine exact."
+    ),
+)
+def t10_unigram_logprob(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    total = freq.agg(F.sum(F.col("c").cast("long")).cast("double").alias("n"))
+    scored = (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("nll").cast("double").alias("total_nll"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_nll"),
+    )
+
+
+@register(
     "t07_sentiment_lexicon",
     rf"""
     WITH tok AS (
