@@ -255,6 +255,52 @@ def t09_bigram_counts(spark, sf_dir):
 
 
 @register(
+    "t11_boilerplate_ngrams",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])) AS gram
+        FROM w WHERE len(w) >= 2
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / n.n_docs, 6) AS doc_frac
+    FROM g CROSS JOIN n
+    GROUP BY gram, n.n_docs
+    HAVING CAST(COUNT(*) AS DOUBLE) / n.n_docs > 0.2
+    """,
+    category="llm-text",
+    doc=(
+        "exact heavy-hitters: bigrams present in >20% of documents "
+        "(boilerplate/template detection for corpus cleaning)."
+    ),
+)
+def t11_boilerplate_ngrams(spark, sf_dir):
+    from .dedup import shingles_from_words
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # one scalar, metadata-scale
+    g = (
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("w"), 2))
+            ).alias("gram"),
+        )
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .withColumn("doc_frac", F.round(F.col("df") / F.lit(n_docs), 6))
+        .filter(F.col("df") / F.lit(n_docs) > 0.2)
+    )
+
+
+@register(
     "t04_doc_frequency",
     r"""
     WITH tok AS (
