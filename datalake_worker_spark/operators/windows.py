@@ -186,6 +186,28 @@ def w05_multikey_sort_limit(spark, sf_dir):
     )
 
 
+def sessionize(df, key_col: str, ts_col: str, gap_seconds: float, tie_col: str):
+    """Gap-based sessionization: rows of one key whose inter-arrival gap
+    exceeds ``gap_seconds`` start a new session. One shuffle on the key,
+    one sorted pass — the batch analog of ``session_window``.
+
+    Returns df + ``session_id`` (1-based per key, in time order).
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tie_col)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag(ts_col).over(w)
+    # full-microsecond gap math (unix_timestamp truncates to seconds —
+    # cast to double keeps the fraction, matching DuckDB's epoch()).
+    new_session = F.when(
+        prev.isNull()
+        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(wrun).cast("long")
+    ).drop("_new")
+
+
 @register(
     "w06_sessionization",
     """
@@ -211,18 +233,8 @@ def w05_multikey_sort_limit(spark, sf_dir):
 )
 def w06_sessionization(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    prev = F.lag("ts").over(w)
-    # full-microsecond gap math (unix_timestamp truncates to seconds —
-    # cast to double keeps the fraction, matching DuckDB's epoch()).
-    new_session = F.when(
-        prev.isNull() | ((F.col("ts").cast("double") - prev.cast("double")) > 1800.0),
-        1,
-    ).otherwise(0)
     return (
-        e.withColumn("new_session", new_session)
-        .withColumn("session_id", F.sum("new_session").over(wrun).cast("long"))
+        sessionize(e, "user_id", "ts", 1800.0, "event_id")
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
     )

@@ -71,6 +71,49 @@ def test_asof_equal_timestamp_matches(spark):
     assert out[0].asof_val == 42  # "<=" semantics: same-ts row counts
 
 
+def test_sessionize_invariants_random(spark):
+    """Properties on random data: sessions partition each key's rows;
+    intra-session consecutive gaps <= gap; a session's first row is
+    > gap after the previous session's last row."""
+    import random
+
+    from datalake_worker_spark.operators.windows import sessionize
+
+    rng = random.Random(17)
+    rows = [
+        (i, rng.randint(1, 4), float(rng.randint(0, 10_000)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, k int, ts double")
+    out = sessionize(df, "k", "ts", gap_seconds=100.0, tie_col="id").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert sum(len(v) for v in by_key.values()) == len(rows)  # partition
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: (r.ts, r.id))
+        for prev, cur in zip(rs, rs[1:]):
+            gap = cur.ts - prev.ts
+            if cur.session_id == prev.session_id:
+                assert gap <= 100.0, (k, prev, cur)
+            else:
+                assert cur.session_id == prev.session_id + 1
+                assert gap > 100.0, (k, prev, cur)
+
+
+def test_chunkmeta_validation():
+    import pytest as _pytest
+
+    from datalake_worker_spark.catalog import ChunkMeta
+
+    with _pytest.raises(ValueError):
+        ChunkMeta("d", "c", 10, 10)  # empty range
+    with _pytest.raises(ValueError):
+        ChunkMeta("d", "c", 10, 5)  # inverted
+    with _pytest.raises(ValueError):
+        ChunkMeta("d", "c", -1, 5)  # negative start
+
+
 def test_asof_vs_bruteforce_random(spark):
     """Property: union+window as-of == brute-force max(right_ts <= left_ts)
     per probe, over random data with duplicate timestamps."""
