@@ -573,6 +573,25 @@ def a05_pivot(spark, sf_dir):
 
 
 @register(
+    "j09_right_outer",
+    """
+    SELECT c_custkey, o_orderkey
+    FROM orders RIGHT JOIN customer
+      ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    """,
+    doc="right outer join: all customers kept, only urgent orders matched.",
+)
+def j09_right_outer(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(
+        c,
+        (o.o_custkey == c.c_custkey) & (o.o_orderpriority == "1-URGENT"),
+        "right",
+    ).select("c_custkey", "o_orderkey")
+
+
+@register(
     "j08_composite_key_join",
     """
     WITH first_lines AS (

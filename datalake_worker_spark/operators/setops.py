@@ -95,6 +95,23 @@ def u04_except_all(spark, sf_dir):
 
 
 @register(
+    "u06_intersect_all",
+    """
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS k FROM supplier
+    ) GROUP BY k
+    """,
+    doc="INTERSECT ALL: bag intersection (min multiplicity per value).",
+)
+def u06_intersect_all(spark, sf_dir):
+    a = _cust_nations(spark, sf_dir).withColumnRenamed("nationkey", "k")
+    b = _supp_nations(spark, sf_dir).withColumnRenamed("nationkey", "k")
+    return a.intersectAll(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@register(
     "u05_except_distinct",
     """
     SELECT c_custkey AS k FROM customer
