@@ -24,6 +24,21 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 
 
+def whitespace_tokens(text_col: str | Column = "text") -> Column:
+    """THE tokenization used by every text operator and its SQL oracle
+    (``regexp_split_to_array(trim(text), '\\s+')`` on the DuckDB side).
+    Change both together or the oracles diverge."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def explode_tokens(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, tok) rows — the shared tokenize→explode front of t04/t06/t10."""
+    return df.select(
+        id_col, F.explode(whitespace_tokens(text_col)).alias("tok")
+    )
+
+
 def count_occurrences(text: Column, needle: str) -> Column:
     """# of occurrences of a literal substring (JVM: length arithmetic)."""
     return (
@@ -320,9 +335,7 @@ def t04_doc_frequency(spark, sf_dir):
     return (
         d.select(
             "doc_id",
-            F.explode(
-                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-            ).alias("tok"),
+            F.explode(F.array_distinct(whitespace_tokens())).alias("tok"),
         )
         .groupBy("tok")
         .agg(F.count("*").alias("df"))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from .text import explode_tokens
 
 # tiny deterministic sentiment lexicon over the synthetic vocabulary
 LEXICON = [
@@ -58,9 +59,7 @@ def _lexicon_values_sql() -> str:
 def t06_tfidf_top_terms(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # metadata-scale scalar (one number, not data)
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    )
+    tok = explode_tokens(d)
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     scored = tf.join(df, "tok").select(
@@ -111,9 +110,7 @@ def t06_tfidf_top_terms(spark, sf_dir):
 )
 def t10_unigram_logprob(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    )
+    tok = explode_tokens(d)
     freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
     total = freq.agg(F.sum(F.col("c").cast("long")).cast("double").alias("n"))
     scored = (
@@ -154,9 +151,7 @@ def t10_unigram_logprob(spark, sf_dir):
 def t07_sentiment_lexicon(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     lex = spark.createDataFrame(LEXICON, "tok string, score double")
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    )
+    tok = explode_tokens(d)
     return (
         tok.join(F.broadcast(lex), "tok", "left")
         .groupBy("doc_id")

@@ -186,13 +186,25 @@ def w05_multikey_sort_limit(spark, sf_dir):
     )
 
 
-def sessionize(df, key_col: str, ts_col: str, gap_seconds: float, tie_col: str):
+def sessionize(
+    df,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    tie_col: str,
+    out_col: str = "session_id",
+):
     """Gap-based sessionization: rows of one key whose inter-arrival gap
     exceeds ``gap_seconds`` start a new session. One shuffle on the key,
     one sorted pass — the batch analog of ``session_window``.
 
-    Returns df + ``session_id`` (1-based per key, in time order).
+    Returns df + ``out_col`` (1-based per key, in time order).
     """
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists on the input")
+    flag = out_col + "__new_flag"
+    while flag in df.columns:
+        flag += "_"
     w = W.partitionBy(key_col).orderBy(ts_col, tie_col)
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     prev = F.lag(ts_col).over(w)
@@ -203,9 +215,9 @@ def sessionize(df, key_col: str, ts_col: str, gap_seconds: float, tie_col: str):
         | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_seconds),
         1,
     ).otherwise(0)
-    return df.withColumn("_new", new_session).withColumn(
-        "session_id", F.sum("_new").over(wrun).cast("long")
-    ).drop("_new")
+    return df.withColumn(flag, new_session).withColumn(
+        out_col, F.sum(flag).over(wrun).cast("long")
+    ).drop(flag)
 
 
 @register(
