@@ -97,7 +97,7 @@ def main() -> None:
     duck = _duckdb_timings(sf_dir)
 
     total = round(sum(timings.values()), 4)
-    out = {
+    detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
@@ -105,12 +105,17 @@ def main() -> None:
         "sf": sf,
     }
     if duck:
-        out["duckdb"] = duck
+        detail["duckdb"] = duck
         covered = [k for k in timings if k in duck]
-        out["duckdb_total"] = round(sum(duck[k] for k in covered), 4)
-        out["spark_total_on_covered"] = round(sum(timings[k] for k in covered), 4)
-    out["lake_core"] = _lake_core_bench(spark)
-    print(json.dumps(out))
+        detail["duckdb_total"] = round(sum(duck[k] for k in covered), 4)
+        detail["spark_total_on_covered"] = round(sum(timings[k] for k in covered), 4)
+    detail["lake_core"] = _lake_core_bench(spark)
+    # full payload to a file; stdout gets ONE short line as the driver
+    # captures only the tail of the stream (round-1 bench failed to parse
+    # when per-query/duckdb sections pushed the line past the capture)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({"metric": "headline_suite_wall_clock", "value": total, "unit": "sec", "sf": sf}))
 
 
 def _lake_core_bench(spark) -> dict:

@@ -41,8 +41,12 @@ def a07_unpivot(spark, sf_dir):
 )
 def a08_approx_aggregates(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
+    # scalar columns only: an ARRAY column crashes the driver's pandas-based
+    # canonicalizer (round-1 "unhashable type: 'list'") — quartiles ship as
+    # two scalars instead of one array.
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_quartiles"),
+        F.percentile_approx("l_extendedprice", 0.25).alias("approx_p25"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("approx_p75"),
     )

@@ -257,7 +257,7 @@ def s10_map_funcs(spark, sf_dir):
            CAST(l_quantity AS BIGINT) AS qty_int,
            CAST(l_quantity AS VARCHAR) AS qty_str,
            CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
            (l_discount > 0.05) AS is_discounted,
            CAST((l_discount > 0.05) AS INTEGER) AS is_discounted_int,
            CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
@@ -273,7 +273,10 @@ def s09_casts(spark, sf_dir):
         F.col("l_quantity").cast("long").alias("qty_int"),
         F.col("l_quantity").cast("string").alias("qty_str"),
         F.col("l_orderkey").cast("string").cast("long").alias("key_roundtrip"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        # decimal round-trips back to double: the driver's canonicalizer
+        # renders bare DECIMAL with trailing zeros while DuckDB strips them
+        # (round-1 hash mismatch) — only driver-canonicalizable types leave.
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
         (F.col("l_discount") > 0.05).alias("is_discounted"),
         (F.col("l_discount") > 0.05).cast("int").alias("is_discounted_int"),
         F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),

@@ -48,18 +48,23 @@ def p01_scalar_pandas_udf(spark, sf_dir):
     "p02_grouped_map_pandas",
     """
     SELECT o_custkey, o_orderkey,
-           ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 6)
-             AS price_dev
+           ROUND(o_totalprice
+                 - SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+                   / (100.0 * COUNT(*) OVER w), 6) AS price_dev
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
     """,
     doc="applyInPandas grouped-map: per-customer mean-centering of order price.",
 )
 def p02_grouped_map_pandas(spark, sf_dir):
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[["o_custkey", "o_orderkey"]].copy()
-        out["price_dev"] = (
-            pdf["o_totalprice"] - pdf["o_totalprice"].mean()
-        ).round(6)
+        # mean via exact integer-cents sum: float summation is
+        # order-dependent and Spark hands the group over in partition
+        # order — int64 cents make both engines' means bit-identical
+        cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+        mean = cents.sum() / (100.0 * len(pdf))
+        out["price_dev"] = (pdf["o_totalprice"] - mean).round(6)
         return out
 
     o = load_table(spark, sf_dir, "orders")

@@ -48,28 +48,86 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
     return deco
 
 
+#: The external driver runs queries in dict order and its correctness
+#: budget can truncate the run (round 1 stopped at 47/104), so families
+#: it has not yet verified come first. Insertion order alone is not
+#: reliable: ``entry()`` imports the relational module before
+#: ``queries()`` is called, which would put the long-green relational
+#: block first again.
+_MODULE_ORDER = [
+    "operators.windows",
+    "catalog_queries",
+    "sources.roundtrip",
+    "functions.sampling",
+    "functions.text",
+    "functions.textrank",
+    "functions.multimodal",
+    "functions.dedup",
+    "functions.setsim",
+    "functions.similarity",
+    "operators.udfs",
+    "streaming.ops",
+    "streaming.stateful",
+    "operators.misc",
+    "operators.scalars",
+    "operators.asof",
+    "operators.relational",
+    "operators.setops",
+    "operators.tpch_extra",
+]
+
+
+def _ordered_names() -> list[str]:
+    def rank(spec: QuerySpec) -> int:
+        mod = spec.spark_fn.__module__
+        for i, suffix in enumerate(_MODULE_ORDER):
+            if mod.endswith(suffix):
+                return i
+        return len(_MODULE_ORDER)
+
+    idx = {n: i for i, n in enumerate(REGISTRY)}
+    return sorted(REGISTRY, key=lambda n: (rank(REGISTRY[n]), idx[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {n: s.spark_fn for n, s in REGISTRY.items()}
+    return {n: REGISTRY[n].spark_fn for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {n: s.oracle_sql for n, s in REGISTRY.items() if s.oracle_sql is not None}
+    return {
+        n: REGISTRY[n].oracle_sql
+        for n in _ordered_names()
+        if REGISTRY[n].oracle_sql is not None
+    }
 
 
 _LOADED = False
 
 
 def _load_all():
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Import order IS registration order IS the external driver's run
+    order, and the driver's correctness budget can truncate the run
+    (round 1 stopped at query 47). Families the driver has not yet
+    verified register first; long-green families last, so a truncated
+    run always covers new ground."""
     global _LOADED
     if _LOADED:
         return
-    from .operators import asof, misc, relational, setops, scalars, tpch_extra, udfs, windows  # noqa: F401
-    from .functions import dedup, multimodal, sampling, setsim, similarity, text, textrank  # noqa: F401
-    from .sources import roundtrip  # noqa: F401
+    # never driver-verified (round 1 truncation) — first
+    from .operators import windows  # noqa: F401
     from . import catalog_queries  # noqa: F401
+    from .sources import roundtrip  # noqa: F401
+    from .functions import sampling, text, textrank, multimodal  # noqa: F401
+    from .functions import dedup, setsim, similarity  # noqa: F401
+    from .operators import udfs  # noqa: F401  (warms the Arrow/Python worker path for streaming's applyInPandasWithState)
     from .streaming import ops, stateful  # noqa: F401
+    # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
+    from .operators import misc, scalars  # noqa: F401
+    # green in round 1 — last
+    from .operators import asof, relational, setops, tpch_extra  # noqa: F401
 
     _LOADED = True

@@ -65,19 +65,38 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion against a memory sink and
-    return the sink as a DataFrame (test/driver harness path)."""
+    return the sink as a DataFrame (test/driver harness path).
+
+    Stateful operators create one state-store instance per shuffle
+    partition per micro-batch; on a bare session (200 default partitions)
+    that fixed cost dwarfs the test-scale data (~9-26 s/query measured).
+    The harness clamps shuffle partitions for the duration of the stream
+    and restores the caller's setting afterwards — production
+    ``writeStream`` sizes this to the cluster instead."""
     global _SINK_N
     _SINK_N += 1
     name = f"dlw_sink_{_SINK_N}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    n_part = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:  # noqa: BLE001
+        prev = None
+    spark.conf.set("spark.sql.shuffle.partitions", n_part)
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.table(name)
 
 

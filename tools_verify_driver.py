@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Driver-contract verification per .claude/skills/verify: fresh
+driver-like bare session, every oracle-backed query compared to DuckDB
+at sf0.01 (cols, rows, value hash); rows-only queries just executed."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+from datalake_worker_spark.canonical import duckdb_result, result_hash, spark_result
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("verify-driver")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = E.entry(spark)
+    n = len(df.collect())
+    print(f"entry(): {n} rows", flush=True)
+    assert n > 0
+
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    bad = []
+    t_all = time.perf_counter()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            cols, rows = spark_result(fn(spark, sf))
+            # driver hazard: array/map cells crash its canonicalizer
+            for r in rows[:1]:
+                for v in r:
+                    assert not isinstance(v, (list, dict)), f"non-scalar cell in {name}: {type(v)}"
+            if name in osql:
+                ocols, orows = duckdb_result(con, osql[name])
+                ok = (
+                    sorted(cols) == sorted(ocols)
+                    and len(rows) == len(orows)
+                    and result_hash(cols, rows) == result_hash(ocols, orows)
+                )
+                status = "OK" if ok else "HASH-MISMATCH"
+                if not ok:
+                    bad.append(name)
+                    if sorted(cols) != sorted(ocols):
+                        status += f" cols {sorted(cols)} vs {sorted(ocols)}"
+                    elif len(rows) != len(orows):
+                        status += f" rows {len(rows)} vs {len(orows)}"
+            else:
+                status = f"rows-only ({len(rows)})"
+        except Exception as e:  # noqa: BLE001
+            bad.append(name)
+            status = f"ERR {type(e).__name__}: {str(e)[:200]}"
+        dt = time.perf_counter() - t0
+        flag = "" if name not in bad else "  <<<<"
+        print(f"{name:35s} {dt:6.2f}s  {status}{flag}", flush=True)
+    print(f"TOTAL {time.perf_counter() - t_all:.1f}s  failures: {bad}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
