@@ -358,21 +358,31 @@ class ChunkCatalog:
         )
 
     def find_chunk_meta(self, dataset_id: str, block_number: int) -> ChunkMeta | None:
+        """Highest-seq containing chunk wins: streaming ingest registers one
+        chunk per (bucket, epoch), so a bucket fed by several micro-batches
+        has several ACTIVE chunks with identical [block_start, block_end).
+        Picking the latest registration keeps the lookup deterministic;
+        ``read_dataset`` (which unions every ACTIVE chunk) is the
+        complete-read path for multi-epoch buckets."""
+        best = None
         for r in self._current().values():
             if (
                 r["dataset_id"] == dataset_id
                 and r["state"] == ACTIVE
                 and r["block_start"] <= block_number < r["block_end"]
+                and (best is None or r["seq"] > best["seq"])
             ):
-                return ChunkMeta(
-                    r["dataset_id"],
-                    r["chunk_id"],
-                    r["block_start"],
-                    r["block_end"],
-                    json.loads(r["files"]),
-                    r["size_bytes"],
-                )
-        return None
+                best = r
+        if best is None:
+            return None
+        return ChunkMeta(
+            best["dataset_id"],
+            best["chunk_id"],
+            best["block_start"],
+            best["block_end"],
+            json.loads(best["files"]),
+            best["size_bytes"],
+        )
 
     # -- R12/R13: pin ------------------------------------------------------
     def find_chunk(self, dataset_id: str, block_number: int) -> ChunkRef | None:

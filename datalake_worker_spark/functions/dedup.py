@@ -118,6 +118,24 @@ def exact_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def collapse_exact_duplicates(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One representative row (minimum id) per distinct text.
+
+    Grouped on sha2(text) so the exchange/sort comparator works on a
+    64-char key instead of whole documents; every row in a group carries
+    the identical text, so ``first(text)`` is deterministic."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("_sha"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.first(text_col).alias(text_col),
+        )
+        .drop("_sha")
+    )
+
+
 def near_dup_pairs_minhash(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -125,21 +143,37 @@ def near_dup_pairs_minhash(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    bucket_cap: int = 200,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
-    shingle → minhash → band → bucket-join → verify. Returns
-    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    exact-collapse → shingle → minhash → band → bucket-join → verify.
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
+    threshold, over one representative (minimum id) per distinct text.
+
+    Two scale guards make the bucket expansion safe at 100 TB:
+
+    - **Exact duplicates are collapsed first.** Web corpora are dominated
+      by byte-identical copies; without the collapse every copy of a hot
+      page lands in the same LSH bucket and the pair expansion is
+      O(copies²). Identical-text duplicates are the exact-dedup
+      operators' domain (d01/d02 emit the groups); this operator reports
+      *near* duplicates among distinct texts.
+    - **Deterministic bucket cap.** Genuinely-colliding buckets are tiny
+      (64-bit band hashes), but a cap bounds the worst case: each bucket
+      keeps its ``bucket_cap`` smallest ids (sorted slice — visible in
+      the plan), so pair expansion is ≤ cap² regardless of skew.
     """
-    b = with_minhash_bands(docs, id_col, text_col, k, bands)
+    reps = collapse_exact_duplicates(docs, id_col, text_col)
+    b = with_minhash_bands(reps, id_col, text_col, k, bands)
     # candidate pairs bucket-locally: group each (band, hash) bucket and
     # expand pairs inside it. One aggregation instead of a second scan +
-    # self-join of the signature table; 64-bit band hashes make buckets
-    # collision-only (i.e. tiny), so the pair expansion is bounded.
+    # self-join of the signature table.
     buckets = (
         b.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("all_ids"))
+        .filter(F.size("all_ids") > 1)
+        .select(F.slice("all_ids", 1, bucket_cap).alias("ids"))
     )
     cand = (
         buckets.select(F.explode("ids").alias("id_a"), "ids")
@@ -147,7 +181,7 @@ def near_dup_pairs_minhash(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    toks = docs.select(
+    toks = reps.select(
         F.col(id_col),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
     )
@@ -159,6 +193,32 @@ def near_dup_pairs_minhash(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Diagnostic: LSH bucket-size distribution and cap overflow.
+
+    One row: (n_buckets, max_bucket, n_capped, overflow_ids) — run it
+    alongside a production dedup job to see what the cap dropped."""
+    b = with_minhash_bands(
+        collapse_exact_duplicates(docs, id_col, text_col), id_col, text_col, k, bands
+    )
+    sizes = b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > bucket_cap, 1).otherwise(0)).alias("n_capped"),
+        F.sum(
+            F.when(F.col("sz") > bucket_cap, F.col("sz") - bucket_cap).otherwise(0)
+        ).alias("overflow_ids"),
+    )
 
 
 def simhash64(text_col: str | Column) -> Column:
@@ -190,6 +250,41 @@ def simhash64(text_col: str | Column) -> Column:
             F.lit(0).cast("long")
         )
     return out
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash per row via explode → per-bit vote aggregation.
+
+    Semantically identical to ``simhash64`` (same hash, same votes,
+    same tie-breaks) but tokens are hashed ONCE and the 64 bit-votes are
+    64 SUM aggregates over the exploded token rows — map-side partial
+    aggregation collapses each partition to one row per doc before the
+    shuffle, exactly like ``minhash_signatures``. The per-row expression
+    variant re-walks the token array 64 times inside one projection;
+    measured ~4× slower on the documents table and its codegen grows
+    with 64 nested array passes.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        bitval = (1 << b) if b < 63 else -(1 << 63)  # signed top bit
+        out = out + F.when(F.col(f"v{b}") > 0, F.lit(bitval).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), out.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -335,7 +430,7 @@ def d04_minhash_near_dups(spark, sf_dir):
 )
 def d05_simhash_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64("text").alias("simhash"))
+    return simhash_fingerprints(d, "doc_id", "text")
 
 
 def near_dup_pairs_simhash(
@@ -349,7 +444,9 @@ def near_dup_pairs_simhash(
     at least one block (pigeonhole); wider radii trade recall. Candidates
     from the block-bucket join are verified with the exact popcount.
     """
-    sh = docs.select(F.col(id_col), simhash64(text_col).alias("_sh"))
+    sh = simhash_fingerprints(docs, id_col, text_col).select(
+        F.col(id_col), F.col("simhash").alias("_sh")
+    )
     blocks = F.array(
         *[
             F.struct(

@@ -296,7 +296,6 @@ def t11_boilerplate_ngrams(spark, sf_dir):
     from .dedup import shingles_from_words
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # one scalar, metadata-scale
     g = (
         d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
         .filter(F.size("w") >= 2)
@@ -307,11 +306,15 @@ def t11_boilerplate_ngrams(spark, sf_dir):
             ).alias("gram"),
         )
     )
+    # N via broadcast 1-row total, not a driver-side d.count() second scan
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     return (
         g.groupBy("gram")
         .agg(F.count("*").alias("df"))
-        .withColumn("doc_frac", F.round(F.col("df") / F.lit(n_docs), 6))
-        .filter(F.col("df") / F.lit(n_docs) > 0.2)
+        .crossJoin(F.broadcast(n))
+        .withColumn("doc_frac", F.round(F.col("df") / F.col("n_docs"), 6))
+        .filter(F.col("df") / F.col("n_docs") > 0.2)
+        .drop("n_docs")
     )
 
 

@@ -58,16 +58,20 @@ def _lexicon_values_sql() -> str:
 )
 def t06_tfidf_top_terms(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # metadata-scale scalar (one number, not data)
     tok = explode_tokens(d)
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # N as a broadcast 1-row corpus total (t10's pattern) — a driver-side
+    # d.count() here would add a second full scan of documents
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
     return (

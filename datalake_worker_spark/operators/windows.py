@@ -220,6 +220,77 @@ def sessionize(
     ).drop(flag)
 
 
+def sessionize_sliced(
+    df,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    tie_col: str,
+    out_col: str = "session_id",
+    slice_seconds: float = 86400.0,
+):
+    """Giant-key-safe sessionization (SCALE.md windows section).
+
+    ``sessionize`` puts ALL rows of one key in one task — a key with
+    billions of events (bot traffic, a shared device id) stalls the
+    stage. This variant shards the wide work on (key, time-slice) and
+    repairs sessions that span slice boundaries with a second pass over
+    per-slice SUMMARIES (one row per non-empty slice per key):
+
+      1. local sessionization within each (key, slice) shard;
+      2. per shard: local session count m, min/max ts; a lag over the
+         key's shard summaries marks shards whose first session continues
+         the previous shard's last session (boundary gap <= gap_seconds):
+         merge flag mu, new-session offset = running Σ (m - mu);
+      3. broadcast-scale join back: global id = offset + local_id - mu.
+
+    Equivalent to ``sessionize`` for any slice_seconds (property-tested);
+    the longest chain a single task sees is one slice of one key.
+    """
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists on the input")
+    slice_c = F.floor(F.col(ts_col).cast("double") / slice_seconds)
+    base = df.withColumn("__slice", slice_c)
+    w = W.partitionBy(key_col, "__slice").orderBy(ts_col, tie_col)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag(ts_col).over(w)
+    new_flag = F.when(
+        prev.isNull()
+        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    local = base.withColumn("__local_sid", F.sum(new_flag).over(wrun).cast("long"))
+
+    summ = local.groupBy(key_col, "__slice").agg(
+        F.max("__local_sid").alias("__m"),
+        F.min(F.col(ts_col).cast("double")).alias("__min_ts"),
+        F.max(F.col(ts_col).cast("double")).alias("__max_ts"),
+    )
+    ws = W.partitionBy(key_col).orderBy("__slice")
+    prev_max = F.lag("__max_ts").over(ws)
+    mu = F.when(
+        prev_max.isNotNull() & ((F.col("__min_ts") - prev_max) <= gap_seconds), 1
+    ).otherwise(0)
+    wcum = ws.rowsBetween(W.unboundedPreceding, W.currentRow)
+    summ = (
+        summ.withColumn("__mu", mu)
+        .withColumn(
+            "__offset",
+            (F.sum(F.col("__m") - F.col("__mu")).over(wcum) - (F.col("__m") - F.col("__mu"))).cast("long"),
+        )
+        .select(key_col, "__slice", "__mu", "__offset")
+    )
+    out = (
+        local.join(summ, [key_col, "__slice"])
+        .withColumn(
+            out_col,
+            (F.col("__offset") + F.col("__local_sid") - F.col("__mu")).cast("long"),
+        )
+        .drop("__slice", "__local_sid", "__mu", "__offset")
+    )
+    return out
+
+
 @register(
     "w06_sessionization",
     """

@@ -157,8 +157,11 @@ def st02_sliding_window(spark, sf_dir):
     """
     WITH g AS (
         SELECT user_id, ts, event_id,
+               -- >= : Spark's session_window is half-open — an event
+               -- arriving exactly `gap` after the previous one starts a
+               -- NEW session
                CASE WHEN LAG(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                    OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800.0
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

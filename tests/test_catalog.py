@@ -52,6 +52,20 @@ def test_containment_lookup_boundaries(cat):
     assert cat.find_chunk_meta("other", 50) is None  # dataset isolation
 
 
+def test_overlapping_chunks_latest_registration_wins(cat):
+    """Multi-epoch ingest registers several ACTIVE chunks with the same
+    [block_start, block_end); containment must deterministically return
+    the latest registration (highest seq), not dict order."""
+    cat.register_chunk(_meta(1, 0, 100))
+    cat.register_chunk(_meta(2, 0, 100))
+    cat.register_chunk(_meta(3, 0, 100))
+    for b in (0, 50, 99):
+        assert cat.find_chunk_meta("d1", b).chunk_id == "chunk03"
+    # deleting the winner falls back to the next-latest
+    cat.schedule_delete("chunk03")
+    assert cat.find_chunk_meta("d1", 50).chunk_id == "chunk02"
+
+
 def test_containment_vs_bruteforce(cat):
     """Property: find == brute-force containment over a random layout."""
     import random

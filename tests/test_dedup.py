@@ -129,6 +129,53 @@ def test_simhash_banded_pairs_find_planted_dups(spark):
         assert ham(sh[a], sh[b]) <= 6
 
 
+def test_minhash_mass_identical_docs_no_quadratic_bucket(spark):
+    """10k byte-identical copies (the hot-bucket scale killer) collapse
+    to one representative before LSH: completes fast, emits no
+    intra-identical pairs, still finds the genuine near-dups."""
+    import time
+
+    df, planted = _corpus(spark, n_base=40, n_dups=10)
+    hot = spark.range(100_000, 110_000).select(
+        F.col("id").alias("doc_id"), F.lit("the same page scraped ten thousand times").alias("text")
+    )
+    t0 = time.perf_counter()
+    pairs = near_dup_pairs_minhash(df.unionByName(hot), "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    dt = time.perf_counter() - t0
+    assert dt < 60, f"mass-duplicate corpus took {dt:.0f}s — quadratic bucket?"
+    # no pair touches two members of the identical-text class
+    assert not any(a >= 100_000 and b >= 100_000 for a, b in got), (
+        "intra-identical pairs should be collapsed (exact-dedup domain)"
+    )
+    # genuine near-dups among distinct texts still found
+    assert any((min(a, b), max(a, b)) in got for a, b in planted)
+
+
+def test_minhash_plan_shows_bucket_cap(spark):
+    df, _ = _corpus(spark, n_base=10, n_dups=0)
+    plan = near_dup_pairs_minhash(df, "doc_id", "text", bucket_cap=123)._jdf.queryExecution().toString()
+    assert "slice" in plan and "123" in plan, "bucket cap not visible in plan"
+
+
+def test_lsh_bucket_stats(spark):
+    from datalake_worker_spark.functions.dedup import lsh_bucket_stats
+
+    df, _ = _corpus(spark, n_base=30, n_dups=10)
+    row = lsh_bucket_stats(df, "doc_id", "text", bucket_cap=2).collect()[0]
+    assert row.n_buckets > 0 and row.max_bucket >= 2
+    assert row.overflow_ids >= 0
+
+
+def test_simhash_fingerprints_match_column_variant(spark):
+    from datalake_worker_spark.functions.dedup import simhash_fingerprints
+
+    df, _ = _corpus(spark, n_base=25, n_dups=5)
+    a = {r.doc_id: r.s for r in df.select("doc_id", simhash64("text").alias("s")).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_fingerprints(df, "doc_id", "text").collect()}
+    assert a == b
+
+
 def test_simhash_deterministic(spark):
     df, _ = _corpus(spark, n_base=10, n_dups=0)
     a = df.select("doc_id", simhash64("text").alias("s")).collect()

@@ -157,9 +157,25 @@ def test_exact_jaccard_identical_and_disjoint(spark):
     assert got[1] == 1.0 and got[2] == 0.0 and got[3] == 0.0  # empty→0, not NaN
 
 
-def test_minhash_identical_docs_always_pair(spark):
+def test_minhash_identical_texts_are_collapsed_not_paired(spark):
+    """Byte-identical texts are the exact-dedup operators' domain: the
+    MinHash path collapses them to one representative pre-LSH (the
+    hot-bucket scale guard), so they produce no near-dup pair."""
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    assert near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.99).collect() == []
+
+
+def test_minhash_distinct_texts_same_tokens_still_pair(spark):
+    """Near-identical but not byte-equal texts still pair (token-set
+    jaccard 1.0) — the collapse only removes exact duplicates."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha alpha beta gamma delta epsilon zeta"),
+        ],
         "doc_id long, text string",
     )
     pairs = near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.99).collect()

@@ -44,6 +44,58 @@ def test_salted_join_skewed_key(spark):
     assert got == {"hot": 9000, "cold": 1000}
 
 
+def _session_sets(rows):
+    """Canonicalize session assignments: set of frozensets of event ids
+    per (key, session) — invariant to session-id numbering."""
+    groups: dict[tuple, set] = {}
+    for r in rows:
+        groups.setdefault((r.user_id, r.session_id), set()).add(r.event_id)
+    return {frozenset(v) for v in groups.values()}
+
+
+def test_sessionize_sliced_equivalent_on_events(spark, sf_dir):
+    from datalake_worker_spark.operators.windows import sessionize, sessionize_sliced
+    from datalake_worker_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    plain = sessionize(e, "user_id", "ts", 1800.0, "event_id").collect()
+    # small slice (2h) forces many cross-slice merges on 30-min-gap sessions
+    sliced = sessionize_sliced(
+        e, "user_id", "ts", 1800.0, "event_id", slice_seconds=7200.0
+    ).collect()
+    assert _session_sets(plain) == _session_sets(sliced)
+    # session ids themselves must match too (both 1-based in time order)
+    assert sorted((r.user_id, r.event_id, r.session_id) for r in plain) == sorted(
+        (r.user_id, r.event_id, r.session_id) for r in sliced
+    )
+
+
+def test_sessionize_sliced_giant_single_key(spark):
+    """One user, 200k events spanning months — the giant-key case where
+    plain sessionize serializes into a single task. The sliced variant
+    shards on (key, slice); result must still be exact."""
+    import datetime
+
+    from datalake_worker_spark.operators.windows import sessionize_sliced
+
+    base = datetime.datetime(2024, 1, 1)
+    # event i at base + i*17 minutes: gap 1020s < 1800s within a burst;
+    # every 50th event jumps 2 days → a new session every 50 events
+    rows = []
+    t = base
+    for i in range(200_000):
+        if i % 50 == 0 and i:
+            t += datetime.timedelta(days=2)
+        else:
+            t += datetime.timedelta(seconds=1020)
+        rows.append((1, t, i))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sessionize_sliced(df, "user_id", "ts", 1800.0, "event_id")
+    agg = out.groupBy("session_id").agg(F.count("*").alias("n")).collect()
+    assert len(agg) == 4000  # 200k / 50 per session
+    assert all(r.n == 50 for r in agg)
+
+
 def test_connector_stubs_raise_cleanly(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="Delta"):
         read_delta(spark, str(tmp_path))
