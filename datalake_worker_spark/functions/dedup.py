@@ -47,8 +47,12 @@ def shingles_from_words(w: Column, n: int = 3) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 64
-) -> DataFrame:
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    carry: dict[str, Column] | None = None,
+):
     """k min-hashes per row: h_i = min over shingles of xxhash64(s, i).
 
     Shingles are exploded once and reduced with k MIN aggregates —
@@ -63,12 +67,27 @@ def minhash_signatures(
     rotate+xor (wrap-free under ANSI mode; ~3× cheaper on the scan stage
     than k independent xxhash64 calls, same minhash quality in the
     recall tests).
+
+    ``carry`` attaches extra per-row columns (e.g. a content hash) as
+    additional group keys — they ride the existing map-side-combined
+    shuffle, so attaching them costs no extra stage and, crucially, no
+    shuffle of the underlying text.
     """
+    carry = carry or {}
     sh = (
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
-        .select(F.col(id_col), F.explode(shingles_from_words(F.col("_w"))).alias("_sh"))
+        df.select(
+            F.col(id_col),
+            *[expr.alias(n) for n, expr in carry.items()],
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .select(
+            F.col(id_col),
+            *carry.keys(),
+            F.explode(shingles_from_words(F.col("_w"))).alias("_sh"),
+        )
         .select(
             id_col,
+            *carry.keys(),
             F.xxhash64("_sh", F.lit(1)).alias("_h1"),
             F.xxhash64("_sh", F.lit(2)).alias("_h2"),
         )
@@ -82,15 +101,14 @@ def minhash_signatures(
         F.min(F.col("_h1").bitwiseXOR(rotl(F.col("_h2"), i))).alias(f"h{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col, *carry.keys()).agg(*aggs)
 
 
-def with_minhash_bands(
-    df: DataFrame, id_col: str, text_col: str, k: int = 64, bands: int = 16
+def bands_from_signatures(
+    sig: DataFrame, id_col: str, k: int = 64, bands: int = 16
 ) -> DataFrame:
-    """Attach (band_idx, band_hash) rows: one output row per band per doc."""
+    """(band_idx, band_hash) rows from a signature table (h0..h{k-1})."""
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k)
     band_cols = F.array(
         *[
             F.struct(
@@ -107,6 +125,13 @@ def with_minhash_bands(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_hash").alias("band_hash"),
     )
+
+
+def with_minhash_bands(
+    df: DataFrame, id_col: str, text_col: str, k: int = 64, bands: int = 16
+) -> DataFrame:
+    """Attach (band_idx, band_hash) rows: one output row per band per doc."""
+    return bands_from_signatures(minhash_signatures(df, id_col, text_col, k), id_col, k, bands)
 
 
 def exact_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
@@ -163,9 +188,29 @@ def near_dup_pairs_minhash(
       (64-bit band hashes), but a cap bounds the worst case: each bucket
       keeps its ``bucket_cap`` smallest ids (sorted slice — visible in
       the plan), so pair expansion is ≤ cap² regardless of skew.
+
+    The collapse never shuffles text: sha2(text) rides the signature
+    shuffle as an extra group key (64-byte rows, not documents), and the
+    representative per sha is picked off the signature table. Token
+    arrays for exact verification are fetched from the original scan by
+    candidate id — candidates are few, so AQE broadcasts them.
     """
-    reps = collapse_exact_duplicates(docs, id_col, text_col)
-    b = with_minhash_bands(reps, id_col, text_col, k, bands)
+    sig = minhash_signatures(
+        docs, id_col, text_col, k, carry={"_sha": F.sha2(F.col(text_col), 256)}
+    )
+    hcols = [f"h{i}" for i in range(k)]
+    # min-id representative per distinct text, chosen on the signature
+    # table: identical texts have identical signatures, so min(struct)
+    # (lexicographic, id first) keeps the smallest id with its signature
+    reps_sig = (
+        sig.groupBy("_sha")
+        .agg(F.min(F.struct(id_col, *hcols)).alias("_r"))
+        .select(
+            F.col(f"_r.{id_col}").alias(id_col),
+            *[F.col(f"_r.{h}").alias(h) for h in hcols],
+        )
+    )
+    b = bands_from_signatures(reps_sig, id_col, k, bands)
     # candidate pairs bucket-locally: group each (band, hash) bucket and
     # expand pairs inside it. One aggregation instead of a second scan +
     # self-join of the signature table.
@@ -181,7 +226,7 @@ def near_dup_pairs_minhash(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    toks = reps.select(
+    toks = docs.select(
         F.col(id_col),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
     )
@@ -207,9 +252,19 @@ def lsh_bucket_stats(
 
     One row: (n_buckets, max_bucket, n_capped, overflow_ids) — run it
     alongside a production dedup job to see what the cap dropped."""
-    b = with_minhash_bands(
-        collapse_exact_duplicates(docs, id_col, text_col), id_col, text_col, k, bands
+    sig = minhash_signatures(
+        docs, id_col, text_col, k, carry={"_sha": F.sha2(F.col(text_col), 256)}
     )
+    hcols = [f"h{i}" for i in range(k)]
+    reps_sig = (
+        sig.groupBy("_sha")
+        .agg(F.min(F.struct(id_col, *hcols)).alias("_r"))
+        .select(
+            F.col(f"_r.{id_col}").alias(id_col),
+            *[F.col(f"_r.{h}").alias(h) for h in hcols],
+        )
+    )
+    b = bands_from_signatures(reps_sig, id_col, k, bands)
     sizes = b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("sz"))
     return sizes.agg(
         F.count("*").alias("n_buckets"),
