@@ -148,3 +148,51 @@ def smp04_histogram(spark, sf_dir):
             F.max("n_chars").alias("hi"),
         )
     )
+
+
+@register(
+    "smp05_temperature_resample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    z AS (SELECT SUM(sqrt(cnt)) AS z FROM c),
+    q AS (SELECT lang, CAST(ROUND(100 * sqrt(cnt) / z, 0) AS BIGINT) AS quota
+          FROM c CROSS JOIN z),
+    r AS (SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY lang
+                     ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+          FROM documents)
+    SELECT r.doc_id, r.lang, r.rn, q.quota
+    FROM r JOIN q USING (lang)
+    WHERE r.rn <= q.quota
+    """,
+    category="llm-sampling",
+    doc=(
+        "temperature resampling (alpha=0.5) for training-mix balancing: "
+        "per-language quota proportional to count^alpha, rows picked by a "
+        "deterministic sha256 shuffle order (re-runs and different "
+        "parallelism select identical rows — never rand())."
+    ),
+)
+def smp05_temperature_resample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    z = c.agg(F.sum(F.sqrt("cnt")).alias("z"))
+    q = (
+        c.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.round(F.lit(100) * F.sqrt("cnt") / F.col("z"), 0)
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), "doc_id"
+    )
+    r = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+    )
+    return r.join(F.broadcast(q), "lang").filter(F.col("rn") <= F.col("quota")).select(
+        "doc_id", "lang", "rn", "quota"
+    )

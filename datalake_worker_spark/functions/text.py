@@ -319,6 +319,79 @@ def t11_boilerplate_ngrams(spark, sf_dir):
 
 
 @register(
+    "t12_repetition_ratio",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_token_ratio,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac,
+           (CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1) AS is_repetitive
+    FROM tf
+    GROUP BY doc_id
+    """,
+    category="llm-text",
+    doc=(
+        "intra-document repetition signals (Gopher-style quality rule): "
+        "duplicate-token ratio and most-frequent-token fraction; docs "
+        "dominated by one token get flagged. explode→two-phase agg, no "
+        "per-row array re-walks."
+    ),
+)
+def t12_repetition_ratio(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tf = explode_tokens(d).groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n_tok = F.sum("c")
+    top = F.max("c").cast("double")
+    return tf.groupBy("doc_id").agg(
+        n_tok.alias("n_tokens"),
+        F.round(F.lit(1.0) - F.count("*").cast("double") / n_tok, 6).alias(
+            "dup_token_ratio"
+        ),
+        F.round(top / n_tok, 6).alias("top_token_frac"),
+        (top / n_tok > 0.1).alias("is_repetitive"),
+    )
+
+
+@register(
+    "t13_bpe_token_count",
+    r"""
+    WITH p AS (
+        SELECT doc_id, n_chars,
+               regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]') AS pieces
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS INTEGER) AS n_pieces,
+           ROUND(CAST(n_chars AS DOUBLE) / len(pieces), 6) AS chars_per_piece
+    FROM p WHERE len(pieces) > 0
+    """,
+    category="llm-text",
+    doc=(
+        "BPE-ish token accounting: word/punctuation pieces via "
+        "regexp_extract_all (lookaround-free so the RE2 oracle agrees); "
+        "chars-per-piece is the budget estimator for sequence packing."
+    ),
+)
+def t13_bpe_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(r"regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]', 0)")
+    return (
+        d.select("doc_id", "n_chars", pieces.alias("pieces"))
+        .filter(F.size("pieces") > 0)
+        .select(
+            "doc_id",
+            F.size("pieces").alias("n_pieces"),
+            F.round(F.col("n_chars") / F.size("pieces"), 6).alias("chars_per_piece"),
+        )
+    )
+
+
+@register(
     "t04_doc_frequency",
     r"""
     WITH tok AS (

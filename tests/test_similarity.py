@@ -91,3 +91,37 @@ def test_ann_deterministic(spark):
     r1 = sorted(map(tuple, ann_topk_lsh(df, q, k=3, n_planes=4, n_tables=6, dim=16).collect()))
     r2 = sorted(map(tuple, ann_topk_lsh(df, q, k=3, n_planes=4, n_tables=6, dim=16).collect()))
     assert r1 == r2
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF (cluster-then-probe) recovers most of the exact top-5; on
+    clusterable data (planted blobs) a small probe fraction suffices."""
+    import random
+
+    rng = random.Random(5)
+    # 6 gaussian blobs: clusterable, unlike the uniform _vectors corpus
+    centers = [[rng.gauss(0, 5) for _ in range(16)] for _ in range(6)]
+    rows = [
+        (i, [c + rng.gauss(0, 0.5) for c in centers[i % 6]]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = df.filter(F.col("vec_id") < 15)
+    from datalake_worker_spark.functions.similarity import ann_topk_ivf
+
+    exact = exact_topk(df, q, "vec_id", "v", k=5).collect()
+    ivf = ann_topk_ivf(
+        df, q, "vec_id", "v", k=5, n_clusters=6, nprobe=2, dim=16, iters=2
+    ).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(e & a) / len(e) >= 0.9, len(e & a) / len(e)
+
+
+def test_ivf_deterministic_across_runs(spark):
+    from datalake_worker_spark.functions.similarity import ann_topk_ivf
+
+    df, _ = _vectors(spark, n=120, dim=16)
+    q = df.filter(F.col("vec_id") < 5)
+    r1 = sorted(map(tuple, ann_topk_ivf(df, q, k=3, n_clusters=4, nprobe=2, dim=16).collect()))
+    r2 = sorted(map(tuple, ann_topk_ivf(df, q, k=3, n_clusters=4, nprobe=2, dim=16).collect()))
+    assert r1 == r2
