@@ -54,6 +54,14 @@ HEADLINE = [
     "smp02_doc_packing",
     "t06_tfidf_top_terms",
     "v03_embedding_stats",
+    "q07_volume_shipping",
+    "q13_customer_order_distribution",
+    "q21_last_shipper",
+    "t12_repetition_ratio",
+    "t05_fingerprint",
+    "v04_ann_ivf_topk",
+    "v05_embedding_quantize",
+    "smp05_temperature_resample",
 ]
 
 RUNS = 3

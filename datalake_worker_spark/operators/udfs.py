@@ -67,7 +67,11 @@ def p02_grouped_map_pandas(spark, sf_dir):
         out["price_dev"] = (pdf["o_totalprice"] - mean).round(6)
         return out
 
-    o = load_table(spark, sf_dir, "orders")
+    # project before the grouped-map shuffle: applyInPandas ships whole
+    # rows through Arrow, so unused columns cost transfer on every row
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
     return o.groupBy("o_custkey").applyInPandas(
         center, "o_custkey long, o_orderkey long, price_dev double"
     )

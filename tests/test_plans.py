@@ -100,3 +100,55 @@ def test_codegen_engaged(spark, sf_dir):
     plan = final_plan(df)
     # "*(n)" prefixes mark whole-stage-codegen stages in the simple plan
     assert "WholeStageCodegen" in plan or "*(" in plan, plan
+
+
+def test_tpch_full_dims_broadcast_q07(spark, sf_dir):
+    """Q7's five dims (supplier, both nation sides) broadcast; only the
+    fact-fact joins (orders, customer chains) may shuffle."""
+    df = REGISTRY["q07_volume_shipping"].spark_fn(spark, sf_dir)
+    assert uses_broadcast_join(df), simple_plan(df)
+
+
+def test_q17_correlated_avg_decorrelated_single_scan_shape(spark, sf_dir):
+    """The correlated per-part average is decorrelated into one aggregate
+    joined back — the plan must not contain a nested-loop subquery."""
+    df = REGISTRY["q17_small_quantity_revenue"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q21_single_window_shuffle(spark, sf_dir):
+    """Both EXISTS are folded into one window pass: one exchange on
+    l_orderkey (plus the tiny supplier broadcast), not three self-joins."""
+    df = REGISTRY["q21_last_shipper"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert uses_broadcast_join(df), plan
+    # window on l_orderkey + final tiny groupBy = 2 DATA shuffles
+    # (broadcast exchanges of the dims don't move fact data)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q13_outer_join_preserved(spark, sf_dir):
+    """The 0-order customers must survive: plan keeps an outer join (no
+    accidental inner-conversion by the filter pushdown)."""
+    plan = simple_plan(REGISTRY["q13_customer_order_distribution"].spark_fn(spark, sf_dir))
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+
+
+def test_smp05_quota_broadcast(spark, sf_dir):
+    """Per-language quotas join back as a broadcast (5 rows), not a shuffle."""
+    df = REGISTRY["smp05_temperature_resample"].spark_fn(spark, sf_dir)
+    assert uses_broadcast_join(df), simple_plan(df)
+
+
+def test_minhash_collapse_no_text_shuffle(spark, sf_dir):
+    """d04's exchanges must never carry the text column: the exact-dup
+    collapse rides the signature shuffle (sha + 64 longs), and
+    verification tokens join by id."""
+    from datalake_worker_spark.plans.inspect import formatted_plan as fp
+
+    df = REGISTRY["d04_minhash_near_dups"].spark_fn(spark, sf_dir)
+    plan = fp(df)
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text#" not in line, line
