@@ -69,6 +69,7 @@ _MODULE_ORDER = [
     "operators.tpch_full",
     "streaming.ops",
     "streaming.stateful",
+    "streaming.rollup",
     "operators.misc",
     "operators.scalars",
     "operators.asof",
@@ -126,7 +127,7 @@ def _load_all():
     from .functions import dedup, setsim, similarity  # noqa: F401
     from .operators import udfs  # noqa: F401  (warms the Arrow/Python worker path for streaming's applyInPandasWithState)
     from .operators import tpch_full  # noqa: F401
-    from .streaming import ops, stateful  # noqa: F401
+    from .streaming import ops, rollup, stateful  # noqa: F401
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

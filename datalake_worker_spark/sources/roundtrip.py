@@ -77,3 +77,41 @@ def io04_in_memory_source(spark, sf_dir):
     return spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "id int, tag string"
     )
+
+
+@register(
+    "io05_schema_evolution_merge",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    category="sources",
+    doc=(
+        "parquet schema evolution: an old writer's files (2 columns) and "
+        "a new writer's files (3 columns) read as ONE dataset via "
+        "mergeSchema — missing columns surface as NULL, no rewrite of "
+        "historical data. The oracle is the equivalent UNION with NULL "
+        "padding."
+    ),
+)
+def io05_schema_evolution_merge(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "orders_evolved")
+    # "old" files: narrow schema
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    ).write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    # "new" files: a column was added
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )

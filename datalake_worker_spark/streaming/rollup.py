@@ -109,3 +109,47 @@ class RollupMaintainer:
             .trigger(availableNow=True)
             .start()
         )
+
+
+from ..registry import register  # noqa: E402  (placed after class to avoid cycle at import)
+
+
+@register(
+    "st08_continuous_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY w_start, event_type
+    """,
+    category="streaming",
+    doc=(
+        "continuous rollup maintenance: foreachBatch keeps an epoch-"
+        "partitioned partial store up to date; the folded rollup must "
+        "equal the batch aggregate (idempotent replay + compaction are "
+        "exercised in tests/test_rollup.py)."
+    ),
+)
+def st08_continuous_rollup(spark, sf_dir):
+    import tempfile
+
+    from .ops import _events_stream
+
+    root = tempfile.mkdtemp(prefix="dlw_rollup_q_")
+    m = RollupMaintainer(spark, os.path.join(root, "rollup"))
+    n_part = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:  # noqa: BLE001
+        prev = None
+    spark.conf.set("spark.sql.shuffle.partitions", n_part)
+    try:
+        q = m.attach(_events_stream(spark, sf_dir), os.path.join(root, "ckpt"))
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return m.read()
