@@ -14,6 +14,9 @@ FLAGSHIP = [
     ("w01_topk_per_group", "per-group top-k: single shuffle + window, no global sort"),
     ("d04_minhash_near_dups", "minhash: explode → partial-agg signatures → band bucket join"),
     ("v01_exact_cosine_topk", "broadcast query set × corpus, vectors projected away pre-shuffle"),
+    ("q21_last_shipper", "both EXISTS folded into one window pass; dims broadcast"),
+    ("v04_ann_ivf_topk", "IVF: literal centroids, cell equi-join is the only shuffle"),
+    ("smp05_temperature_resample", "quota table broadcast back onto the sha-ranked corpus"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -26,6 +29,12 @@ out = ["# PLANS — flagship physical plans (sf0.1, AQE pre-execution)",
 qs = registry.queries()
 for name, note in FLAGSHIP:
     plan = formatted_plan(qs[name](spark, sf))
+    # literal vectors (IVF centroids, LSH planes) make single plan lines
+    # hundreds of KB — truncate; the tree structure is the content
+    plan = "\n".join(
+        (ln[:300] + " …<truncated literals>") if len(ln) > 300 else ln
+        for ln in plan.splitlines()
+    )
     # keep the operator tree + the scan details, trim codegen ids noise
     out.append(f"## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
 open("PLANS.md", "w").write("\n".join(out))
