@@ -196,3 +196,64 @@ def smp05_temperature_resample(spark, sf_dir):
     return r.join(F.broadcast(q), "lang").filter(F.col("rn") <= F.col("quota")).select(
         "doc_id", "lang", "rn", "quota"
     )
+
+
+def temperature_resample_scalable(
+    df,
+    key_col: str,
+    id_col: str,
+    total: int = 100,
+    alpha: float = 0.5,
+    prefix_len: int = 2,
+):
+    """Giant-key-safe temperature resampling (SCALE.md smp05 section).
+
+    The declared smp05 query ranks with a per-language window — a single
+    task per language. This variant selects the identical rows without
+    ever sorting a whole key: a histogram of sha256 PREFIXES (16^prefix_len
+    buckets per key, partial-agg, bounded state) locates each key's quota
+    threshold; buckets wholly below it pass row-locally, and only the one
+    boundary bucket (~1/16^prefix_len of the key) is exactly ranked.
+
+    Returns (key, id) selections equal to the windowed formulation
+    (property-tested).
+    """
+    sha = F.sha2(F.col(id_col).cast("string"), 256)
+    base = (
+        df.select(key_col, id_col)
+        .withColumn("_sha", sha)
+        .withColumn("_pfx", F.substring("_sha", 1, prefix_len))
+    )
+    counts = base.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    z = counts.agg(F.sum(F.pow("cnt", F.lit(alpha))).alias("z"))
+    quotas = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            key_col,
+            F.round(F.lit(total) * F.pow("cnt", F.lit(alpha)) / F.col("z"), 0)
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    hist = base.groupBy(key_col, "_pfx").agg(F.count("*").alias("n"))
+    # cumulative over ≤16^prefix_len histogram rows per key — metadata-scale
+    wcum = W.partitionBy(key_col).orderBy("_pfx")
+    hist = (
+        hist.withColumn("cum", F.sum("n").over(wcum))
+        .join(F.broadcast(quotas), key_col)
+        .withColumn("prev", F.col("cum") - F.col("n"))
+    )
+    full = hist.filter(F.col("cum") <= F.col("quota")).select(key_col, "_pfx")
+    boundary = hist.filter(
+        (F.col("prev") < F.col("quota")) & (F.col("cum") > F.col("quota"))
+    ).select(key_col, "_pfx", (F.col("quota") - F.col("prev")).alias("_take"))
+    sel_full = base.join(F.broadcast(full), [key_col, "_pfx"], "left_semi")
+    wb = W.partitionBy(key_col, "_pfx").orderBy("_sha", id_col)
+    sel_boundary = (
+        base.join(F.broadcast(boundary), [key_col, "_pfx"])
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= F.col("_take"))
+    )
+    return sel_full.select(key_col, id_col).unionByName(
+        sel_boundary.select(key_col, id_col)
+    )

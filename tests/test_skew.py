@@ -101,3 +101,36 @@ def test_connector_stubs_raise_cleanly(spark, tmp_path):
         read_delta(spark, str(tmp_path))
     with pytest.raises(NotImplementedError, match="Iceberg"):
         read_iceberg(spark, "t")
+
+
+def test_temperature_resample_scalable_equivalent(spark, sf_dir):
+    """The prefix-histogram formulation selects exactly the rows the
+    windowed smp05 query selects — without a whole-key sort."""
+    from datalake_worker_spark.functions.sampling import (
+        smp05_temperature_resample,
+        temperature_resample_scalable,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    windowed = {
+        (r.lang, r.doc_id)
+        for r in smp05_temperature_resample(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    scalable = {
+        (r.lang, r.doc_id)
+        for r in temperature_resample_scalable(d, "lang", "doc_id", total=100).collect()
+    }
+    assert windowed == scalable
+
+
+def test_temperature_resample_scalable_boundary_only_window(spark):
+    """A 50k-row single-key input: the exact rank runs only on one
+    1/256th prefix bucket, and quotas are still honored exactly."""
+    from datalake_worker_spark.functions.sampling import temperature_resample_scalable
+
+    df = spark.range(50_000).select(
+        F.lit("en").alias("lang"), F.col("id").alias("doc_id")
+    )
+    out = temperature_resample_scalable(df, "lang", "doc_id", total=1000)
+    assert out.count() == 1000
