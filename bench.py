@@ -54,6 +54,11 @@ HEADLINE = [
     "smp02_doc_packing",
     "t06_tfidf_top_terms",
     "v03_embedding_stats",
+]
+
+# added after round 1 — timed and reported separately so the headline
+# `value` stays comparable against the recorded round-1 baseline
+EXTENDED = [
     "q07_volume_shipping",
     "q13_customer_order_distribution",
     "q21_last_shipper",
@@ -88,28 +93,36 @@ def main() -> None:
     )
     qs = registry.queries()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        # warm-up once (JIT/codegen/file listing), then median of RUNS
-        fn(spark, sf_dir).count()
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
+    def _time(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            # warm-up once (JIT/codegen/file listing), then median of RUNS
             fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(samples), 4)
+        return out
+
+    timings = _time(HEADLINE)
+    extended = _time(EXTENDED)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
     duck = _duckdb_timings(sf_dir)
 
     total = round(sum(timings.values()), 4)
+    ext_total = round(sum(extended.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
-        "value": total,
+        "value": total,  # round-1-comparable 31-query core suite
         "unit": "sec",
         "queries": timings,
+        "extended_queries": extended,  # operators added after round 1
+        "extended_value": ext_total,
         "sf": sf,
     }
     if duck:
@@ -123,7 +136,19 @@ def main() -> None:
     # when per-query/duckdb sections pushed the line past the capture)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    print(json.dumps({"metric": "headline_suite_wall_clock", "value": total, "unit": "sec", "sf": sf}))
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "core_queries": len(timings),
+                "extended_value": ext_total,
+                "extended_queries": len(extended),
+            }
+        )
+    )
 
 
 def _lake_core_bench(spark) -> dict:

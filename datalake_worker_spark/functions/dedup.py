@@ -47,12 +47,8 @@ def shingles_from_words(w: Column, n: int = 3) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 64,
-    carry: dict[str, Column] | None = None,
-):
+    df: DataFrame, id_col: str, text_col: str, k: int = 64
+) -> DataFrame:
     """k min-hashes per row: h_i = min over shingles of xxhash64(s, i).
 
     Shingles are exploded once and reduced with k MIN aggregates —
@@ -67,27 +63,12 @@ def minhash_signatures(
     rotate+xor (wrap-free under ANSI mode; ~3× cheaper on the scan stage
     than k independent xxhash64 calls, same minhash quality in the
     recall tests).
-
-    ``carry`` attaches extra per-row columns (e.g. a content hash) as
-    additional group keys — they ride the existing map-side-combined
-    shuffle, so attaching them costs no extra stage and, crucially, no
-    shuffle of the underlying text.
     """
-    carry = carry or {}
     sh = (
-        df.select(
-            F.col(id_col),
-            *[expr.alias(n) for n, expr in carry.items()],
-            F.split(F.col(text_col), " ").alias("_w"),
-        )
-        .select(
-            F.col(id_col),
-            *carry.keys(),
-            F.explode(shingles_from_words(F.col("_w"))).alias("_sh"),
-        )
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+        .select(F.col(id_col), F.explode(shingles_from_words(F.col("_w"))).alias("_sh"))
         .select(
             id_col,
-            *carry.keys(),
             F.xxhash64("_sh", F.lit(1)).alias("_h1"),
             F.xxhash64("_sh", F.lit(2)).alias("_h2"),
         )
@@ -101,7 +82,47 @@ def minhash_signatures(
         F.min(F.col("_h1").bitwiseXOR(rotl(F.col("_h2"), i))).alias(f"h{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col, *carry.keys()).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _rep_signatures(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Signatures for one min-id representative per distinct text, in ONE
+    shuffle: shingle rows are grouped by sha2(text) ALONE — identical
+    copies contribute identical (shingle-hash) rows, MIN aggregates are
+    idempotent across them, and min(id) picks the representative in the
+    same aggregation. No text shuffle, no second rep-selection stage."""
+    sha = F.sha2(F.col(text_col), 256)
+    sh = (
+        docs.select(
+            F.col(id_col),
+            sha.alias("_sha"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .select(
+            F.col(id_col),
+            "_sha",
+            F.explode(shingles_from_words(F.col("_w"))).alias("_s"),
+        )
+        .select(
+            id_col,
+            "_sha",
+            F.xxhash64("_s", F.lit(1)).alias("_h1"),
+            F.xxhash64("_s", F.lit(2)).alias("_h2"),
+        )
+    )
+
+    def rotl(c, i: int):
+        if i % 64 == 0:
+            return c
+        return F.shiftleft(c, i % 64).bitwiseOR(F.shiftrightunsigned(c, 64 - i % 64))
+
+    aggs = [
+        F.min(F.col("_h1").bitwiseXOR(rotl(F.col("_h2"), i))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("_sha").agg(F.min(id_col).alias(id_col), *aggs).drop("_sha")
 
 
 def bands_from_signatures(
@@ -189,28 +210,14 @@ def near_dup_pairs_minhash(
       keeps its ``bucket_cap`` smallest ids (sorted slice — visible in
       the plan), so pair expansion is ≤ cap² regardless of skew.
 
-    The collapse never shuffles text: sha2(text) rides the signature
-    shuffle as an extra group key (64-byte rows, not documents), and the
-    representative per sha is picked off the signature table. Token
-    arrays for exact verification are fetched from the original scan by
-    candidate id — candidates are few, so AQE broadcasts them.
+    The collapse is free: shingle rows group by sha2(text) directly
+    (``_rep_signatures``) — one shuffle of 64-byte keyed rows computes
+    both the representative (min id) and its signature; text never
+    shuffles. Token arrays for exact verification are fetched from the
+    original scan by candidate id — candidates are few, so AQE
+    broadcasts them.
     """
-    sig = minhash_signatures(
-        docs, id_col, text_col, k, carry={"_sha": F.sha2(F.col(text_col), 256)}
-    )
-    hcols = [f"h{i}" for i in range(k)]
-    # min-id representative per distinct text, chosen on the signature
-    # table: identical texts have identical signatures, so min(struct)
-    # (lexicographic, id first) keeps the smallest id with its signature
-    reps_sig = (
-        sig.groupBy("_sha")
-        .agg(F.min(F.struct(id_col, *hcols)).alias("_r"))
-        .select(
-            F.col(f"_r.{id_col}").alias(id_col),
-            *[F.col(f"_r.{h}").alias(h) for h in hcols],
-        )
-    )
-    b = bands_from_signatures(reps_sig, id_col, k, bands)
+    b = bands_from_signatures(_rep_signatures(docs, id_col, text_col, k), id_col, k, bands)
     # candidate pairs bucket-locally: group each (band, hash) bucket and
     # expand pairs inside it. One aggregation instead of a second scan +
     # self-join of the signature table.
@@ -252,19 +259,7 @@ def lsh_bucket_stats(
 
     One row: (n_buckets, max_bucket, n_capped, overflow_ids) — run it
     alongside a production dedup job to see what the cap dropped."""
-    sig = minhash_signatures(
-        docs, id_col, text_col, k, carry={"_sha": F.sha2(F.col(text_col), 256)}
-    )
-    hcols = [f"h{i}" for i in range(k)]
-    reps_sig = (
-        sig.groupBy("_sha")
-        .agg(F.min(F.struct(id_col, *hcols)).alias("_r"))
-        .select(
-            F.col(f"_r.{id_col}").alias(id_col),
-            *[F.col(f"_r.{h}").alias(h) for h in hcols],
-        )
-    )
-    b = bands_from_signatures(reps_sig, id_col, k, bands)
+    b = bands_from_signatures(_rep_signatures(docs, id_col, text_col, k), id_col, k, bands)
     sizes = b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("sz"))
     return sizes.agg(
         F.count("*").alias("n_buckets"),
