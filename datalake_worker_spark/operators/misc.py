@@ -50,3 +50,58 @@ def a08_approx_aggregates(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.25).alias("approx_p25"),
         F.percentile_approx("l_extendedprice", 0.75).alias("approx_p75"),
     )
+
+
+@register(
+    "a10_statistical_aggregates",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS qty_var,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS qty_stddev,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr
+    FROM s
+    """,
+    doc=(
+        "statistical aggregates (variance, stddev, correlation) computed "
+        "from DECIMAL-exact moment sums so the floating-point reduction "
+        "is order-independent — the built-in stddev/corr stream doubles "
+        "in partition order and cannot hash-match across engines."
+    ),
+)
+def a10_statistical_aggregates(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("qty_var"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("qty_stddev"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+    )
