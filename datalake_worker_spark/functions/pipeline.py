@@ -1,0 +1,304 @@
+"""Corpus-level cleaning operators for LLM training-data pipelines
+(SURVEY.md §2.2 "LLM-pipeline extensions"): C4-style cross-document
+segment dedup, benchmark n-gram decontamination, deterministic
+train/val/test splitting, and mergeable-sketch (HLL) distinct rollups.
+
+All hot paths are JVM-side expressions; the only wide dependencies are
+keyed on segment/gram text (uniform by construction — hashed grams of
+natural text), and every aggregation is two-phase (map-side partial)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .text import whitespace_tokens
+
+# ---------------------------------------------------------------------------
+# building blocks (engine API, reusable on any DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def text_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int = 10
+) -> DataFrame:
+    """Explode documents into consecutive ``seg_words``-word segments.
+
+    Returns (id, pos, seg): the "line" unit for cross-document segment
+    dedup (C4 uses real lines; this corpus has none, so fixed word spans
+    are the unit — same plan shape either way). One narrow projection +
+    one explode; words are materialized once per row before slicing
+    (repeated split() re-evaluation is the known 10× trap)."""
+    w = df.select(
+        F.col(id_col), whitespace_tokens(text_col).alias("_words")
+    )
+    nseg = F.greatest(
+        F.ceil(F.size("_words") / F.lit(float(seg_words))), F.lit(1)
+    ).cast("int")
+    return w.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_words"), i * seg_words + 1, seg_words)
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int = 10
+) -> DataFrame:
+    """Drop segments whose exact text occurs in more than one document,
+    rebuilding each document from its surviving segments (C4's
+    three-sentence-span rule, re-expressed over fixed word spans).
+
+    Scale shape: the duplicate set is found by a two-phase aggregate on
+    sha2(seg) — O(1) state per key, safe under a segment duplicated
+    millions of times (a window-based min!=max flag would funnel every
+    occurrence of a hot segment through one task; the common case in web
+    corpora is exactly such boilerplate) — then joined back onto the
+    segment rows as a small (dup-keys-only) build side. The segment
+    explode runs once per branch (two corpus scans): a deliberate trade —
+    sharing the exploded rows would need an exchange of ALL segment text,
+    and re-scanning columnar parquet is cheaper than shuffling the same
+    bytes (ReuseExchange cannot dedupe the branches anyway: the partial
+    aggregate sits below the dup branch's exchange). A hot segment on the
+    probe side is plain row skew that AQE skew-join splitting handles.
+    The rebuild is a single groupBy(id) with an in-group sort of ≤ a few
+    hundred struct elements per doc."""
+    seg = text_segments(df, id_col, text_col, seg_words).withColumn(
+        "_k", F.sha2(F.col("seg"), 256)
+    )
+    dup = (
+        seg.groupBy("_k")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("_k", F.lit(True).alias("_dup"))
+    )
+    flagged = seg.join(dup, "_k", "left").select(
+        F.col(id_col),
+        "pos",
+        "seg",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("_dup"),
+    )
+    kept = F.when(~F.col("_dup"), F.col("seg"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("_dup").cast("long")).alias("n_dropped"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), kept.alias("_s")))
+                        ),
+                        lambda s: s.getField("_s"),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with a benchmark
+    set (test-set decontamination, the standard n-gram-overlap rule).
+
+    Returns (id, n_matched) for contaminated documents. Both sides
+    explode to distinct grams; the benchmark side is DISTINCT-collapsed
+    before the equi-join on gram, so at scale the join input is the
+    benchmark's vocabulary (small relative to the corpus) and AQE
+    broadcasts it when it fits."""
+    from .dedup import shingles_from_words
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                shingles_from_words(whitespace_tokens(text_col), n)
+            ).alias("gram"),
+        ).distinct()
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
+def hash_split(
+    df: DataFrame, id_col: str, train_max: str = "b", val_max: str = "d"
+) -> Column:
+    """Deterministic train/val/test assignment from the first hex char of
+    sha256(id): '0'-'b' → train (12/16), 'c'-'d' → val, 'e'-'f' → test.
+
+    Pure per-row expression — no shuffle, no RNG, stable under
+    repartitioning and re-runs, and any engine with sha256 reproduces
+    the identical assignment (the property that matters: a re-ingest
+    must never migrate a document across splits)."""
+    h = F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 1)
+    return (
+        F.when(h <= train_max, F.lit("train"))
+        .when(h <= val_max, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t14_segment_dedup",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(words[(i*10+1):(i*10+10)], ' ') AS seg
+        FROM w, UNNEST(range(CAST(ceil(len(words)/10.0) AS BIGINT))) AS t(i)
+    ),
+    dup AS (
+        SELECT seg FROM seg GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    f AS (
+        SELECT s.doc_id, s.pos, s.seg, (d.seg IS NOT NULL) AS is_dup
+        FROM seg s LEFT JOIN dup d ON s.seg = d.seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(
+               string_agg(CASE WHEN NOT is_dup THEN seg END, ' ' ORDER BY pos),
+               '') AS cleaned_text
+    FROM f GROUP BY doc_id
+    """,
+    category="llm-pipeline",
+    doc=(
+        "C4-style cross-document segment dedup: 10-word spans occurring "
+        "in >1 document are dropped and documents are rebuilt from the "
+        "surviving spans. Two hash-keyed shuffles (count, flag-join) + "
+        "one groupBy rebuild; no collect, no UDFs."
+    ),
+)
+def t14_segment_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return segment_dedup(d, "doc_id", "text", seg_words=10)
+
+
+@register(
+    "d09_benchmark_decontamination",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[(i+1):(i+5)], ' ')
+                          for i in range(len(words)-4)] END AS grams
+        FROM w
+    ),
+    bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+    cg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g
+           WHERE doc_id % 20 <> 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM cg JOIN bg USING (gram)
+    GROUP BY doc_id
+    """,
+    category="llm-pipeline",
+    doc=(
+        "test-set decontamination by word 5-gram overlap: documents "
+        "sharing any 5-gram with the benchmark subset (doc_id % 20 = 0 "
+        "stands in for the held-out eval set) are flagged with their "
+        "distinct-gram match count. Benchmark vocabulary is DISTINCT-"
+        "collapsed before the gram join, so AQE broadcasts it."
+    ),
+)
+def d09_benchmark_decontamination(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return ngram_decontaminate(corpus, bench, "doc_id", "text", n=5)
+
+
+@register(
+    "smp06_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'train'
+                WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    category="llm-pipeline",
+    doc=(
+        "deterministic train/val/test assignment from the first hex "
+        "char of sha256(doc_id) — 75/12.5/12.5 expected split, stable "
+        "under re-ingest and repartitioning, identical across engines. "
+        "Narrow per-row expression, zero shuffles."
+    ),
+)
+def smp06_hash_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hash_split(d, "doc_id").alias("split"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "a11_hll_distinct_rollup",
+    None,  # HLL estimates are engine-specific — rows-only + tolerance tests
+    category="llm-pipeline",
+    doc=(
+        "mergeable-sketch distinct counting: one HLL sketch of the token "
+        "stream per language, estimates surfaced per group plus an ALL "
+        "row built by hll_union_agg over the per-group sketches — the "
+        "100 TB pattern (sketch once, merge anywhere, never re-scan). "
+        "Merge is register-wise max: commutative, so the rollup is "
+        "deterministic and tests assert union == direct whole-corpus "
+        "sketch exactly (tests/test_pipeline.py)."
+    ),
+)
+def a11_hll_distinct_rollup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(whitespace_tokens("text")).alias("tok")
+    )
+    per_lang = toks.groupBy("lang").agg(
+        F.hll_sketch_agg("tok").alias("_sk")
+    )
+    groups = per_lang.select(
+        "lang", F.hll_sketch_estimate("_sk").alias("approx_distinct_tokens")
+    )
+    total = per_lang.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(
+            "approx_distinct_tokens"
+        )
+    ).select(F.lit("ALL").alias("lang"), "approx_distinct_tokens")
+    return groups.unionByName(total)

@@ -152,3 +152,42 @@ def test_minhash_collapse_no_text_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_smp06_hash_split_narrow(spark, sf_dir):
+    """Split assignment is a pure projection: zero exchanges, and the
+    scan reads only the two referenced columns."""
+    df = REGISTRY["smp06_hash_split"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, simple_plan(df)
+    assert set(read_schema_columns(df)) == {"doc_id", "n_chars"}
+
+
+def test_t14_segment_dedup_two_phase_and_hashed_keys(spark, sf_dir):
+    """The duplicate count must aggregate partially before its exchange
+    (O(1) state per key — the giant-key guarantee), and both wide edges
+    key on the sha2 hash, never on raw segment text. Exactly two corpus
+    explodes (dup branch + probe branch) — the documented re-scan-over-
+    reshuffle trade in segment_dedup's docstring."""
+    df = REGISTRY["t14_segment_dedup"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Generate posexplode") == 2, plan
+    assert "partial_count" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "seg#" not in line.split("hashpartitioning", 1)[1][:60], line
+
+
+def test_d09_decontamination_benchmark_collapsed(spark, sf_dir):
+    """The benchmark side must be DISTINCT-collapsed to its vocabulary
+    before the gram join (broadcast at test scale)."""
+    df = REGISTRY["d09_benchmark_decontamination"].spark_fn(spark, sf_dir)
+    assert uses_broadcast_join(df), simple_plan(df)
+
+
+def test_a11_hll_two_phase(spark, sf_dir):
+    """Sketches build map-side (partial_hll_sketch_agg) — the property
+    that makes distinct-counting mergeable at 100 TB."""
+    df = REGISTRY["a11_hll_distinct_rollup"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "hll_union_agg" in plan, plan
