@@ -55,6 +55,7 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: ``queries()`` is called, which would put the long-green relational
 #: block first again.
 _MODULE_ORDER = [
+    "functions.graph",
     "functions.pipeline",
     "operators.windows",
     "catalog_queries",
@@ -121,7 +122,7 @@ def _load_all():
     if _LOADED:
         return
     # never driver-verified (round 1 truncation) — first
-    from .functions import pipeline  # noqa: F401
+    from .functions import graph, pipeline  # noqa: F401
     from .operators import windows  # noqa: F401
     from . import catalog_queries  # noqa: F401
     from .sources import roundtrip  # noqa: F401
