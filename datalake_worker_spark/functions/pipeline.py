@@ -142,6 +142,68 @@ def ngram_decontaminate(
     )
 
 
+#: PII patterns written to the common subset of Java regex (Spark) and
+#: RE2 (DuckDB): character classes, bounded repetition, \b — no
+#: lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,3}-\d{2,4}-\d{3,4}(-\d{3,4})?",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """Replace emails, phone numbers, and IPv4 addresses in ``text_col``
+    with ``<EMAIL>`` / ``<PHONE>`` / ``<IP>`` tokens and count each kind
+    (standard pre-training scrub). Pure per-row JVM regex expressions —
+    zero shuffles, trivially parallel at any scale. Redaction order
+    (email → phone → ip) is fixed so counts are unambiguous when
+    patterns could nest."""
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    red = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.select(
+        *id_cols,
+        red.alias("redacted_text"),
+        *[F.col(f"n_{k}").cast("long").alias(f"n_{k}") for k in PII_PATTERNS],
+    )
+
+
+#: Planting expression for t15, shared by both engines: append one email,
+#: one phone number, and one IPv4 address derived from doc_id so the
+#: redaction is verifiable cross-engine on a corpus that has no real PII.
+_T15_PLANT_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+_T15_SQL = f"""
+    WITH planted AS (
+        SELECT doc_id, {_T15_PLANT_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+             '{PII_PATTERNS["ip"]}', '<IP>', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}'))
+                AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ip"]}'))
+                AS BIGINT) AS n_ip
+    FROM planted
+"""
+
+
 def hash_split(
     df: DataFrame, id_col: str, train_max: str = "b", val_max: str = "d"
 ) -> Column:
@@ -269,6 +331,38 @@ def smp06_hash_split(spark, sf_dir):
         hash_split(d, "doc_id").alias("split"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "t15_pii_redaction",
+    _T15_SQL,
+    category="llm-pipeline",
+    doc=(
+        "PII scrub: emails / phone numbers / IPv4 addresses replaced "
+        "with typed tokens and counted per document. Patterns live in "
+        "the Java-regex ∩ RE2 common subset so Spark and the oracle "
+        "redact identically; the corpus is synthetic, so deterministic "
+        "doc_id-derived PII is planted first and then redacted. Pure "
+        "per-row JVM regex projection — zero shuffles."
+    ),
+)
+def t15_pii_redaction(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return pii_redact(planted, "text", ["doc_id"])
 
 
 @register(

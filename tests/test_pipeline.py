@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from datalake_worker_spark.functions.pipeline import (
     hash_split,
     ngram_decontaminate,
+    pii_redact,
     segment_dedup,
     text_segments,
 )
@@ -93,6 +94,31 @@ def test_hash_split_is_stable_and_total(spark, sf_dir):
         by_split[r["s"]] = by_split.get(r["s"], 0) + 1
     assert set(by_split) <= {"train", "val", "test"}
     assert by_split["train"] > by_split["val"]  # 12/16 vs 2/16 expected
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "mail a@b.com and c.d+x@e.co.uk end"),
+            (2, "call +1-555-0100 or +44-20-7946-0958 now"),
+            (3, "host 10.0.0.1 peer 192.168.1.254"),
+            (4, "no pii here at all"),
+            (5, "mix bob@example.org via 8.8.8.8"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in pii_redact(d, "text", ["doc_id"]).collect()
+    }
+    assert out[1]["redacted_text"] == "mail <EMAIL> and <EMAIL> end"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (2, 0, 0)
+    assert out[2]["redacted_text"] == "call <PHONE> or <PHONE> now"
+    assert out[2]["n_phone"] == 2
+    assert out[3]["redacted_text"] == "host <IP> peer <IP>"
+    assert out[3]["n_ip"] == 2
+    assert out[4]["redacted_text"] == "no pii here at all"
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ip"]) == (0, 0, 0)
+    assert out[5]["redacted_text"] == "mix <EMAIL> via <IP>"
 
 
 def test_hll_rollup_merge_identity(spark, sf_dir):

@@ -19,7 +19,13 @@ from datalake_worker_spark.canonical import duckdb_result, result_hash, spark_re
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("verify-driver")
@@ -44,6 +50,8 @@ def main() -> None:
     bad = []
     t_all = time.perf_counter()
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             cols, rows = spark_result(fn(spark, sf))
