@@ -84,18 +84,20 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Signed-projection bucket id: bit p = sign(v · plane_p)."""
-    bits = [
-        F.when(
-            dot(vec_col, F.array(*[F.lit(x) for x in plane])) > 0,
-            F.lit(1 << p).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for p, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    """Signed-projection bucket id from the sign pattern of ``planes``.
+
+    The plane matrix is a single nested-array literal (one expression
+    node after constant folding), folded to an int via bit-shift-style
+    accumulation — NOT one sub-tree per plane, which at 64 dims × many
+    planes made Catalyst optimization itself the dominant cost."""
+    p = F.lit(planes)
+    bits = F.transform(
+        p,
+        lambda plane: F.when(dot(vec_col, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
 
 
 def ann_topk_lsh(
@@ -163,8 +165,13 @@ def ann_topk_lsh(
 
 
 def l2sq(a: Column, b: Column) -> Column:
-    d = F.zip_with(a, b, lambda x, y: x - y)
-    return dot(d, d)
+    # one zip_with (squared diff fused into the lambda), one fold — the
+    # earlier dot(d, d) form duplicated the zip_with sub-tree twice
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def kmeans_centroids(
@@ -185,54 +192,51 @@ def kmeans_centroids(
     model state is k×dim floats (driver-side by design, like any
     trained-model broadcast); the data never leaves executors.
     """
-    w = W.orderBy(F.sha2(F.col(id_col).cast("string"), 256), id_col)
+    # deterministic shuffle-order init via TakeOrderedAndProject (top-k by
+    # sha256(id)) — no global single-partition window, no full sort
     init = (
-        corpus.select(id_col, vec_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_clusters)
-        .orderBy("_rn")
+        corpus.select(
+            F.sha2(F.col(id_col).cast("string"), 256).alias("_h"), id_col, vec_col
+        )
+        .orderBy("_h", id_col)
+        .limit(n_clusters)
         .collect()
     )
     cents = [list(map(float, r[vec_col])) for r in init]
     for _ in range(iters):
+        # re-average per (cluster, dimension) via posexplode: tiny
+        # expression tree, map-side partial aggregation, k×dim result rows
         assigned = corpus.select(
-            vec_col, nearest_centroid(F.col(vec_col), cents).alias("_cid")
+            nearest_centroid(F.col(vec_col), cents).alias("_cid"),
+            F.posexplode(to_double_array(F.col(vec_col))).alias("_pos", "_x"),
         )
-        sums = assigned.groupBy("_cid").agg(
+        sums = assigned.groupBy("_cid", "_pos").agg(
             F.count("*").alias("_n"),
-            *[
-                F.sum(F.element_at(vec_col, i + 1).cast("decimal(28,10)")).alias(f"_s{i}")
-                for i in range(dim)
-            ],
+            F.sum(F.col("_x").cast("decimal(28,10)")).alias("_s"),
         )
-        rows = {r["_cid"]: r for r in sums.collect()}
-        cents = [
-            [float(rows[c][f"_s{i}"]) / rows[c]["_n"] for i in range(dim)]
-            if c in rows
-            else cents[c]  # empty cluster keeps its previous centroid
-            for c in range(len(cents))
-        ]
+        acc: dict[int, list[float]] = {}
+        for r in sums.collect():
+            acc.setdefault(r["_cid"], [0.0] * dim)[r["_pos"]] = float(r["_s"]) / r["_n"]
+        cents = [acc.get(c, cents[c]) for c in range(len(cents))]
+        # (empty cluster keeps its previous centroid)
     return cents
 
 
 def nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
-    """argmin_c ||vec - cent_c||² as a JVM expression over literal centroids."""
-    dists = F.array(
-        *[l2sq(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
-    )
+    """argmin_c ||vec - cent_c||² over a single nested-array literal.
+
+    The centroid matrix is ONE constant-folded literal node; distances are
+    a transform over it — not per-centroid literal-array sub-trees, which
+    made Catalyst time quadratic in k×dim."""
+    dists = F.transform(F.lit(cents), lambda c: l2sq(vec, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def nearest_centroids(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
     """The nprobe nearest centroid ids (array), for query-side probing."""
-    scored = F.array(
-        *[
-            F.struct(
-                l2sq(vec, F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(i).cast("int").alias("cid"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    scored = F.transform(
+        F.lit(cents),
+        lambda c, i: F.struct(l2sq(vec, c).alias("d"), i.cast("int").alias("cid")),
     )
     return F.slice(F.array_sort(scored), 1, nprobe).getField("cid")
 

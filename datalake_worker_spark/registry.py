@@ -54,6 +54,45 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: reliable: ``entry()`` imports the relational module before
 #: ``queries()`` is called, which would put the long-green relational
 #: block first again.
+#: Round-3 refinement: the driver's budget covered ~50 queries in each of
+#: rounds 1-2, leaving exactly these names with no CORRECTNESS row yet
+#: (round-2 additions + the two round-1 reds re-fixed).  They outrank the
+#: module ordering entirely; cheap scalar/relational re-checks first,
+#: pandas-UDF and streaming (high fixed cost) last within the block.
+_PRIORITY_NAMES = [
+    "s09_casts",
+    "a08_approx_aggregates",
+    "a10_statistical_aggregates",
+    "v03_embedding_stats",
+    "v05_embedding_quantize",
+    "v01_exact_cosine_topk",
+    "v02_ann_lsh_topk",
+    "v04_ann_ivf_topk",
+    "d06_embedding_near_dups",
+    "d07_ssjoin_prefix",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_suppliers_semijoin",
+    "q21_last_shipper",
+    "p02_grouped_map_pandas",
+    "p03_grouped_agg_pandas",
+    "st01_tumbling_window",
+    "st02_sliding_window",
+    "st03_session_window",
+    "st04_stream_dedup",
+    "st05_stream_static_join",
+    "st06_stateful_user_totals",
+    "st07_stream_stream_join",
+    "st08_continuous_rollup",
+]
+
 _MODULE_ORDER = [
     "functions.graph",
     "functions.pipeline",
@@ -89,8 +128,12 @@ def _ordered_names() -> list[str]:
                 return i
         return len(_MODULE_ORDER)
 
+    prio = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
     idx = {n: i for i, n in enumerate(REGISTRY)}
-    return sorted(REGISTRY, key=lambda n: (rank(REGISTRY[n]), idx[n]))
+    return sorted(
+        REGISTRY,
+        key=lambda n: (prio.get(n, len(prio)), rank(REGISTRY[n]), idx[n]),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -45,6 +45,7 @@ def nanos_timestamp_columns(path: str) -> list[str]:
 
 
 _NANOS_CACHE: dict[str, list[str]] = {}
+_SCHEMA_CACHE: dict = {}  # path -> StructType (test tables are immutable)
 
 
 def _first_parquet_file(path: str) -> str | None:
@@ -75,7 +76,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = nanos_timestamp_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # schema-inference is a driver job per read; a 7-table query pays it 7
+    # times per build.  The test tables are immutable, so cache the
+    # inferred schema per path and hand it back explicitly on re-reads.
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
