@@ -121,27 +121,37 @@ def ann_topk_lsh(
     touches a small fraction of the corpus per query. Tested against
     exact_topk for recall.
     """
-    buckets = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-        buckets.append(
-            F.struct(
-                F.lit(t).alias("tbl"), lsh_bucket(F.col(vec_col), planes).alias("bkt")
-            )
+    # ALL tables' planes as ONE nested literal (L × n_planes × dim): the
+    # per-table bucket ids come out of a single transform over it, so the
+    # expression tree is one node deep regardless of L — not L unrolled
+    # sub-trees, which made analysis+codegen the dominant cost (~11 s at
+    # L=8 on a cold session; ~3 s fused).
+    all_planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+    def bucket_ids(vec: Column) -> Column:
+        return F.transform(
+            F.lit(all_planes),
+            lambda planes: F.aggregate(
+                F.transform(
+                    planes,
+                    lambda plane: F.when(
+                        dot(vec, plane) > 0, F.lit(1).cast("long")
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc * 2 + b,
+            ),
         )
-    bucket_arr = F.array(*buckets)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(bucket_arr).alias("b"),
-    ).select("query_id", "qv", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
+        F.posexplode(bucket_ids(F.col(vec_col))).alias("tbl", "bkt"),
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.explode(bucket_arr).alias("b"),
-    ).select(
-        "neighbor_id", "cv", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")
+        F.posexplode(bucket_ids(F.col(vec_col))).alias("tbl", "bkt"),
     )
     sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
     # dedupe multi-table collisions AFTER scoring (cosine is identical per

@@ -48,6 +48,20 @@ _NANOS_CACHE: dict[str, list[str]] = {}
 _SCHEMA_CACHE: dict = {}  # path -> StructType (test tables are immutable)
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Engine session contract, re-assertable on sessions we didn't build
+    (the correctness driver's bare session):
+
+    - UTC timestamp semantics (matches the DuckDB oracle's naive reading);
+    - parquet TIMESTAMP(isAdjustedToUTC=false) columns load as TIMESTAMP
+      (LTZ), not TIMESTAMP_NTZ — Spark 4 infers NTZ by default, which
+      breaks event-time watermarks and numeric timestamp casts that the
+      engine (and ANSI SQL) define on plain TIMESTAMP.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def _first_parquet_file(path: str) -> str | None:
     if os.path.isfile(path):
         return path
@@ -69,10 +83,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # self-sufficient against sessions we didn't build (the driver's):
-    # UTC timestamp semantics are part of the engine contract, and without
-    # the nanos conf the events scan fails with PARQUET_TYPE_ILLEGAL
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_confs(spark)
     nanos_cols = nanos_timestamp_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

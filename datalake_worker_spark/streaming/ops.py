@@ -29,8 +29,9 @@ _SINK_N = 0
 def _stream_parquet(spark: SparkSession, path: str, raw_schema, **options) -> DataFrame:
     """readStream a parquet path, converting TIMESTAMP(NANOS) columns
     (surfaced as long via the nanosAsLong config) to real timestamps."""
-    from ..sources.readers import nanos_timestamp_columns
+    from ..sources.readers import ensure_session_confs, nanos_timestamp_columns
 
+    ensure_session_confs(spark)
     if nanos_timestamp_columns(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(raw_schema)
@@ -50,8 +51,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet file through a symlinked staging dir
     import tempfile
 
-    from ..sources.readers import nanos_timestamp_columns
+    from ..sources.readers import ensure_session_confs, nanos_timestamp_columns
 
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     if path not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="dlw_stream_")
@@ -205,8 +207,9 @@ def st04_stream_dedup(spark, sf_dir):
     import tempfile
 
     # replay the stream TWICE (two copies of the file) — dedup must collapse
-    from ..sources.readers import nanos_timestamp_columns
+    from ..sources.readers import ensure_session_confs, nanos_timestamp_columns
 
+    ensure_session_confs(spark)
     tmp = tempfile.mkdtemp(prefix="dlw_replay_")
     src = os.path.join(sf_dir, "events.parquet")
     shutil.copy(src, os.path.join(tmp, "a.parquet"))
