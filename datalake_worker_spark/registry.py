@@ -54,43 +54,101 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: reliable: ``entry()`` imports the relational module before
 #: ``queries()`` is called, which would put the long-green relational
 #: block first again.
-#: Round-3 refinement: the driver's budget covered ~50 queries in each of
-#: rounds 1-2, leaving exactly these names with no CORRECTNESS row yet
-#: (round-2 additions + the two round-1 reds re-fixed).  They outrank the
-#: module ordering entirely; cheap scalar/relational re-checks first,
-#: pandas-UDF and streaming (high fixed cost) last within the block.
+#: Round-4 refinement: every query now has a CORRECTNESS row somewhere in
+#: rounds 1-3, so the rotation target shifts from "never verified" to
+#: "longest-unverified".  st01/st02 go first (round-3 reds, oracle
+#: timestamp type fixed this round — the driver must re-confirm), then the
+#: 48 queries whose only green row is round 1 (they all sit on top of the
+#: round-3 ``readers.py`` schema-cache change, never driver-verified
+#: under it) — 2 + 48 = 50, exactly one driver budget.  The 30
+#: round-2-green names follow so a larger budget keeps covering the
+#: stalest ground; round-3-green names fall through to module order.
 _PRIORITY_NAMES = [
-    "s09_casts",
-    "a08_approx_aggregates",
-    "a10_statistical_aggregates",
-    "v03_embedding_stats",
-    "v05_embedding_quantize",
-    "v01_exact_cosine_topk",
-    "v02_ann_lsh_topk",
-    "v04_ann_ivf_topk",
-    "d06_embedding_near_dups",
-    "d07_ssjoin_prefix",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_suppliers_semijoin",
-    "q21_last_shipper",
-    "p02_grouped_map_pandas",
-    "p03_grouped_agg_pandas",
+    # round-3 reds, fixed this round — re-confirm first
     "st01_tumbling_window",
     "st02_sliding_window",
-    "st03_session_window",
-    "st04_stream_dedup",
-    "st05_stream_static_join",
-    "st06_stateful_user_totals",
-    "st07_stream_stream_join",
-    "st08_continuous_rollup",
+    # last green in round 1 — cheap scalars/sets first, joins/aggs,
+    # then TPC-H, pandas-UDF last (high fixed cost)
+    "s01_string_funcs",
+    "s02_datetime_funcs",
+    "s03_math_funcs",
+    "s04_array_funcs",
+    "s05_explode_tokens",
+    "s06_posexplode",
+    "s07_json_map",
+    "s08_conditional",
+    "s10_map_funcs",
+    "u01_union_all",
+    "u02_union_distinct",
+    "u03_intersect",
+    "u04_except_all",
+    "u05_except_distinct",
+    "u06_intersect_all",
+    "j01_left_outer_counts",
+    "j02_full_outer",
+    "j03_anti_join",
+    "j04_cross_join",
+    "j05_theta_join",
+    "j06_broadcast_join",
+    "j07_null_safe_join",
+    "j08_composite_key_join",
+    "j09_right_outer",
+    "a01_rollup",
+    "a02_cube",
+    "a03_count_distinct_having",
+    "a04_minmax_stats",
+    "a05_pivot",
+    "a06_grouping_sets",
+    "a07_unpivot",
+    "a09_collect_set_sorted",
+    "x01_asof_purchase_click",
+    "x02_asof_event_order",
+    "x03_range_join_buckets",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q11_scalar_subquery",
+    "q16_part_supplier_counts",
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    "p01_scalar_pandas_udf",
+    # last green in round 2 — next-stalest block
+    "t01_token_stats",
+    "t02_quality_score",
+    "t03_language_id",
+    "t04_doc_frequency",
+    "t05_fingerprint",
+    "t06_tfidf_top_terms",
+    "t07_sentiment_lexicon",
+    "t08_text_cleaning",
+    "t09_bigram_counts",
+    "t10_unigram_logprob",
+    "t11_boilerplate_ngrams",
+    "t12_repetition_ratio",
+    "t13_bpe_token_count",
+    "d01_exact_dedup_keep_first",
+    "d02_exact_dedup_hash_groups",
+    "d03_ngram_jaccard_pairs",
+    "d04_minhash_near_dups",
+    "d05_simhash_fingerprints",
+    "d08_simhash_near_dups",
+    "io02_csv_roundtrip",
+    "io03_json_roundtrip",
+    "io04_in_memory_source",
+    "io05_schema_evolution_merge",
+    "m01_binary_payload_dedup",
+    "m02_decode_metadata",
+    "m03_frame_sample",
+    "smp01_stratified_sample",
+    "smp02_doc_packing",
+    "smp03_exact_percentiles",
+    "smp04_histogram",
+    "smp05_temperature_resample",
 ]
 
 _MODULE_ORDER = [

@@ -105,7 +105,7 @@ def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
 @register(
     "st01_tumbling_window",
     """
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS w_start,
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS TIMESTAMP) AS w_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -134,7 +134,7 @@ def st01_tumbling_window(spark, sf_dir):
     "st02_sliding_window",
     """
     WITH s AS (
-        SELECT e.*, to_timestamp(CAST(floor(epoch(e.ts) / 21600) * 21600 - o.off AS BIGINT)) AS w_start
+        SELECT e.*, CAST(to_timestamp(CAST(floor(epoch(e.ts) / 21600) * 21600 - o.off AS BIGINT)) AS TIMESTAMP) AS w_start
         FROM events e JOIN (VALUES (0), (21600)) o(off) ON TRUE
         WHERE epoch(e.ts) >= floor(epoch(e.ts) / 21600) * 21600 - o.off
           AND epoch(e.ts) <  floor(epoch(e.ts) / 21600) * 21600 - o.off + 43200
