@@ -145,17 +145,30 @@ class ParquetCatalogBackend(CatalogBackend):
             self.compact()
 
     def read_records(self) -> list[dict]:
-        files = [
-            os.path.join(self.meta_dir, f)
-            for f in sorted(os.listdir(self.meta_dir))
-            if f.endswith(".parquet") and not f.startswith(".tmp-")
-        ]
-        if not files:
-            return []
         import pyarrow.dataset as ds
 
-        table = ds.dataset(files, schema=_META_SCHEMA, format="parquet").to_table()
-        return sorted(table.to_pylist(), key=lambda r: r["seq"])
+        # a concurrent compaction (single writer, many readers) can delete
+        # log files between our listing and the read — the fold is
+        # equivalent before and after compaction, so just re-list and
+        # retry on vanished files
+        for attempt in range(5):
+            files = [
+                os.path.join(self.meta_dir, f)
+                for f in sorted(os.listdir(self.meta_dir))
+                if f.endswith(".parquet") and not f.startswith(".tmp-")
+            ]
+            if not files:
+                return []
+            try:
+                table = ds.dataset(
+                    files, schema=_META_SCHEMA, format="parquet"
+                ).to_table()
+            except (FileNotFoundError, OSError):
+                if attempt == 4:
+                    raise
+                continue
+            return sorted(table.to_pylist(), key=lambda r: r["seq"])
+        return []
 
     def compact(self) -> None:
         """Fold the log to the LATEST record per chunk_id (keeping DELETED
@@ -395,7 +408,12 @@ class ChunkCatalog:
         self.backend.add_lease(lease_id, meta.chunk_id)
         # re-check state after lease: a delete scheduled concurrently makes
         # the chunk invisible (the try_acquire_owned failure path,
-        # src/data_manager.rs:110)
+        # src/data_manager.rs:110). The re-check must read FRESH state:
+        # lease-then-recheck is the cross-process barrier against vacuum
+        # (vacuum reads leases before deleting, so either it sees this
+        # lease, or this re-check sees its PENDING_DELETE flip) — a cached
+        # read would reopen that race for multi-process readers.
+        self.refresh()
         cur = self._current().get(meta.chunk_id)
         if cur is None or cur["state"] != ACTIVE:
             self.backend.remove_lease(lease_id)
