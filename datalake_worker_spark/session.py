@@ -52,6 +52,11 @@ def get_spark(
         # defaults); Spark has no nanos timestamp — read as long + convert
         # in the loader (sources/readers.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # every read path shares one timestamp semantics: never infer
+        # TIMESTAMP_NTZ for isAdjustedToUTC=false parquet, including reads
+        # that bypass load_table (landing-dir inference, catalog folds) —
+        # matches ensure_session_confs (sources/readers.py)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
