@@ -84,23 +84,6 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Signed-projection bucket id from the sign pattern of ``planes``.
-
-    The plane matrix is a single nested-array literal (one expression
-    node after constant folding), folded to an int via bit-shift-style
-    accumulation — NOT one sub-tree per plane, which at 64 dims × many
-    planes made Catalyst optimization itself the dominant cost."""
-    p = F.lit(planes)
-    bits = F.transform(
-        p,
-        lambda plane: F.when(dot(vec_col, plane) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
-
-
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -122,37 +105,45 @@ def ann_topk_lsh(
     touches a small fraction of the corpus per query. Tested against
     exact_topk for recall.
     """
-    # ALL tables' planes as ONE nested literal (L × n_planes × dim): the
-    # per-table bucket ids come out of a single transform over it, so the
-    # expression tree is one node deep regardless of L — not L unrolled
-    # sub-trees, which made analysis+codegen the dominant cost (~11 s at
-    # L=8 on a cold session; ~3 s fused).
-    all_planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    # All L tables' signed projections in ONE Arrow-vectorized pandas UDF:
+    # each batch is a (rows × dim) @ (dim × L·n_planes) BLAS matmul, then
+    # sign bits fold to L bucket ids per row. Dense linear algebra is the
+    # one hot path where JVM expressions lose: a higher-order
+    # transform/aggregate over an (L × n_planes × dim) literal is
+    # interpreted per element (~2 s/5k rows at L=8, n_planes=6, dim=64,
+    # plus ~2 s of py4j literal construction per call), while the matmul
+    # is microseconds — and the gap widens linearly with corpus size.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def bucket_ids(vec: Column) -> Column:
-        return F.transform(
-            F.lit(all_planes),
-            lambda planes: F.aggregate(
-                F.transform(
-                    planes,
-                    lambda plane: F.when(
-                        dot(vec, plane) > 0, F.lit(1).cast("long")
-                    ).otherwise(F.lit(0).cast("long")),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, b: acc * 2 + b,
-            ),
-        )
+    all_planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    # (dim, L*n_planes), column-major by table
+    plane_mat = np.array(all_planes, dtype=np.float64).reshape(
+        n_tables * n_planes, dim
+    ).T.copy()
+    pows = 2 ** np.arange(n_planes - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def bucket_ids_udf(vs):  # pd.Series of list[float] -> pd.Series of list[int]
+        mat = np.array(vs.tolist(), dtype=np.float64)  # (rows, dim)
+        bits = (mat @ plane_mat) > 0  # (rows, L*n_planes)
+        ids = bits.reshape(len(vs), n_tables, n_planes).astype(np.int64) @ pows
+        return pd.Series(list(ids))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.posexplode(bucket_ids(F.col(vec_col))).alias("tbl", "bkt"),
+        bucket_ids_udf(F.col(vec_col)).alias("_bkts"),
+    ).select(
+        "query_id", "qv", F.posexplode("_bkts").alias("tbl", "bkt")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.posexplode(bucket_ids(F.col(vec_col))).alias("tbl", "bkt"),
+        bucket_ids_udf(F.col(vec_col)).alias("_bkts"),
+    ).select(
+        "neighbor_id", "cv", F.posexplode("_bkts").alias("tbl", "bkt")
     )
     sim = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
     # dedupe multi-table collisions AFTER scoring (cosine is identical per
