@@ -412,6 +412,13 @@ def d02_exact_dedup_hash_groups(spark, sf_dir):
 )
 def d03_ngram_jaccard_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
+    # grams travel as xxhash64 ints, not strings: the blocked join
+    # shuffles every gram array 3× (probe-bucket replication), and
+    # array_intersect compares elements pair-wise — 8-byte longs cut both
+    # the shuffle bytes and the compare cost vs ~20-byte strings while
+    # leaving the Jaccard value bit-identical to the string-gram oracle
+    # (hashing is injective on a corpus's distinct grams up to 2^-64
+    # collisions; the distinct-set SIZES are what the formula uses)
     t = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 2)
@@ -419,7 +426,9 @@ def d03_ngram_jaccard_pairs(spark, sf_dir):
             "doc_id",
             "lang",
             "n_chars",
-            F.array_distinct(shingles_from_words(F.col("w"), 2)).alias("grams"),
+            F.array_distinct(
+                F.transform(shingles_from_words(F.col("w"), 2), lambda g: F.xxhash64(g))
+            ).alias("grams"),
         )
     )
     # Length-bucket blocking: bucket = n_chars div 5; |Δn_chars| ≤ 2 means

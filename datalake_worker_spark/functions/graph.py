@@ -65,10 +65,14 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("_bl").alias("_nbr_min"))
         )
+        # carry the pre-round label ("_old") through both steps so the
+        # convergence check is a filter+count on the already-checkpointed
+        # result — not an extra node-keyed join per round
         stepped = (
             labels.join(nbr.select(F.col("a").alias("node"), "_nbr_min"), "node", "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce("_nbr_min", "label")).alias("label"),
             )
         )
@@ -79,16 +83,11 @@ def connected_components(
                 stepped["label"] == F.col("_ln"),
                 "left",
             )
-            .select("node", F.coalesce("_ll", "label").alias("label"))
+            .select("node", "_old", F.coalesce("_ll", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.select("node", F.col("label").alias("_old"))
-            .join(jumped, "node")
-            .filter(F.col("_old") != F.col("label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("_old") != F.col("label")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")

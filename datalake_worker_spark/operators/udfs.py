@@ -54,16 +54,28 @@ def p01_scalar_pandas_udf(spark, sf_dir):
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey)
     """,
-    doc="applyInPandas grouped-map: per-customer mean-centering of order price.",
+    doc=(
+        "applyInPandas grouped-map: per-customer mean-centering of order "
+        "price, batched by hash bucket (the many-small-groups pattern)."
+    ),
 )
 def p02_grouped_map_pandas(spark, sf_dir):
+    """Grouped-map over hash BUCKETS of customers, not single customers:
+    applyInPandas invokes Python once per group, so grouping directly on
+    a high-cardinality key pays per-call overhead on thousands of tiny
+    frames (22 s for 150k rows / ~10k customers at sf0.1). Bucketing the
+    key into 64 groups amortizes the calls and vectorizes the
+    per-customer math with pandas groupby inside each batch (~2 s) —
+    the shape that survives a 100 TB key space."""
+
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[["o_custkey", "o_orderkey"]].copy()
         # mean via exact integer-cents sum: float summation is
         # order-dependent and Spark hands the group over in partition
         # order — int64 cents make both engines' means bit-identical
         cents = (pdf["o_totalprice"] * 100).round().astype("int64")
-        mean = cents.sum() / (100.0 * len(pdf))
+        g = cents.groupby(pdf["o_custkey"].to_numpy())
+        mean = g.transform("sum") / (100.0 * g.transform("count"))
         out["price_dev"] = (pdf["o_totalprice"] - mean).round(6)
         return out
 
@@ -72,9 +84,9 @@ def p02_grouped_map_pandas(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
-    return o.groupBy("o_custkey").applyInPandas(
-        center, "o_custkey long, o_orderkey long, price_dev double"
-    )
+    return o.groupBy(
+        F.pmod(F.hash("o_custkey"), F.lit(64)).alias("_bkt")
+    ).applyInPandas(center, "o_custkey long, o_orderkey long, price_dev double")
 
 
 @register(

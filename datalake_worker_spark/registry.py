@@ -67,6 +67,8 @@ _PRIORITY_NAMES = [
     # round-3 reds, fixed this round — re-confirm first
     "st01_tumbling_window",
     "st02_sliding_window",
+    # new in round 4 — no CORRECTNESS row yet
+    "io06_bucketed_colocated_join",
     # last green in round 1 — cheap scalars/sets first, joins/aggs,
     # then TPC-H, pandas-UDF last (high fixed cost)
     "s01_string_funcs",

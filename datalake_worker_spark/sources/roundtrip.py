@@ -79,6 +79,65 @@ def io04_in_memory_source(spark, sf_dir):
     )
 
 
+def _bucketed_table(spark, df, name: str, n_buckets: int, key: str) -> None:
+    """Materialize ``df`` as a bucketed+sorted table (idempotent per
+    session). ``bucketBy`` requires the table-catalog write path; the
+    data lands in an external temp dir, only metadata hits the catalog."""
+    if not spark.catalog.tableExists(name):
+        (
+            df.write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(tempfile.mkdtemp(prefix="dlw_bkt_"), name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+
+
+@register(
+    "io06_bucketed_colocated_join",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    category="sources",
+    doc=(
+        "bucketed co-located join: both sides written bucketBy(8) on the "
+        "join key, so the sort-merge join runs with ZERO exchanges (plan "
+        "asserted in tests). At 100 TB this is the pattern for recurring "
+        "fact-fact joins: pay the shuffle once at write time, never at "
+        "read time."
+    ),
+)
+def io06_bucketed_colocated_join(spark, sf_dir):
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    t_o, t_c = f"dlw_bkt_orders_{tag}", f"dlw_bkt_customer_{tag}"
+    _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_o, 8, "o_custkey",
+    )
+    _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_c, 8, "c_custkey",
+    )
+    bo, bc = spark.table(t_o), spark.table(t_c)
+    # hint forces sort-merge (a broadcast would hide the bucketing); the
+    # bucket layout makes it exchange-free
+    joined = bo.hint("merge").join(bc, bo["o_custkey"] == bc["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 @register(
     "io05_schema_evolution_merge",
     """

@@ -191,3 +191,28 @@ def test_a11_hll_two_phase(spark, sf_dir):
     plan = simple_plan(df)
     assert "partial_hll_sketch_agg" in plan, plan
     assert "hll_union_agg" in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """io06: both sides bucketed on the join key — the sort-merge join
+    must run with zero exchanges before the (different-key) final agg."""
+    from datalake_worker_spark.sources.roundtrip import _bucketed_table
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        f"dlw_bkt_orders_{tag}", 8, "o_custkey",
+    )
+    _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        f"dlw_bkt_customer_{tag}", 8, "c_custkey",
+    )
+    bo = spark.table(f"dlw_bkt_orders_{tag}")
+    bc = spark.table(f"dlw_bkt_customer_{tag}")
+    joined = bo.hint("merge").join(bc, bo["o_custkey"] == bc["c_custkey"])
+    plan = simple_plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert shuffle_count(joined) == 0, plan
