@@ -688,3 +688,38 @@ def a06_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
         """
     )
+
+
+@register(
+    "j10_salted_skew_join",
+    """
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w.weight) AS BIGINT) AS total_weight
+    FROM events e
+    JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 5),
+                 ('signup', 3), ('error', 1)) w(event_type, weight)
+      ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "explicit salted join on a 5-value hot key: the fact side gets a "
+        "positional salt in [0,8), the dim side replicates 8x, and the "
+        "join key becomes (key, salt) — one hot key spreads over 8 "
+        "reducers. The fallback for skew AQE can't split (hot key on "
+        "BOTH sides); results are identical to the plain join, which is "
+        "the oracle."
+    ),
+)
+def j10_salted_skew_join(spark, sf_dir):
+    from .skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 5), ("signup", 3), ("error", 1)],
+        "event_type string, weight int",
+    )
+    j = salted_join(e, dim, "event_type", salt_buckets=8)
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+    )

@@ -69,6 +69,7 @@ _PRIORITY_NAMES = [
     "st02_sliding_window",
     # new in round 4 — no CORRECTNESS row yet
     "io06_bucketed_colocated_join",
+    "j10_salted_skew_join",
     # last green in round 1 — cheap scalars/sets first, joins/aggs,
     # then TPC-H, pandas-UDF last (high fixed cost)
     "s01_string_funcs",
