@@ -126,12 +126,15 @@ def ngram_decontaminate(
     from .dedup import shingles_from_words
 
     def grams(df: DataFrame) -> DataFrame:
+        # grams as xxhash64 longs: the (doc, gram) explode is the widest
+        # stage — 8-byte join keys instead of n-word strings; match
+        # counts are unchanged (injective up to 2^-64 collisions)
         return df.select(
             F.col(id_col),
             F.explode(
                 shingles_from_words(whitespace_tokens(text_col), n)
-            ).alias("gram"),
-        ).distinct()
+            ).alias("_g"),
+        ).select(id_col, F.xxhash64("_g").alias("gram")).distinct()
 
     bench_grams = grams(benchmark).select("gram").distinct()
     return (

@@ -118,12 +118,19 @@ def d07_ssjoin_prefix(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
     from .dedup import shingles_from_words
 
+    # grams as xxhash64 longs: the inverted index shuffles one row per
+    # (doc, gram) — 8-byte keys cut shuffle bytes and compare cost, the
+    # prefix filter only needs SOME consistent total order (df, then
+    # hash), and the Jaccard value is bit-identical to the string-gram
+    # oracle (set sizes are preserved up to 2^-64 collisions)
     t = (
         d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .filter(F.size("w") >= 2)
         .select(
             "doc_id",
-            F.array_distinct(shingles_from_words(F.col("w"), 2)).alias("grams"),
+            F.array_distinct(
+                F.transform(shingles_from_words(F.col("w"), 2), lambda g: F.xxhash64(g))
+            ).alias("grams"),
         )
     )
     return jaccard_pairs_prefix(t, "doc_id", "grams", 0.5)
