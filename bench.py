@@ -69,6 +69,20 @@ EXTENDED = [
     "smp05_temperature_resample",
 ]
 
+# added in round 4 — the heavy LLM-pipeline operators a full-surface
+# sweep flagged (and this round optimized); separate suite so core and
+# extended stay comparable round-over-round
+PIPELINE = [
+    "p02_grouped_map_pandas",
+    "d03_ngram_jaccard_pairs",
+    "d07_ssjoin_prefix",
+    "d09_benchmark_decontamination",
+    "d10_duplicate_clusters",
+    "v02_ann_lsh_topk",
+    "io06_bucketed_colocated_join",
+    "j10_salted_skew_join",
+]
+
 RUNS = 3
 
 
@@ -109,6 +123,7 @@ def main() -> None:
 
     timings = _time(HEADLINE)
     extended = _time(EXTENDED)
+    pipeline = _time(PIPELINE)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -116,6 +131,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     ext_total = round(sum(extended.values()), 4)
+    pipe_total = round(sum(pipeline.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -123,6 +139,8 @@ def main() -> None:
         "queries": timings,
         "extended_queries": extended,  # operators added after round 1
         "extended_value": ext_total,
+        "pipeline_queries": pipeline,  # round-4 suite (LLM-pipeline heavies)
+        "pipeline_value": pipe_total,
         "sf": sf,
     }
     if duck:
@@ -146,6 +164,8 @@ def main() -> None:
                 "core_queries": len(timings),
                 "extended_value": ext_total,
                 "extended_queries": len(extended),
+                "pipeline_value": pipe_total,
+                "pipeline_queries": len(pipeline),
             }
         )
     )
