@@ -430,6 +430,11 @@ def d03_ngram_jaccard_pairs(spark, sf_dir):
                 F.transform(shingles_from_words(F.col("w"), 2), lambda g: F.xxhash64(g))
             ).alias("grams"),
         )
+        # both join sides derive from t: checkpoint so shingling runs
+        # once, not once per side (30% off the whole query; the
+        # materialized frame is one row per doc — corpus-linear, not
+        # pair-quadratic)
+        .localCheckpoint(eager=True)
     )
     # Length-bucket blocking: bucket = n_chars div 5; |Δn_chars| ≤ 2 means
     # the partner's bucket is within ±1, so probing 3 buckets per left row

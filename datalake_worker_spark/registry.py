@@ -70,6 +70,7 @@ _PRIORITY_NAMES = [
     # new in round 4 — no CORRECTNESS row yet
     "io06_bucketed_colocated_join",
     "j10_salted_skew_join",
+    "io07_orc_roundtrip",
     # last green in round 1 — cheap scalars/sets first, joins/aggs,
     # then TPC-H, pandas-UDF last (high fixed cost)
     "s01_string_funcs",

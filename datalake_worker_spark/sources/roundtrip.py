@@ -174,3 +174,25 @@ def io05_schema_evolution_merge(spark, sf_dir):
     return spark.read.option("mergeSchema", "true").parquet(
         os.path.join(root, "v1"), os.path.join(root, "v2")
     )
+
+
+@register(
+    "io07_orc_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+    category="sources",
+    doc=(
+        "ORC sink + source (Spark-native, no extra jars) -> identity. "
+        "Round-trip oracle reads the ORIGINAL table: equality proves the "
+        "format preserved rows and types."
+    ),
+)
+def io07_orc_roundtrip(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "supplier_orc")
+    s.write.mode("overwrite").orc(out)
+    return spark.read.schema(s.schema).orc(out)
