@@ -17,6 +17,9 @@ FLAGSHIP = [
     ("q21_last_shipper", "both EXISTS folded into one window pass; dims broadcast"),
     ("v04_ann_ivf_topk", "IVF: literal centroids, cell equi-join is the only shuffle"),
     ("smp05_temperature_resample", "quota table broadcast back onto the sha-ranked corpus"),
+    ("io06_bucketed_colocated_join", "bucketed sort-merge join: ZERO exchanges before the final agg"),
+    ("v02_ann_lsh_topk", "LSH ANN: Arrow-batched bucket UDF, equi-join on (table, bucket)"),
+    ("j10_salted_skew_join", "salted join: hot key spread over (key, salt) reducers"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
