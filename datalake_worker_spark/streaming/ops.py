@@ -61,7 +61,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_DIRS[path] = d
     if nanos_timestamp_columns(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path).schema  # pre-conversion schema (ts as long)
+    # pre-conversion schema (ts as long) — shared cache with load_table,
+    # so only the first touch of the path pays the inference driver job
+    from ..sources.readers import _SCHEMA_CACHE
+
+    raw = _SCHEMA_CACHE.get(path)
+    if raw is None:
+        raw = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = raw
     return _stream_parquet(spark, _STREAM_DIRS[path], raw)
 
 
