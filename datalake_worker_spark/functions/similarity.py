@@ -452,3 +452,76 @@ def v03_embedding_stats(spark, sf_dir):
             F.round(F.max(nrm), 6).alias("max_norm"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_clusters: int = 8,
+    dim: int = 64,
+    iters: int = 1,
+    threshold: float = 0.97,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public paper):
+    cluster the embedding space with deterministic k-means, then WITHIN
+    each cluster drop every vector that has a near-duplicate
+    (cosine >= threshold) with a smaller id. Returns
+    (id, cluster_id, keep) for every input row.
+
+    Scale shape: the all-pairs comparison is confined to clusters — the
+    self-join is an equi-join on cluster id (O(sum of cluster sizes
+    squared), the published algorithm's cost), never a global cross
+    join; the dropped set is a semi-join back onto the corpus.
+    """
+    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, dim, iters)
+        assigned = corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            nearest_centroid(F.col(vec_col), cents).alias("cluster_id"),
+        )
+        a = assigned.select(
+            "cluster_id", F.col("_id").alias("id_a"), F.col("_v").alias("va")
+        )
+        b = assigned.select(
+            "cluster_id", F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+        )
+        dropped = (
+            a.join(b, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine_sim(F.col("va"), F.col("vb")) >= threshold)
+            .select(F.col("id_b").alias("_id"))
+            .distinct()
+        )
+        out = (
+            assigned.join(dropped.withColumn("_dropped", F.lit(1)), "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                "cluster_id",
+                F.when(F.col("_dropped").isNull(), 1).otherwise(0).alias("keep"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        corpus.unpersist(blocking=False)
+
+
+@register(
+    "d11_semantic_dedup",
+    None,  # k-means cluster assignment is not SQL-expressible; property-tested
+    category="llm-dedup",
+    doc=(
+        "SemDeDup-style semantic dedup: deterministic k-means clusters the "
+        "embedding space, near-duplicates (cosine >= 0.97) are dropped "
+        "within clusters keeping the smallest id. Pairwise work confined "
+        "to clusters (equi-join on cluster id); property tests pin the "
+        "keep-set invariants."
+    ),
+)
+def d11_semantic_dedup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    return semantic_dedup(e, "vec_id", "v", n_clusters=8, dim=64, iters=1)

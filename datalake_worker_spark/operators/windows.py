@@ -321,3 +321,46 @@ def w06_sessionization(spark, sf_dir):
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "w08_time_grid_fill",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, h
+    ),
+    b AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM c GROUP BY event_type),
+    g AS (
+        SELECT event_type, CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
+        FROM b
+    )
+    SELECT g.event_type, g.h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+    """,
+    category="windows",
+    doc=(
+        "time-series gap fill: hourly counts per event type joined onto a "
+        "dense per-type hour grid (sequence between each type's min/max "
+        "hour), missing hours surfaced as 0. The grid generates from the "
+        "per-type BOUNDS (one row per type), so grid size is O(types x "
+        "span), independent of event count -- at 100 TB the left join is "
+        "a broadcast of the aggregated counts' keys, never raw events."
+    ),
+)
+def w08_time_grid_fill(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    )
+    counts = e.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    bounds = counts.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    return grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )

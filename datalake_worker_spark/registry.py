@@ -71,6 +71,8 @@ _PRIORITY_NAMES = [
     "io06_bucketed_colocated_join",
     "j10_salted_skew_join",
     "io07_orc_roundtrip",
+    "w08_time_grid_fill",
+    "d11_semantic_dedup",
     # last green in round 1 — cheap scalars/sets first, joins/aggs,
     # then TPC-H, pandas-UDF last (high fixed cost)
     "s01_string_funcs",

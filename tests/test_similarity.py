@@ -125,3 +125,37 @@ def test_ivf_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, ann_topk_ivf(df, q, k=3, n_clusters=4, nprobe=2, dim=16).collect()))
     r2 = sorted(map(tuple, ann_topk_ivf(df, q, k=3, n_clusters=4, nprobe=2, dim=16).collect()))
     assert r1 == r2
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Planted near-identical pairs: the larger id of each pair is
+    dropped, everything else kept, and output covers every input row."""
+    import random
+
+    from datalake_worker_spark.functions.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # ids 100.. are near-copies of ids 0..9 (tiny perturbation)
+    for i in range(10):
+        rows.append((100 + i, [x * 1.000001 for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = semantic_dedup(df, "vec_id", "v", n_clusters=4, dim=16, threshold=0.99)
+    got = {r.vec_id: r.keep for r in out.collect()}
+    assert len(got) == 50  # every input row classified
+    for i in range(10):
+        assert got[100 + i] == 0, f"copy {100+i} not dropped"
+        assert got[i] == 1, f"original {i} not kept"
+    # non-duplicated vectors all kept (random gaussians are far apart)
+    for i in range(10, 40):
+        assert got[i] == 1, f"unique {i} wrongly dropped"
+
+
+def test_semantic_dedup_deterministic(spark):
+    from datalake_worker_spark.functions.similarity import semantic_dedup
+
+    df, _ = _vectors(spark, n=100, dim=16)
+    r1 = sorted(map(tuple, semantic_dedup(df, "vec_id", "v", n_clusters=4, dim=16).collect()))
+    r2 = sorted(map(tuple, semantic_dedup(df, "vec_id", "v", n_clusters=4, dim=16).collect()))
+    assert r1 == r2
