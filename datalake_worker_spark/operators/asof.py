@@ -190,3 +190,65 @@ def x03_range_join_buckets(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "x04_asof_join_tolerance",
+    """
+    WITH u AS (
+        SELECT user_id, ts, 0 AS is_probe, event_id AS tie,
+               event_id AS click_id, ts AS click_ts, NULL::BIGINT AS probe_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 1 AS is_probe, NULL AS tie,
+               NULL AS click_id, NULL AS click_ts, event_id AS probe_id
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT probe_id, is_probe, ts,
+               last_value(click_id IGNORE NULLS) OVER win AS a_id,
+               last_value(click_ts IGNORE NULLS) OVER win AS a_ts
+        FROM u
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_probe, tie
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT probe_id AS event_id,
+           CASE WHEN a_ts IS NOT NULL AND epoch(ts) - epoch(a_ts) <= 3600.0
+                THEN a_id END AS asof_click_id
+    FROM w WHERE is_probe = 1
+    """,
+    doc=(
+        "as-of join with tolerance (pandas merge_asof semantics): each "
+        "purchase matches its most recent same-user click only if it is "
+        "within 1 hour; staler matches surface as NULL. Same single-"
+        "shuffle union+window construction as x01 — the tolerance is a "
+        "post-window predicate on the carried match timestamp, so the "
+        "scale shape is unchanged."
+    ),
+)
+def x04_asof_join_tolerance(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id", "click_ts"],
+        tie_col="click_id",
+    )
+    return out.select(
+        "event_id",
+        F.when(
+            F.col("asof_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+            F.col("asof_click_id"),
+        ).alias("asof_click_id"),
+    )

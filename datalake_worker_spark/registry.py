@@ -73,6 +73,7 @@ _PRIORITY_NAMES = [
     "io07_orc_roundtrip",
     "w08_time_grid_fill",
     "d11_semantic_dedup",
+    "x04_asof_join_tolerance",
     # last green in round 1 — cheap scalars/sets first, joins/aggs,
     # then TPC-H, pandas-UDF last (high fixed cost)
     "s01_string_funcs",
