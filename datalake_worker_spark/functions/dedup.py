@@ -585,3 +585,80 @@ def d06_embedding_near_dups(spark, sf_dir):
         .filter(cos >= 0.9)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+#: Deterministic raw-URL synthesis (documents have no URL column): mixed
+#: host case, optional trailing slash, three tracking-param variants and
+#: an optional fragment — every messy form a crawler actually sees.  The
+#: expression is the ENGINE-SHARED part: plain SQL valid in both Spark
+#: and DuckDB, so the oracle replays byte-identical input.
+_RAW_URL_SQL = """concat(
+    CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.Example.com'
+         ELSE 'https://www.example.com' END,
+    '/', source, '/page-', CAST(doc_id % 50 AS STRING),
+    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+    CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&utm_campaign=c1'
+                    WHEN 1 THEN '?ref=tw&utm_medium=social'
+                    WHEN 2 THEN '?id=7&utm_source=mail'
+                    ELSE '' END,
+    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+)"""
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Crawler-style URL canonicalization, all JVM-side regex (no UDF):
+    drop fragment, lowercase scheme+authority, strip tracking params
+    (utm_*, ref), tidy separator debris, drop the trailing slash."""
+    u = F.regexp_replace(url, "#.*", "")
+    prefix = F.regexp_extract(u, "^https?://[^/]*", 0)
+    u = F.concat(
+        F.lower(prefix), F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
+    )
+    u = F.regexp_replace(u, r"(utm_[a-z]+|ref)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"/\?", "?")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+@register(
+    "d12_url_canonical_dedup",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+    ), canon AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   lower(regexp_extract(u, '^https?://[^/]*', 0))
+                   || substr(u, length(regexp_extract(u, '^https?://[^/]*', 0)) + 1),
+                   '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+                   '[?&]$', ''), '/\\?', '?'), '/$', '') AS canonical_url
+        FROM (SELECT doc_id, regexp_replace(raw_url, '#.*', '') AS u FROM raw)
+    )
+    SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM canon GROUP BY canonical_url
+    """,
+    category="llm-dedup",
+    doc=(
+        "URL canonicalization + dedup (the Common-Crawl first pass): "
+        "fragment stripped, scheme+host lowercased, utm_*/ref tracking "
+        "params removed, separator debris and trailing slash tidied, "
+        "then exact group-by on the canonical form keeping min(doc_id). "
+        "All JVM regex expressions in the scan stage — no UDF, no extra "
+        "shuffle beyond the final group-by; at 100 TB this is a "
+        "map-side-combined aggregation on the canonical key."
+    ),
+)
+def d12_url_canonical_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_RAW_URL_SQL).alias("raw_url")
+    )
+    return (
+        d.select("doc_id", canonicalize_url(F.col("raw_url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )

@@ -9,6 +9,7 @@ natural text), and every aggregation is two-phase (map-side partial)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -399,3 +400,58 @@ def a11_hll_distinct_rollup(spark, sf_dir):
         )
     ).select(F.lit("ALL").alias("lang"), "approx_distinct_tokens")
     return groups.unionByName(total)
+
+
+#: Shared raw-text synthesis for t16 (plain SQL, valid in both engines):
+#: one third of docs get a PRECOMPOSED accented suffix (U+00E9), one
+#: third the DECOMPOSED equivalent (e + U+0301) — byte-different,
+#: canonically equal.  NFC must collapse both to the same form.
+_T16_RAW_SQL = (
+    "concat(text, CASE doc_id % 3 WHEN 0 THEN ' café' "
+    "WHEN 1 THEN ' café' ELSE '' END)"
+)
+
+
+@register(
+    "t16_unicode_normalize",
+    f"""
+    SELECT doc_id,
+           nfc_normalize({_T16_RAW_SQL}) AS norm_text,
+           CAST(length({_T16_RAW_SQL})
+                - length(nfc_normalize({_T16_RAW_SQL})) AS BIGINT) AS n_collapsed
+    FROM documents
+    """,
+    category="llm-text",
+    doc=(
+        "Unicode NFC normalization — the canonical first step of any "
+        "multilingual corpus clean (decomposed accents, width variants "
+        "and lookalike sequences otherwise defeat exact dedup and "
+        "tokenizer vocab lookups). Spark has no NFC builtin, so this is "
+        "the documented pandas-UDF escape hatch: Arrow-batched, "
+        "partition-local, zero shuffle — the Python cost is a C-level "
+        "unicodedata.normalize per string, and the one-third of strings "
+        "already in NFC take the is_normalized fast path. Oracle: "
+        "DuckDB's nfc_normalize on byte-identical synthesized input."
+    ),
+)
+def t16_unicode_normalize(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_T16_RAW_SQL).alias("raw_text")
+    )
+    return d.select(
+        "doc_id",
+        nfc(F.col("raw_text")).alias("norm_text"),
+        (F.length("raw_text") - F.length(nfc(F.col("raw_text"))))
+        .cast("long")
+        .alias("n_collapsed"),
+    )

@@ -257,3 +257,41 @@ def temperature_resample_scalable(
     return sel_full.select(key_col, id_col).unionByName(
         sel_boundary.select(key_col, id_col)
     )
+
+
+#: Multiplicative-hash uniform in (0,1): Knuth's 2654435761 over the
+#: 32-bit ring, +0.5 so u is never 0 or 1.  Pure BIGINT arithmetic —
+#: bit-identical in Spark SQL and DuckDB, so the oracle can replay it.
+_U01 = "((((doc_id % 4294967296) * 2654435761) % 4294967296) + 0.5) / 4294967296.0"
+
+
+@register(
+    "smp07_weighted_sample",
+    f"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               -ln({_U01}) / n_chars AS priority
+        FROM documents WHERE n_chars > 0
+    ) ORDER BY priority, doc_id LIMIT 100
+    """,
+    category="llm-sampling",
+    doc=(
+        "deterministic weighted sampling without replacement "
+        "(Efraimidis-Spirakis exponential-clocks form): each doc draws "
+        "u from a keyed multiplicative hash (never rand(), so re-runs "
+        "and different parallelism pick the same rows), priority = "
+        "-ln(u)/weight, global k smallest win — heavier docs "
+        "(weight = n_chars) are proportionally likelier. Top-k is "
+        "TakeOrdered (per-partition k then merge k*P at the driver), "
+        "no global sort, no shuffle of the data."
+    ),
+)
+def smp07_weighted_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        d.withColumn("priority", F.expr(f"-ln({_U01}) / n_chars"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -252,3 +252,50 @@ def x04_asof_join_tolerance(spark, sf_dir):
             F.col("asof_click_id"),
         ).alias("asof_click_id"),
     )
+
+
+@register(
+    "x05_interval_lookup_join",
+    """
+    WITH bands(band_id, lo, hi) AS (
+        VALUES (0, 0.0, 2000.0), (1, 2000.0, 10000.0), (2, 10000.0, 50000.0),
+               (3, 50000.0, 200000.0), (4, 200000.0, 1000000.0)
+    )
+    SELECT band_id, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id, lo, hi
+    """,
+    doc=(
+        "point-in-interval lookup join (the IP-range / price-band / "
+        "geo-tier pattern): each fact row lands in the one interval that "
+        "contains it. The interval dim is tiny and non-uniform, so the "
+        "scale-correct plan is broadcast + non-equi filter "
+        "(BroadcastNestedLoopJoin): zero shuffle of the fact side, the "
+        "predicate runs in the scan stage. For UNIFORM intervals the "
+        "equi-key alternative is floor(p/width) bucketing (no BNLJ at "
+        "all); kept non-uniform here to exercise the broadcast path."
+    ),
+)
+def x05_interval_lookup_join(spark, sf_dir):
+    bands = spark.createDataFrame(
+        [
+            (0, 0.0, 2000.0),
+            (1, 2000.0, 10000.0),
+            (2, 10000.0, 50000.0),
+            (3, 50000.0, 200000.0),
+            (4, 200000.0, 1000000.0),
+        ],
+        "band_id int, lo double, hi double",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    p = F.col("o_totalprice")
+    return (
+        o.join(F.broadcast(bands), (p >= F.col("lo")) & (p < F.col("hi")))
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(p.cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )

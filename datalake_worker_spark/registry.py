@@ -68,6 +68,11 @@ _PRIORITY_NAMES = [
     "st01_tumbling_window",
     "st02_sliding_window",
     # new in round 4 — no CORRECTNESS row yet
+    "io08_merge_upsert",
+    "x05_interval_lookup_join",
+    "smp07_weighted_sample",
+    "d12_url_canonical_dedup",
+    "t16_unicode_normalize",
     "io06_bucketed_colocated_join",
     "j10_salted_skew_join",
     "io07_orc_roundtrip",

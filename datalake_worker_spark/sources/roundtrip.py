@@ -177,6 +177,80 @@ def io05_schema_evolution_merge(spark, sf_dir):
 
 
 @register(
+    "io08_merge_upsert",
+    """
+    WITH chg AS (
+        SELECT o_orderkey AS k, 'D' AS op,
+               CAST(NULL AS VARCHAR) AS new_status, CAST(NULL AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 31 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', 'U', o_totalprice + 100.0
+        FROM orders WHERE o_orderkey % 31 <> 0 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT CAST(COALESCE(c.k, t.o_orderkey) AS BIGINT) AS o_orderkey,
+           CASE WHEN c.op IN ('U', 'I') THEN c.new_status
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CAST(CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+                     ELSE t.o_totalprice END AS DOUBLE) AS o_totalprice
+    FROM orders t FULL OUTER JOIN chg c ON t.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    category="sources",
+    doc=(
+        "lakehouse MERGE INTO (upsert) semantics without a table format: "
+        "a change feed (insert/update/delete ops) applied to a snapshot "
+        "via ONE full-outer join on the key — matched+D drops the row, "
+        "matched+U rewrites it, unmatched+I appends. At 100 TB this is "
+        "the single-shuffle CDC-apply pattern; with the target bucketed "
+        "on the key (io06) the shuffle disappears entirely. Mirrors "
+        "Delta/Iceberg MERGE (public spec) re-expressed as a plain join."
+    ),
+)
+def io08_merge_upsert(spark, sf_dir):
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    deletes = t.filter(k % 31 == 0).select(
+        k.alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    updates = t.filter((k % 31 != 0) & (k % 7 == 0)).select(
+        k.alias("k"),
+        F.lit("U").alias("op"),
+        F.lit("U").alias("new_status"),
+        (F.col("o_totalprice") + 100.0).alias("new_price"),
+    )
+    inserts = t.filter(k % 97 == 0).select(
+        (k + 10000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    chg = deletes.unionByName(updates).unionByName(inserts)
+    merged = t.join(chg, t["o_orderkey"] == chg["k"], "full_outer")
+    upserted = F.col("op").isin("U", "I")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("k"), t["o_orderkey"]).alias("o_orderkey"),
+            F.when(upserted, F.col("new_status"))
+            .otherwise(t["o_orderstatus"])
+            .alias("o_orderstatus"),
+            F.when(upserted, F.col("new_price"))
+            .otherwise(t["o_totalprice"])
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+    )
+
+
+@register(
     "io07_orc_roundtrip",
     """
     SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
