@@ -469,11 +469,21 @@ def semantic_dedup(
     (cosine >= threshold) with a smaller id. Returns
     (id, cluster_id, keep) for every input row.
 
-    Scale shape: the all-pairs comparison is confined to clusters — the
-    self-join is an equi-join on cluster id (O(sum of cluster sizes
-    squared), the published algorithm's cost), never a global cross
-    join; the dropped set is a semi-join back onto the corpus.
+    Scale shape: the all-pairs comparison is confined to clusters — one
+    shuffle on cluster id, then a per-cluster Arrow-batched BLAS matmul
+    (O(sum of cluster sizes squared), the published algorithm's cost),
+    never a global cross join; the dropped set is a semi-join back onto
+    the corpus. Dense pairwise cosine is the hot path where JVM
+    higher-order expressions lose (interpreted per element, and they
+    recompute both norms per PAIR); the grouped matmul normalizes each
+    vector once and does the n_c × n_c similarity block in microseconds.
+    A cluster must fit one Arrow batch — that is SemDeDup's own
+    constraint (cluster size ≈ N/k; pick k accordingly, or chunk the
+    matmul inside the group for pathological clusters).
     """
+    import numpy as np
+    import pandas as pd
+
     corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, dim, iters)
@@ -482,18 +492,21 @@ def semantic_dedup(
             F.col(vec_col).alias("_v"),
             nearest_centroid(F.col(vec_col), cents).alias("cluster_id"),
         )
-        a = assigned.select(
-            "cluster_id", F.col("_id").alias("id_a"), F.col("_v").alias("va")
-        )
-        b = assigned.select(
-            "cluster_id", F.col("_id").alias("id_b"), F.col("_v").alias("vb")
-        )
-        dropped = (
-            a.join(b, "cluster_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(cosine_sim(F.col("va"), F.col("vb")) >= threshold)
-            .select(F.col("id_b").alias("_id"))
-            .distinct()
+
+        def _dropped_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pdf.iloc[0:0][["_id"]]
+            pdf = pdf.sort_values("_id")
+            mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            u = mat / nrm[:, None]
+            # [i, j] (i<j): row j has a near-dup with a smaller id
+            hit = np.triu(u @ u.T >= threshold, k=1).any(axis=0)
+            return pdf.loc[hit, ["_id"]]
+
+        dropped = assigned.groupBy("cluster_id").applyInPandas(
+            _dropped_in_cluster, "_id bigint"
         )
         out = (
             assigned.join(dropped.withColumn("_dropped", F.lit(1)), "_id", "left")
