@@ -20,6 +20,10 @@ FLAGSHIP = [
     ("io06_bucketed_colocated_join", "bucketed sort-merge join: ZERO exchanges before the final agg"),
     ("v02_ann_lsh_topk", "LSH ANN: Arrow-batched bucket UDF, equi-join on (table, bucket)"),
     ("j10_salted_skew_join", "salted join: hot key spread over (key, salt) reducers"),
+    ("io08_merge_upsert", "MERGE/CDC apply: ONE full-outer sort-merge join, filters pushed to all scans"),
+    ("x05_interval_lookup_join", "interval lookup: broadcast non-equi dim (BNLJ), zero fact shuffle"),
+    ("d12_url_canonical_dedup", "URL dedup: all regex in the scan stage, map-side-combined group-by"),
+    ("smp07_weighted_sample", "weighted sample: TakeOrdered top-k, no global sort, no shuffle"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
