@@ -270,3 +270,40 @@ def io07_orc_roundtrip(spark, sf_dir):
     out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "supplier_orc")
     s.write.mode("overwrite").orc(out)
     return spark.read.schema(s.schema).orc(out)
+
+
+@register(
+    "io09_sorted_compaction",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity,
+           l_shipdate
+    FROM lineitem
+    """,
+    category="sources",
+    doc=(
+        "compaction + clustered layout (the small-files fix): "
+        "repartitionByRange on the filter key, sortWithinPartitions, "
+        "zstd parquet with maxRecordsPerFile. Range layout gives every "
+        "file a tight min/max band on l_orderkey, so row-group/file "
+        "skipping serves point and range predicates without reading the "
+        "rest; maxRecordsPerFile bounds file size regardless of "
+        "partition skew. Identity oracle proves the rewrite is lossless."
+    ),
+)
+def io09_sorted_compaction(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        "l_shipdate",
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "lineitem_compact")
+    (
+        li.repartitionByRange(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", 50000)
+        .parquet(out)
+    )
+    return spark.read.schema(li.schema).parquet(out)
