@@ -455,3 +455,52 @@ def t16_unicode_normalize(spark, sf_dir):
         .cast("long")
         .alias("n_collapsed"),
     )
+
+
+@register(
+    "a13_content_fingerprint",
+    """
+    WITH rows_c AS (
+        SELECT o_orderstatus,
+               concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                         o_orderpriority,
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               ) AS canon
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(sha256(canon), 1, 10)) AS BIGINT))
+                AS BIGINT) AS fingerprint
+    FROM rows_c GROUP BY o_orderstatus
+    """,
+    category="llm-pipeline",
+    doc=(
+        "order-independent table content fingerprint: each row renders "
+        "to a canonical string, sha256 of it yields a 40-bit integer, "
+        "and the per-group SUM is the digest — commutative, so the "
+        "result is identical under any partitioning, ordering, or "
+        "engine, and two-phase aggregation (map-side partial sums) "
+        "makes it one narrow shuffle at any scale. This is how you "
+        "verify a 100 TB migration or a re-ingest actually preserved "
+        "content without sorting or comparing rows."
+    ),
+)
+def a13_content_fingerprint(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    v = F.conv(F.substring(F.sha2(canon, 256), 1, 10), 16, 10).cast("long")
+    return (
+        o.select(F.col("o_orderstatus"), v.alias("v"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("v").cast("long").alias("fingerprint"),
+        )
+    )
