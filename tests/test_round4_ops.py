@@ -1,0 +1,111 @@
+"""Property tests for the round-4 late operators: MERGE upsert
+invariants, URL-canonicalization idempotence, weighted-sampling bias,
+and the content fingerprint's order independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.registry import REGISTRY, _load_all
+from datalake_worker_spark.sources import load_table
+
+_load_all()
+
+
+def test_merge_upsert_row_accounting(spark, sf_dir):
+    """|merged| = |target| - |deletes| + |inserts|; updates rewrite in
+    place; deleted keys are gone; inserted keys are present."""
+    t = load_table(spark, sf_dir, "orders")
+    n_target = t.count()
+    n_del = t.filter(F.col("o_orderkey") % 31 == 0).count()
+    n_ins = t.filter(F.col("o_orderkey") % 97 == 0).count()
+    merged = REGISTRY["io08_merge_upsert"].spark_fn(spark, sf_dir)
+    assert merged.count() == n_target - n_del + n_ins
+    assert merged.filter(F.col("o_orderkey") % 31 == 0).filter(
+        F.col("o_orderkey") < 10000000
+    ).count() == 0
+    assert merged.filter(F.col("o_orderkey") >= 10000000).count() == n_ins
+    # every updated row carries the rewritten status
+    upd = merged.filter(
+        (F.col("o_orderkey") < 10000000)
+        & (F.col("o_orderkey") % 31 != 0)
+        & (F.col("o_orderkey") % 7 == 0)
+    )
+    assert upd.filter(F.col("o_orderstatus") != "U").count() == 0
+
+
+def test_url_canonicalization_idempotent(spark, sf_dir):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — a canonical
+    form must be a fixed point, else dedup keys drift across passes."""
+    from datalake_worker_spark.functions.dedup import _RAW_URL_SQL, canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr(_RAW_URL_SQL).alias("raw")
+    )
+    once = d.select(canonicalize_url(F.col("raw")).alias("u1"))
+    twice = once.select(
+        "u1", canonicalize_url(F.col("u1")).alias("u2")
+    )
+    assert twice.filter(F.col("u1") != F.col("u2")).count() == 0
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """The Efraimidis-Spirakis sample's mean weight must exceed the
+    corpus mean weight (heavier docs are proportionally likelier)."""
+    sample = REGISTRY["smp07_weighted_sample"].spark_fn(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    mean_sample = sample.agg(F.avg("n_chars")).first()[0]
+    mean_corpus = corpus.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_corpus
+
+
+def test_weighted_sample_deterministic(spark, sf_dir):
+    a = sorted(
+        r.doc_id
+        for r in REGISTRY["smp07_weighted_sample"].spark_fn(spark, sf_dir).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in REGISTRY["smp07_weighted_sample"].spark_fn(spark, sf_dir).collect()
+    )
+    assert a == b and len(a) == 100
+
+
+def test_content_fingerprint_partition_invariant(spark, sf_dir):
+    """The digest is a commutative sum: any repartitioning/ordering of
+    the input yields the identical fingerprint."""
+    base = {
+        (r.o_orderstatus, r.n_rows, r.fingerprint)
+        for r in REGISTRY["a13_content_fingerprint"].spark_fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders").repartition(7, "o_orderpriority")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    v = F.conv(F.substring(F.sha2(canon, 256), 1, 10), 16, 10).cast("long")
+    alt = {
+        (r.o_orderstatus, r.n_rows, r.fingerprint)
+        for r in o.select(F.col("o_orderstatus"), v.alias("v"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("v").cast("long").alias("fingerprint"))
+        .collect()
+    }
+    assert base == alt
+
+
+def test_nfc_normalize_collapses_decomposed(spark, sf_dir):
+    """Docs planted with the decomposed suffix (doc_id % 3 == 1) must
+    collapse by exactly one code unit; precomposed and plain docs are
+    already NFC."""
+    out = REGISTRY["t16_unicode_normalize"].spark_fn(spark, sf_dir)
+    bad = out.filter(
+        (
+            (F.col("doc_id") % 3 == 1) & (F.col("n_collapsed") != 1)
+        )
+        | ((F.col("doc_id") % 3 != 1) & (F.col("n_collapsed") != 0))
+    )
+    assert bad.count() == 0
