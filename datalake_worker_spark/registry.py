@@ -68,6 +68,7 @@ _PRIORITY_NAMES = [
     "st01_tumbling_window",
     "st02_sliding_window",
     # new in round 4 — no CORRECTNESS row yet
+    "st09_stream_stream_left_join",
     "a13_content_fingerprint",
     "io09_sorted_compaction",
     "io08_merge_upsert",

@@ -299,3 +299,66 @@ def st05_stream_static_join(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "st09_stream_stream_left_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+          AND ts <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR) p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+    category="streaming",
+    doc=(
+        "stream-stream LEFT OUTER interval join: every purchase emits — "
+        "matched rows immediately, unmatched ones as NULL once the "
+        "watermark proves no qualifying click can still arrive. The "
+        "result is restricted to the FINALIZED region (purchase ts at "
+        "least watermark-delay + interval behind the stream head): rows "
+        "past that frontier are still pending in any real stream, and a "
+        "replayed-file harness would otherwise lose them at shutdown. "
+        "Watermarks bound both join states; the frontier bound is the "
+        "deterministic-replay analog of emission time."
+    ),
+)
+def st09_stream_stream_left_join(spark, sf_dir):
+    import datetime
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    out = run_to_memory(j.select("purchase_id", "click_id", "p_ts"), "append")
+    # finalization frontier (metadata-scale scalar: one MAX over the
+    # static replay input)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    bound = max_ts - datetime.timedelta(hours=2)
+    return out.filter(F.col("p_ts") <= F.lit(bound)).select(
+        "purchase_id", "click_id"
+    )
