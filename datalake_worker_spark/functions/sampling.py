@@ -295,3 +295,54 @@ def smp07_weighted_sample(spark, sf_dir):
         .limit(100)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "smp08_domain_mixture_resample",
+    f"""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CASE WHEN source IN ('src0', 'src1') THEN 1.0
+                    WHEN source IN ('src2', 'src3') THEN 0.5
+                    ELSE 0.25 END AS rate
+        FROM documents
+    )
+    SELECT source, CAST(MAX(rate) AS DOUBLE) AS rate,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN {_U01} < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(MIN(CASE WHEN {_U01} < rate THEN doc_id END) AS BIGINT)
+               AS first_sampled
+    FROM rated GROUP BY source
+    """,
+    category="llm-sampling",
+    doc=(
+        "domain mixture resampling (training-mix control): each source "
+        "gets a target acceptance rate — here a literal CASE; in "
+        "production a solver-produced weights table broadcast onto the "
+        "corpus — and rows are kept when the keyed-hash uniform "
+        "u(doc_id) falls under the rate. Deterministic under re-runs "
+        "and any partitioning (no rand()), single narrow scan + one "
+        "map-side-combined aggregate; composing with smp05's "
+        "temperature rates covers the count^alpha balancing family."
+    ),
+)
+def smp08_domain_mixture_resample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(1.0))
+        .when(F.col("source").isin("src2", "src3"), F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    u = F.expr(_U01)
+    picked = u < F.col("rate")
+    return (
+        d.select("doc_id", "source", rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.max("rate").cast("double").alias("rate"),
+            F.count("*").alias("n_total"),
+            F.sum(F.when(picked, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.min(F.when(picked, F.col("doc_id"))).cast("long").alias("first_sampled"),
+        )
+    )

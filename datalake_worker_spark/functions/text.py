@@ -451,3 +451,79 @@ def t05_fingerprint(spark, sf_dir):
         content_fp.alias("content_fp"),
         winnow_fp.alias("winnow_fp"),
     )
+
+
+@register(
+    "t17_quality_filter_verdict",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(c * length(tok)) AS DOUBLE) / SUM(c), 6) AS mean_tok_len,
+               ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_token_ratio,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, mean_tok_len, dup_token_ratio, top_token_frac,
+           (n_tokens BETWEEN 20 AND 1000) AND (mean_tok_len BETWEEN 2.0 AND 12.0)
+               AND dup_token_ratio <= 0.5 AND top_token_frac <= 0.2 AS keep,
+           concat_ws(',',
+               CASE WHEN n_tokens NOT BETWEEN 20 AND 1000 THEN 'length' END,
+               CASE WHEN mean_tok_len NOT BETWEEN 2.0 AND 12.0 THEN 'word_len' END,
+               CASE WHEN dup_token_ratio > 0.5 THEN 'dup_tokens' END,
+               CASE WHEN top_token_frac > 0.2 THEN 'top_token' END) AS reasons
+    FROM sig
+    """,
+    category="llm-text",
+    doc=(
+        "combined quality-filter verdict (Gopher/C4-style rule stack): "
+        "token-count bounds, mean word length bounds, duplicate-token "
+        "and top-token-dominance thresholds fold into one keep/drop "
+        "decision with machine-readable failure reasons. One explode + "
+        "one two-phase aggregate computes every signal — the pipeline "
+        "endpoint form of t02/t12: a corpus filter you can apply "
+        "verbatim at 100 TB (narrow shuffle keyed on doc_id, no text "
+        "movement after tokenization)."
+    ),
+)
+def t17_quality_filter_verdict(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(whitespace_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    sig = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("c") * F.length("tok")).cast("double") / F.sum("c"), 6
+        ).alias("mean_tok_len"),
+        F.round(1.0 - F.count("*").cast("double") / F.sum("c"), 6).alias(
+            "dup_token_ratio"
+        ),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_token_frac"),
+    )
+    ok_len = F.col("n_tokens").between(20, 1000)
+    ok_wlen = F.col("mean_tok_len").between(2.0, 12.0)
+    ok_dup = F.col("dup_token_ratio") <= 0.5
+    ok_top = F.col("top_token_frac") <= 0.2
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "dup_token_ratio",
+        "top_token_frac",
+        (ok_len & ok_wlen & ok_dup & ok_top).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(~ok_len, F.lit("length")),
+            F.when(~ok_wlen, F.lit("word_len")),
+            F.when(~ok_dup, F.lit("dup_tokens")),
+            F.when(~ok_top, F.lit("top_token")),
+        ).alias("reasons"),
+    )
