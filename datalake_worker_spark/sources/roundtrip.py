@@ -307,3 +307,54 @@ def io09_sorted_compaction(spark, sf_dir):
         .parquet(out)
     )
     return spark.read.schema(li.schema).parquet(out)
+
+
+@register(
+    "io10_corrupt_json_handling",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS good_id_sum
+    FROM documents
+    """,
+    category="sources",
+    doc=(
+        "malformed-input resilience: a JSONL feed where every tenth "
+        "record is truncated mid-object (planted deterministically) read "
+        "under PERMISSIVE mode — bad lines land in _corrupt_record "
+        "instead of failing the job, good rows parse normally. The "
+        "oracle checks total/corrupt counts and the id-sum of the "
+        "surviving rows. At 100 TB ingest this is the difference "
+        "between quarantining 0.1% of a crawl and losing the batch; "
+        "FAILFAST/DROPMALFORMED are the same reader one option away."
+    ),
+)
+def io10_corrupt_json_handling(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "docs_jsonl")
+    # plant: every 10th record loses its closing brace (truncated write)
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit('"')).otherwise(F.lit('"}')),
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("doc_id bigint, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("good_id_sum"),
+    )
