@@ -176,6 +176,35 @@ def io05_schema_evolution_merge(spark, sf_dir):
     )
 
 
+def merge_upsert(target, changes, key: str, set_cols: dict[str, str]):
+    """Apply a CDC change feed to a snapshot — MERGE INTO semantics as
+    ONE full-outer join (no table format required).
+
+    ``changes`` must carry the join ``key``, an ``op`` column
+    ('U' update / 'D' delete / 'I' insert), and the new-value columns
+    named in ``set_cols`` (target column → change column). Matched 'D'
+    rows drop, matched 'U' rows rewrite the mapped columns, unmatched
+    'I' rows append (unmapped columns surface as NULL). Single shuffle
+    on the key; bucket the target on the key (io06) to remove even that.
+    """
+    chg = changes.withColumnRenamed(key, "_mk")
+    merged = target.join(chg, target[key] == F.col("_mk"), "full_outer")
+    upserted = F.col("op").isin("U", "I")
+    out_cols = []
+    for c in target.columns:
+        if c == key:
+            out_cols.append(F.coalesce(F.col("_mk"), target[key]).alias(key))
+        elif c in set_cols:
+            out_cols.append(
+                F.when(upserted, F.col(set_cols[c])).otherwise(target[c]).alias(c)
+            )
+        else:
+            out_cols.append(target[c])
+    return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        *out_cols
+    )
+
+
 @register(
     "io08_merge_upsert",
     """
@@ -232,21 +261,19 @@ def io08_merge_upsert(spark, sf_dir):
         F.lit("N").alias("new_status"),
         F.col("o_totalprice").alias("new_price"),
     )
-    chg = deletes.unionByName(updates).unionByName(inserts)
-    merged = t.join(chg, t["o_orderkey"] == chg["k"], "full_outer")
-    upserted = F.col("op").isin("U", "I")
-    return (
-        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
-        .select(
-            F.coalesce(F.col("k"), t["o_orderkey"]).alias("o_orderkey"),
-            F.when(upserted, F.col("new_status"))
-            .otherwise(t["o_orderstatus"])
-            .alias("o_orderstatus"),
-            F.when(upserted, F.col("new_price"))
-            .otherwise(t["o_totalprice"])
-            .cast("double")
-            .alias("o_totalprice"),
-        )
+    chg = (
+        deletes.unionByName(updates)
+        .unionByName(inserts)
+        .withColumnRenamed("k", "o_orderkey")
+    )
+    out = merge_upsert(
+        t.withColumn("o_totalprice", F.col("o_totalprice").cast("double")),
+        chg,
+        "o_orderkey",
+        {"o_orderstatus": "new_status", "o_totalprice": "new_price"},
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
     )
 
 

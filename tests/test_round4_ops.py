@@ -109,3 +109,52 @@ def test_nfc_normalize_collapses_decomposed(spark, sf_dir):
         | ((F.col("doc_id") % 3 != 1) & (F.col("n_collapsed") != 0))
     )
     assert bad.count() == 0
+
+
+def _mk_target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, tag string, val double",
+    )
+
+
+def _mk_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, op string, new_tag string, new_val double"
+    )
+
+
+def test_merge_upsert_empty_changes_is_identity(spark):
+    from datalake_worker_spark.sources.roundtrip import merge_upsert
+
+    t = _mk_target(spark)
+    out = merge_upsert(
+        t, _mk_changes(spark, []), "id", {"tag": "new_tag", "val": "new_val"}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, t.collect()))
+
+
+def test_merge_upsert_all_ops(spark):
+    from datalake_worker_spark.sources.roundtrip import merge_upsert
+
+    t = _mk_target(spark)
+    chg = _mk_changes(
+        spark,
+        [
+            (1, "D", None, None),
+            (2, "U", "B", 200.0),
+            (9, "I", "z", 90.0),
+        ],
+    )
+    out = merge_upsert(t, chg, "id", {"tag": "new_tag", "val": "new_val"})
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(2, "B", 200.0), (3, "c", 30.0), (9, "z", 90.0)]
+
+
+def test_merge_upsert_delete_everything(spark):
+    from datalake_worker_spark.sources.roundtrip import merge_upsert
+
+    t = _mk_target(spark)
+    chg = _mk_changes(spark, [(1, "D", None, None), (2, "D", None, None), (3, "D", None, None)])
+    out = merge_upsert(t, chg, "id", {"tag": "new_tag", "val": "new_val"})
+    assert out.count() == 0
