@@ -131,3 +131,72 @@ def m03_frame_sample(spark, sf_dir):
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     )
+
+
+AUDIO_WINDOW = 32
+
+
+@register(
+    "m04_audio_window_energy",
+    f"""
+    SELECT doc_id,
+           CAST(widx AS INTEGER) AS window_idx,
+           CAST(least({AUDIO_WINDOW}, strlen(text) - widx * {AUDIO_WINDOW})
+                AS BIGINT) AS n_samples,
+           CAST(list_sum([ord(substr(text, widx * {AUDIO_WINDOW} + i, 1)) ** 2
+                          FOR i IN range(1, least({AUDIO_WINDOW},
+                              strlen(text) - widx * {AUDIO_WINDOW}) + 1)])
+                AS BIGINT) AS sum_sq
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(strlen(text) / {AUDIO_WINDOW}.0) AS BIGINT)))
+                   AS widx
+        FROM documents WHERE doc_id < 50
+    )
+    """,
+    category="llm-multimodal",
+    doc=(
+        "audio feature extraction plumbing: binary payloads stream "
+        "through mapInPandas as Arrow batches, each interpreted as "
+        "uint8 PCM samples and reduced to per-window energy (sum of "
+        "squares over 32-sample windows — the RMS/VAD core). Output is "
+        "exact integers, so the oracle replays the identical "
+        "computation over the byte values. Swap the frombuffer stub "
+        "for a real audio decode and the plan shape — partition-local "
+        "Python, one output row per (doc, window), no shuffle — is "
+        "unchanged at any scale."
+    ),
+)
+def m04_audio_window_energy(spark, sf_dir):
+    import numpy as np
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .withColumn("payload", F.encode("text", "utf-8"))
+        .select("doc_id", "payload")
+    )
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widxs, ns, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for w in range(0, (len(samples) + AUDIO_WINDOW - 1) // AUDIO_WINDOW):
+                    chunk = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+                    ids.append(doc_id)
+                    widxs.append(w)
+                    ns.append(len(chunk))
+                    sums.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_sq": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        energy, "doc_id long, window_idx int, n_samples long, sum_sq long"
+    )
