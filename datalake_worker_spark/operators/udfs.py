@@ -111,3 +111,45 @@ def p03_grouped_agg_pandas(spark, sf_dir):
             "weighted_avg_price"
         )
     )
+
+
+@register(
+    "p04_python_udtf",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS token,
+           CAST(length(unnest(string_split(text, ' '))) AS INTEGER) AS token_len
+    FROM documents
+    WHERE doc_id < 20
+    """,
+    category="pandas-udf",
+    doc=(
+        "Python UDTF (table function, SQL LATERAL): one input row fans "
+        "out to one row per token with position and length — the "
+        "user-extensible analog of posexplode for logic a builtin can't "
+        "express (parsers, tokenizers, segmenters). Runs per-partition "
+        "in the Python worker, no shuffle; prefer mapInPandas/explode "
+        "when the expansion IS expressible (s05/s06) — the UDTF is the "
+        "API-surface escape hatch, demonstrated here against the "
+        "equivalent relational oracle."
+    ),
+)
+def p04_python_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("dlw_split_tokens", SplitTokens)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("dlw_p04_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token, t.token_len
+        FROM dlw_p04_docs, LATERAL dlw_split_tokens(text) t
+        """
+    )
