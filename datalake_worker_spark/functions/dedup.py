@@ -662,3 +662,37 @@ def d12_url_canonical_dedup(spark, sf_dir):
             F.count("*").alias("n_dups"),
         )
     )
+
+
+@register(
+    "d13_near_dup_keep_list",
+    None,  # MinHash-candidate-based (declared-approximate family); property-tested
+    category="llm-dedup",
+    doc=(
+        "end-to-end near-dedup (the operator a production corpus run "
+        "actually executes): MinHash+LSH pairs (d04's capped bucket "
+        "construction) feed connected components (d10's pointer-jumping "
+        "min-label propagation), every document keeps its cluster's "
+        "minimum id, and the keep-list is (doc_id, cluster_rep, keep). "
+        "Transitive near-dups collapse to ONE survivor per cluster — "
+        "pairwise dropping would keep chains alive. Composition of two "
+        "verified scale shapes; no new shuffle beyond theirs."
+    ),
+)
+def d13_near_dup_keep_list(spark, sf_dir):
+    from .graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = docs.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id"), F.col("component")),
+        "doc_id",
+        "left",
+    )
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        (rep == F.col("doc_id")).alias("keep"),
+    )

@@ -158,3 +158,29 @@ def test_merge_upsert_delete_everything(spark):
     chg = _mk_changes(spark, [(1, "D", None, None), (2, "D", None, None), (3, "D", None, None)])
     out = merge_upsert(t, chg, "id", {"tag": "new_tag", "val": "new_val"})
     assert out.count() == 0
+
+
+def test_near_dup_keep_list_transitive_collapse(spark):
+    """A~B and B~C (each pair over threshold) but A~C below it: the
+    keep-list must still collapse the whole chain to one survivor —
+    that's what the connected-components stage buys over pairwise
+    dropping."""
+    from datalake_worker_spark.functions.dedup import near_dup_pairs_minhash
+    from datalake_worker_spark.functions.graph import connected_components
+
+    base = [f"w{i}" for i in range(30)]
+    b = list(base); b[0], b[1] = "x0", "x1"
+    c = list(b); c[2], c[3] = "y2", "y3"
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(b)),
+        (3, " ".join(c)),
+        (4, " ".join(f"z{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labels = {r.node: r.component for r in comp.collect()}
+    # the chain 1-2-3 is one component rooted at 1; 4 is untouched
+    assert labels.get(1, 1) == 1 and labels[2] == 1 and labels[3] == 1
+    assert 4 not in labels
