@@ -153,3 +153,50 @@ def p04_python_udtf(spark, sf_dir):
         FROM dlw_p04_docs, LATERAL dlw_split_tokens(text) t
         """
     )
+
+
+@register(
+    "w09_ewma_smoothing",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, rn, value AS ewma FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, 0.25 * s.value + 0.75 * r.ewma
+        FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ewma FROM r
+    """,
+    category="window",
+    doc=(
+        "per-key exponential moving average (the sequential recurrence "
+        "no SQL window frame expresses): one grouped-map pandas pass per "
+        "user, events sorted by (ts, event_id), e_n = a*v_n + (1-a)*e_(n-1) "
+        "with a=0.25. One shuffle on the key, state is a single float per "
+        "group — the batch twin of the applyInPandasWithState streaming "
+        "op (st06). The identical operation order on both sides makes "
+        "the doubles bit-reproducible, so the oracle (a recursive CTE) "
+        "hash-matches without rounding."
+    ),
+)
+def w09_ewma_smoothing(spark, sf_dir):
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        e = None
+        out = []
+        for v in pdf["value"]:
+            e = v if e is None else 0.25 * v + 0.75 * e
+            out.append(e)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": out}
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id bigint, event_id bigint, ewma double"
+    )
