@@ -385,3 +385,57 @@ def io10_corrupt_json_handling(spark, sf_dir):
         .cast("long")
         .alias("good_id_sum"),
     )
+
+
+@register(
+    "io11_dynamic_partition_overwrite",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority = 'REWRITTEN' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rewritten
+    FROM (
+        SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderstatus, 'REWRITTEN' AS o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    )
+    GROUP BY o_orderstatus
+    """,
+    category="sources",
+    doc=(
+        "dynamic partition overwrite (partitionOverwriteMode=dynamic): a "
+        "second write that produces only the 'F' partition replaces ONLY "
+        "that partition — untouched partitions survive byte-for-byte, no "
+        "read-modify-write of the table. This is the incremental-backfill "
+        "primitive: at 100 TB you rewrite the day/segment that changed, "
+        "never the table. Static mode (the default) would have dropped "
+        "every other partition; the oracle encodes the expected merged "
+        "state."
+    ),
+)
+def io11_dynamic_partition_overwrite(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "orders_dyn")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+            .withColumn("o_orderpriority", F.lit("REWRITTEN"))
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("o_orderpriority") == "REWRITTEN").cast("long"))
+        .cast("long")
+        .alias("n_rewritten"),
+    )
