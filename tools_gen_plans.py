@@ -24,6 +24,8 @@ FLAGSHIP = [
     ("x05_interval_lookup_join", "interval lookup: broadcast non-equi dim (BNLJ), zero fact shuffle"),
     ("d12_url_canonical_dedup", "URL dedup: all regex in the scan stage, map-side-combined group-by"),
     ("smp07_weighted_sample", "weighted sample: TakeOrdered top-k, no global sort, no shuffle"),
+    ("w09_ewma_smoothing", "EWMA recurrence: FlatMapGroupsInPandas, ONE exchange on the key"),
+    ("a13_content_fingerprint", "content fingerprint: partial-agg sha-sum, one narrow shuffle"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
