@@ -538,3 +538,45 @@ def d11_semantic_dedup(spark, sf_dir):
         "vec_id", to_double_array("embedding").alias("v")
     )
     return semantic_dedup(e, "vec_id", "v", n_clusters=8, dim=64, iters=1)
+
+
+@register(
+    "v06_cosine_range_search",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20)
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv, e.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+        FROM q JOIN e ON q.query_id <> e.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+    category="llm-similarity",
+    doc=(
+        "cosine range (radius) search: ALL corpus neighbors with "
+        "similarity >= 0.3 for each probe — the retrieval mode top-k "
+        "can't emulate when the answer-set size is unknown (dedup "
+        "candidates, recall-oriented retrieval). Same scale shape as "
+        "v01: probes broadcast, corpus streamed once, the threshold "
+        "filter runs in the scan stage so only qualifying pairs "
+        "materialize; LSH/IVF bucketing (v02/v04) is the same-shaped "
+        "approximate accelerator when the corpus outgrows brute force."
+    ),
+)
+def v06_cosine_range_search(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    cos = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
