@@ -317,6 +317,30 @@ class ChunkCatalog:
         if self._state_cache is not None:
             self._state_cache[rec["chunk_id"]] = rec
 
+    @property
+    def version(self) -> int:
+        """The latest committed seq — pass to ``state_as_of`` /
+        ``list_chunks_as_of`` to address this point in history later."""
+        return self._seq
+
+    def state_as_of(self, seq: int) -> dict[str, dict]:
+        """Time travel: fold only log records with ``seq`` ≤ the given
+        version — the catalog state as it was at that commit. The
+        append-only log makes every historical state reconstructable
+        (the lakehouse time-travel property); compaction (``compact``)
+        truncates history, so pin a version before compacting if it
+        must stay addressable."""
+        state: dict[str, dict] = {}
+        for rec in sorted(self.backend.read_records(), key=lambda r: r["seq"]):
+            if rec["seq"] <= seq:
+                state[rec["chunk_id"]] = rec
+        return state
+
+    def list_chunks_as_of(self, seq: int, state: str = ACTIVE) -> list[str]:
+        return sorted(
+            cid for cid, r in self.state_as_of(seq).items() if r["state"] == state
+        )
+
     def refresh(self) -> None:
         """Drop the cache (pick up records from other writers)."""
         self._state_cache = None

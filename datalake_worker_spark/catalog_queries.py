@@ -195,3 +195,41 @@ def lk05_query_through_chunk(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "lk06_time_travel_listing",
+    f"""
+    WITH {_SQL_CHUNKS_CTE}
+    SELECT chunk_id,
+           TRUE AS active_as_of_v10,
+           name NOT IN ('events', 'documents') AS active_now
+    FROM chunks
+    """,
+    category="lake-core",
+    doc=(
+        "time travel over the append-only metadata log: catalog state as "
+        "of commit N is the fold of records with seq <= N, so a listing "
+        "taken at version 10 (all chunks registered, none deleted) "
+        "coexists with the current state (two chunks deleted since). "
+        "The lakehouse time-travel property, derived from the same log "
+        "that gives the reference-mapped lifecycle its D4 visibility "
+        "barrier; compaction truncates history and is therefore a "
+        "version-retention decision."
+    ),
+)
+def lk06_time_travel_listing(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    v_registered = cat.version  # after all 10 registrations, before deletes
+    for name in ("events", "documents"):
+        cat.schedule_delete(_sha256_hex(name))
+    cat.vacuum()
+    as_of = set(cat.list_chunks_as_of(v_registered))
+    now = set(cat.list_chunks())
+    rows = [
+        (cid, cid in as_of, cid in now)
+        for cid in sorted(_sha256_hex(n) for n in _CHUNK_TABLES)
+    ]
+    return spark.createDataFrame(
+        rows, "chunk_id string, active_as_of_v10 boolean, active_now boolean"
+    )
