@@ -68,6 +68,7 @@ _PRIORITY_NAMES = [
     "st01_tumbling_window",
     "st02_sliding_window",
     # new in round 4 — no CORRECTNESS row yet
+    "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",
     "io11_dynamic_partition_overwrite",

@@ -362,3 +362,75 @@ def st09_stream_stream_left_join(spark, sf_dir):
     return out.filter(F.col("p_ts") <= F.lit(bound)).select(
         "purchase_id", "click_id"
     )
+
+
+@register(
+    "st10_streaming_cdc_apply",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id
+    """,
+    category="streaming",
+    doc=(
+        "streaming CDC apply (the incremental materialized table): the "
+        "event feed replays as FOUR micro-batches (maxFilesPerTrigger=1 "
+        "over a 4-file landing dir), and each foreachBatch merges its "
+        "per-key delta into the running snapshot with one full-outer "
+        "join — new keys insert, existing keys accumulate — writing a "
+        "new snapshot version per batch (atomic swap, readers never see "
+        "a partial merge). Totals ride DECIMAL, so the result is exact "
+        "and independent of batch order/count; the oracle is the "
+        "all-at-once batch aggregate, which incremental maintenance "
+        "must equal. At 100 TB the merge is one co-partitioned join of "
+        "snapshot × per-batch delta — bucket the snapshot on the key "
+        "(io06) and the shuffle disappears."
+    ),
+)
+def st10_streaming_cdc_apply(spark, sf_dir):
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="dlw_cdc_")
+    landing = os.path.join(root, "landing")
+    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(landing)
+
+    state = {"path": None, "version": 0}
+
+    def apply_batch(df, epoch_id: int):
+        delta = df.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_delta")
+        )
+        if state["path"] is None:
+            merged = delta.select(
+                "user_id", F.col("_delta").cast("decimal(28,2)").alias("total")
+            )
+        else:
+            cur = df.sparkSession.read.parquet(state["path"])
+            merged = cur.join(delta, "user_id", "full_outer").select(
+                "user_id",
+                (
+                    F.coalesce(F.col("total"), F.lit(0).cast("decimal(28,2)"))
+                    + F.coalesce(F.col("_delta"), F.lit(0).cast("decimal(18,2)"))
+                )
+                .cast("decimal(28,2)")
+                .alias("total"),
+            )
+        state["version"] += 1
+        out = os.path.join(root, f"v{state['version']}")
+        merged.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    schema = spark.read.parquet(landing).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state["path"])
+    return final.select("user_id", F.col("total").cast("double").alias("total"))
