@@ -185,11 +185,9 @@ def p04_python_udtf(spark, sf_dir):
 def w09_ewma_smoothing(spark, sf_dir):
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        e = None
-        out = []
-        for v in pdf["value"]:
-            e = v if e is None else 0.25 * v + 0.75 * e
-            out.append(e)
+        # adjust=False is exactly e_n = a*v_n + (1-a)*e_{n-1} — the same
+        # operation order as the oracle's recursion, vectorized in C
+        out = pdf["value"].ewm(alpha=0.25, adjust=False).mean()
         return pd.DataFrame(
             {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": out}
         )
