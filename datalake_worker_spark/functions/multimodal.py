@@ -200,3 +200,76 @@ def m04_audio_window_energy(spark, sf_dir):
     return d.mapInPandas(
         energy, "doc_id long, window_idx int, n_samples long, sum_sq long"
     )
+
+
+IMG_W = 16  # fake row-major image width (bytes per row)
+PATCH = 8  # ViT-style square patch side
+
+
+@register(
+    "m05_image_patchify",
+    f"""
+    SELECT doc_id,
+           CAST(pr AS INTEGER) AS patch_row,
+           CAST(pc AS INTEGER) AS patch_col,
+           CAST(list_sum([ord(substr(text,
+                    (pr * {PATCH} + i // {PATCH}) * {IMG_W}
+                        + pc * {PATCH} + (i % {PATCH}) + 1, 1))
+                FOR i IN range({PATCH * PATCH})]) AS BIGINT) AS sum_px
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, strlen(text) // ({IMG_W} * {PATCH}))) AS pr
+        FROM documents WHERE doc_id < 50
+    ) CROSS JOIN LATERAL (SELECT unnest(range({IMG_W} // {PATCH})) AS pc) g
+    """,
+    category="llm-multimodal",
+    doc=(
+        "ViT-style image patchify plumbing: each binary payload is "
+        "interpreted as a row-major W=16 uint8 image, cut into 8x8 "
+        "patches (complete patches only), and reduced to per-patch "
+        "pixel sums — the patch-embedding front half of any vision "
+        "tower. mapInPandas over Arrow batches, partition-local, one "
+        "output row per patch, no shuffle; swap the byte-grid stub for "
+        "a real image decode and the plan is unchanged. Exact integers, "
+        "so the oracle replays the identical indexing over the bytes."
+    ),
+)
+def m05_image_patchify(spark, sf_dir):
+    import numpy as np
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .withColumn("payload", F.encode("text", "utf-8"))
+        .select("doc_id", "payload")
+    )
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, prs, pcs, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                h = len(px) // IMG_W  # complete rows only
+                img = px[: h * IMG_W].reshape(h, IMG_W)
+                for pr in range(h // PATCH):
+                    for pc in range(IMG_W // PATCH):
+                        patch = img[
+                            pr * PATCH : (pr + 1) * PATCH,
+                            pc * PATCH : (pc + 1) * PATCH,
+                        ]
+                        ids.append(doc_id)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        sums.append(int(patch.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "patch_row": pd.Series(prs, dtype="int32"),
+                    "patch_col": pd.Series(pcs, dtype="int32"),
+                    "sum_px": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        patchify, "doc_id long, patch_row int, patch_col int, sum_px long"
+    )

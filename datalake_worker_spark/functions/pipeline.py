@@ -9,6 +9,8 @@ natural text), and every aggregation is two-phase (map-side partial)."""
 
 from __future__ import annotations
 
+import struct
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -504,3 +506,310 @@ def a13_content_fingerprint(spark, sf_dir):
             F.sum("v").cast("long").alias("fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking, graded decontamination, bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 40
+CHUNK_STRIDE = 30
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / embedding-prep
+    primitive): overlapping ``chunk_words``-word windows advancing by
+    ``stride``, last window always reaching the end of the document.
+
+    Returns (id, chunk_id, chunk, n_words). Words materialize once per
+    row, then a single posexplode emits every chunk — narrow, zero
+    shuffles, embarrassingly parallel at any corpus size. Start
+    positions stop once a window covers the tail (``1 + ceil((n - W)/S)``
+    starts), so no chunk is a strict suffix of its predecessor."""
+    w = df.select(F.col(id_col), whitespace_tokens(text_col).alias("_w"))
+    n = F.size("_w")
+    n_chunks = (
+        F.lit(1)
+        + F.when(
+            n > chunk_words,
+            F.ceil((n - chunk_words) / F.lit(float(stride))),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    return w.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(F.col("_w"), i * stride + 1, chunk_words),
+            )
+        ).alias("chunk_id", "_c"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.concat_ws(" ", "_c").alias("chunk"),
+        F.size("_c").cast("bigint").alias("n_words"),
+    )
+
+
+@register(
+    "t18_document_chunking",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, words,
+               1 + CASE WHEN len(words) > 40
+                        THEN CAST(ceil((len(words) - 40) / 30.0) AS BIGINT)
+                        ELSE 0 END AS n_chunks
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           array_to_string(words[(i*30+1):(i*30+40)], ' ') AS chunk,
+           CAST(len(words[(i*30+1):(i*30+40)]) AS BIGINT) AS n_words
+    FROM c CROSS JOIN LATERAL (SELECT unnest(range(n_chunks)) AS i) g
+    """,
+    category="llm-pipeline",
+    doc=(
+        "sliding-window chunking for RAG/embedding prep: 40-word windows "
+        "with 30-word stride (10-word overlap), last window anchored to "
+        "the document tail. One tokenize + one posexplode per document — "
+        "no shuffle, no UDF; output scales linearly with corpus tokens, "
+        "exactly the plan you want feeding a 100 TB embedding job."
+    ),
+)
+def t18_document_chunking(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text")
+
+
+def ngram_overlap_score(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Graded contamination: per corpus document, the fraction of its
+    distinct word ``n``-grams that appear anywhere in the benchmark set
+    (d09's binary flag generalized to the score thresholded in real
+    pipelines, e.g. "drop if >80% of 5-grams overlap").
+
+    Returns (id, n_total, n_matched, overlap_score) for every corpus
+    document. Same scale shape as d09 — grams become xxhash64 longs, the
+    benchmark side DISTINCT-collapses to its vocabulary before the join
+    (broadcast when it fits), and the per-doc total/matched counts are
+    two-phase aggregates; the score divides two exact BIGINTs."""
+    from .dedup import shingles_from_words
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode(
+                    shingles_from_words(whitespace_tokens(text_col), n)
+                ).alias("_g"),
+            )
+            .select(id_col, F.xxhash64("_g").alias("gram"))
+            .distinct()
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    cg = grams(corpus)
+    totals = cg.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    matched = (
+        cg.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        totals.join(matched, id_col, "left")
+        .select(
+            id_col,
+            "n_total",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) / F.col("n_total"), 6
+            ).alias("overlap_score"),
+        )
+    )
+
+
+@register(
+    "t19_ngram_overlap_score",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[(i+1):(i+5)], ' ')
+                          for i in range(len(words)-4)] END AS grams
+        FROM w
+    ),
+    bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+    cg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g
+           WHERE doc_id % 20 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_total FROM cg GROUP BY doc_id),
+    m AS (SELECT doc_id, COUNT(*) AS n_matched
+          FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+    SELECT tot.doc_id,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+           ROUND(COALESCE(n_matched, 0) / CAST(n_total AS DOUBLE), 6)
+               AS overlap_score
+    FROM tot LEFT JOIN m USING (doc_id)
+    """,
+    category="llm-pipeline",
+    doc=(
+        "graded test-set contamination score: fraction of each corpus "
+        "document's distinct 5-grams found in the benchmark subset "
+        "(doc_id %% 20 = 0). d09 flags any overlap; real pipelines "
+        "threshold this ratio. Exact integer counts, one gram join."
+    ),
+)
+def t19_ngram_overlap_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return ngram_overlap_score(corpus, bench, "doc_id", "text", n=5)
+
+
+def _bloom_positions(gram: Column, k: int, m_bits: int) -> Column:
+    """The k bit positions of ``gram`` (a 64-bit hash) in an m-bit Bloom
+    filter: position_i = pmod(xxhash64(gram, i), m). Same expression on
+    the build and probe side, so membership has zero false negatives."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(F.xxhash64(gram, i), F.lit(m_bits)),
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark's n-gram vocabulary is
+    folded into one m-bit Bloom filter built as a distributed bitmap
+    aggregate — each gram explodes to its k bit positions, positions
+    group by 64-bit word index, and ``bit_or`` folds each word — then the
+    (word_idx -> bits) map broadcasts as one row and every corpus gram
+    probes it with pure JVM expressions (no join against the vocabulary).
+
+    Returns (id, n_candidate) for documents with >=1 probable benchmark
+    gram. Zero false negatives (identical hash family on both sides);
+    false-positive rate ~(1-e^(-kn/m))^k — ~0.8%% at n=100k, m=2^20,
+    k=7. The 100 TB shape: the exact-join pass (d09) shuffles the corpus
+    gram table against the vocabulary, while the bloom pass ships a
+    ~130 KB bitmap to every executor and filters map-side; the surviving
+    candidates (a tiny fraction) are then exact-verified. The build is
+    two-phase (map-side partial bit_or), so no single node ever sees the
+    whole vocabulary; only the finished bitmap (m/8 bytes of model
+    state, like the IVF centroids in similarity.py) passes through the
+    driver and is re-shipped as ONE BinaryType literal — a single py4j
+    value and a single Catalyst node, so construction and analysis stay
+    O(1) in m (an array<bigint> literal paid ~9 s of per-element py4j
+    calls plus O(m) analysis; a MapType column linear-scanned 16k
+    entries per probe). Probes read one byte with
+    substring/hex/conv — O(1), all JVM.
+
+    Neither side pays a pre-shuffle DISTINCT: bit_or is idempotent so
+    duplicate build grams set the same bits, and the probe filters
+    BEFORE deduplicating — the only shuffle in the whole pass carries
+    the surviving (doc, gram) candidates, not the corpus gram stream.
+    Mirrors Spark's own runtime bloom pruning."""
+    from .dedup import shingles_from_words
+
+    def grams(df: DataFrame) -> DataFrame:
+        # raw (id, gram) stream — deliberately NOT distinct, see above
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                shingles_from_words(whitespace_tokens(text_col), n)
+            ).alias("_g"),
+        ).select(id_col, F.xxhash64("_g").alias("gram"))
+
+    one = F.lit(1).cast("long")
+    entries = (
+        grams(benchmark)
+        .select(F.explode(_bloom_positions(F.col("gram"), k, m_bits)).alias("p"))
+        .select(
+            F.shiftright("p", 6).cast("int").alias("widx"),
+            F.call_function(
+                "shiftleft", one, F.pmod("p", F.lit(64)).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()  # model state: <= m/64 longs (~128 KB at m=2^20)
+    )
+    # pack little-endian: global bit p lives at byte p>>3, bit p&7
+    bitmap = bytearray(m_bits // 8)
+    for r in entries:
+        bitmap[8 * r["widx"] : 8 * r["widx"] + 8] = struct.pack(
+            "<q", r["bits"]
+        )
+    bf = F.lit(bytes(bitmap))
+
+    def _byte_at(p: Column) -> Column:
+        return F.conv(
+            F.hex(F.substring(bf, F.shiftright(p, 3).cast("int") + 1, 1)),
+            16,
+            10,
+        ).cast("int")
+
+    hit = F.forall(
+        _bloom_positions(F.col("gram"), k, m_bits),
+        lambda p: (
+            _byte_at(p).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1), F.pmod(p, F.lit(8)).cast("int")
+                )
+            )
+            != 0
+        ),
+    )
+    return (
+        grams(corpus)
+        .filter(hit)
+        .distinct()  # dedup only the survivors (exact candidate-gram count)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_candidate"))
+    )
+
+
+@register(
+    "d14_bloom_decontamination",
+    None,  # bloom probes are probabilistic (FPR > 0): rows-only by design;
+    # the pytest property asserts zero false negatives vs the exact d09 join
+    # and a bounded candidate inflation.
+    category="llm-pipeline",
+    doc=(
+        "decontamination via broadcast Bloom filter instead of a "
+        "vocabulary join: benchmark 5-grams fold into a 2^20-bit bitmap "
+        "via two-phase bit_or aggregation (~130 KB), corpus grams probe "
+        "it map-side with pure expressions. No false negatives; candidates "
+        "exact-verified downstream. At 100 TB this replaces the "
+        "decontamination shuffle entirely."
+    ),
+)
+def d14_bloom_decontamination(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return bloom_decontaminate(corpus, bench, "doc_id", "text", n=5)

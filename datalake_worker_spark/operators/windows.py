@@ -364,3 +364,71 @@ def w08_time_grid_fill(spark, sf_dir):
     return grid.join(counts, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
+
+
+@register(
+    "w10_rolling_zscore",
+    """
+    WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               COUNT(*) OVER fr AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sxx
+        FROM events
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(value AS DOUBLE) AS value,
+           CAST(cnt AS BIGINT) AS n_window,
+           ROUND((value - sx / cnt)
+                 / sqrt((sxx - sx * sx / cnt) / (cnt - 1)), 6) AS zscore
+    FROM s
+    WHERE cnt >= 12
+      AND (sxx - sx * sx / cnt) / (cnt - 1) > 1e-12
+      AND abs((value - sx / cnt)
+              / sqrt((sxx - sx * sx / cnt) / (cnt - 1))) > 2.0
+    """,
+    doc=(
+        "rolling z-score anomaly detection: per-user trailing-20-event "
+        "window (excluding the current row), events more than 2 sigma "
+        "from the trailing mean are flagged. Moments are DECIMAL-exact "
+        "sums over the frame (a10's order-independence trick applied to "
+        "window frames), so both engines compute bit-identical "
+        "statistics. One shuffle on user_id; each user's timeline is "
+        "processed independently — the standard telemetry/quality-drift "
+        "monitor shape at any event volume."
+    ),
+)
+def w10_rolling_zscore(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count("*").over(fr).alias("cnt"),
+        F.sum(v).over(fr).cast("double").alias("sx"),
+        F.sum(v * v).over(fr).cast("double").alias("sxx"),
+    )
+    cnt, sx, sxx = F.col("cnt"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / cnt) / (cnt - 1)
+    z = (F.col("value") - sx / cnt) / F.sqrt(var)
+    return (
+        s.filter((cnt >= 12) & (var > 1e-12) & (F.abs(z) > 2.0))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").cast("double").alias("value"),
+            cnt.cast("bigint").alias("n_window"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )

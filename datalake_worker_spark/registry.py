@@ -68,6 +68,11 @@ _PRIORITY_NAMES = [
     "st01_tumbling_window",
     "st02_sliding_window",
     # new in round 4 — no CORRECTNESS row yet
+    "t18_document_chunking",
+    "t19_ngram_overlap_score",
+    "d14_bloom_decontamination",
+    "w10_rolling_zscore",
+    "m05_image_patchify",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",

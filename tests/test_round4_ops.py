@@ -184,3 +184,57 @@ def test_near_dup_keep_list_transitive_collapse(spark):
     # the chain 1-2-3 is one component rooted at 1; 4 is untouched
     assert labels.get(1, 1) == 1 and labels[2] == 1 and labels[3] == 1
     assert 4 not in labels
+
+
+def test_bloom_decontamination_no_false_negatives(spark, sf_dir):
+    """Every document the exact gram join (d09) flags must also be a
+    bloom candidate (zero false negatives — the bloom guarantee), with
+    its candidate gram count >= the exact match count; and the bloom
+    pass must not balloon (candidates bounded by a small multiple of
+    the exact set at this FPR)."""
+    exact = {
+        r["doc_id"]: r["n_matched"]
+        for r in REGISTRY["d09_benchmark_decontamination"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_candidate"]
+        for r in REGISTRY["d14_bloom_decontamination"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    for doc_id, n_exact in exact.items():
+        assert doc_id in bloom, f"false negative: doc {doc_id}"
+        assert bloom[doc_id] >= n_exact
+    # FPR sanity: at 2^20 bits / k=7 over a tiny vocabulary, spurious
+    # candidate docs should be rare
+    assert len(bloom) <= max(10, 3 * len(exact))
+
+
+def test_document_chunking_reconstructs_and_overlaps(spark, sf_dir):
+    """Chunking invariants: every chunk except the last has exactly 40
+    words; consecutive chunks overlap by 10 (stride 30); the chunk-0
+    prefix equals the document prefix; short docs yield one chunk."""
+    out = (
+        REGISTRY["t18_document_chunking"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    d = load_table(spark, sf_dir, "documents")
+    words = {
+        r["doc_id"]: r["text"].split()
+        for r in d.select("doc_id", "text").collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        w = words[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))
+        for cid, r in chunks.items():
+            got = r["chunk"].split()
+            assert got == w[cid * 30 : cid * 30 + 40]
+        last = chunks[len(chunks) - 1]
+        # the last chunk reaches the end of the document
+        assert (len(chunks) - 1) * 30 + last["n_words"] == len(w)
