@@ -346,3 +346,59 @@ def smp08_domain_mixture_resample(spark, sf_dir):
             F.min(F.when(picked, F.col("doc_id"))).cast("long").alias("first_sampled"),
         )
     )
+
+
+@register(
+    "smp09_length_bucket_stats",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tok,
+               CAST(CASE WHEN n_tok <= 16 THEN 16
+                    ELSE power(2, ceil(log2(n_tok))) END AS BIGINT) AS bucket
+        FROM t
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           ROUND(SUM(n_tok) / CAST(COUNT(*) * bucket AS DOUBLE), 6)
+               AS pad_efficiency
+    FROM b GROUP BY bucket
+    """,
+    category="llm-sampling",
+    doc=(
+        "sequence-length bucketing for training batches: docs binned to "
+        "power-of-2 token-length buckets (min 16); per bucket, doc/token "
+        "counts and padding efficiency (real tokens / padded tokens) — "
+        "the quantity a batch scheduler maximizes. Length histogramming "
+        "is a narrow map + one small aggregate at any corpus size; "
+        "complements smp02's sequential packing (which removes padding "
+        "by concatenation) with the bucketed-batching alternative."
+    ),
+)
+def smp09_length_bucket_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    t = d.select("doc_id", n_tok.alias("n_tok"))
+    bucket = (
+        F.when(F.col("n_tok") <= 16, F.lit(16))
+        .otherwise(F.pow(F.lit(2.0), F.ceil(F.log2("n_tok"))))
+        .cast("bigint")
+    )
+    return (
+        t.select("doc_id", "n_tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            (F.count("*") * F.col("bucket")).cast("bigint").alias("padded_tokens"),
+            F.round(
+                F.sum("n_tok") / (F.count("*") * F.col("bucket")).cast("double"), 6
+            ).alias("pad_efficiency"),
+        )
+    )

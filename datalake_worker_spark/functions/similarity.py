@@ -580,3 +580,71 @@ def v06_cosine_range_search(spark, sf_dir):
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k: (query_id, neighbor_id, dot,
+    rn<=k). Same broadcast-probe/streamed-corpus shape as exact_topk but
+    ranked by the raw dot product — the retrieval mode for embeddings
+    whose norm carries signal (e.g. unnormalized two-tower scores).
+    Vectors are projected away before the ranking shuffle; at scale this
+    is one broadcast, one narrow window. The classic MIPS-to-cosine
+    norm-augmentation reduction then makes v02/v04's bucketed ANN paths
+    applicable unchanged when brute force outgrows the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    score = F.round(dot(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("dot"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "dot", "rn")
+    )
+
+
+@register(
+    "v07_mips_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv, e.v), 6) AS dot
+        FROM q JOIN e ON q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, dot, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rn
+        FROM scored)
+    WHERE rn <= 5
+    """,
+    category="llm-similarity",
+    doc=(
+        "exact maximum-inner-product top-5 for 20 probe vectors — "
+        "dot-ranked variant of v01 for unnormalized embeddings; same "
+        "broadcast x corpus scan, vectors dropped before the window."
+    ),
+)
+def v07_mips_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    return mips_topk(e, q, "vec_id", "v", k=5)

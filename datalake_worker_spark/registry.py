@@ -73,6 +73,8 @@ _PRIORITY_NAMES = [
     "d14_bloom_decontamination",
     "w10_rolling_zscore",
     "m05_image_patchify",
+    "v07_mips_topk",
+    "smp09_length_bucket_stats",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",
