@@ -15,10 +15,12 @@ by construction.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from .text import whitespace_tokens
 
 # ---------------------------------------------------------------------------
 # building blocks (engine API, reusable on any DataFrame)
@@ -696,3 +698,151 @@ def d13_near_dup_keep_list(spark, sf_dir):
         rep.alias("cluster_rep"),
         (rep == F.col("doc_id")).alias("keep"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 10
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    maximal regions of each document whose every ``n``-token window also
+    occurs in some other document, and report per-document duplicated
+    token mass.
+
+    Re-expressed relationally instead of via a suffix array: (1) every
+    n-gram start position hashes to a long; (2) a two-phase aggregate
+    keeps grams seen in >=2 distinct documents (cross-document repeats —
+    the training-data leakage case); (3) the duplicated start positions
+    join back; (4) per document, overlapping/adjacent windows merge into
+    maximal islands with one LAG + running-sum window (gaps-and-islands:
+    a new island starts where pos - prev_pos > n), and each island
+    covers max_pos - min_pos + n tokens (capped at doc length for the
+    short-doc whole-text shingle).
+
+    Scale: the gram aggregate is O(1) state per key and map-side
+    combined; the island merge shuffles only the DUPLICATED starts (a
+    small fraction of corpus tokens) once on the doc key. No suffix
+    array, no sort of the corpus — the 100 TB-friendly approximation
+    that is exact for cross-document duplication at n-token resolution.
+
+    Returns (id, n_tokens, n_islands, dup_tokens, dup_ratio)."""
+    w = df.select(
+        F.col(id_col), whitespace_tokens(text_col).alias("_w")
+    ).select(
+        id_col,
+        F.size("_w").alias("n_tokens"),
+        F.posexplode(shingles_from_words(F.col("_w"), n)).alias("pos", "_g"),
+    )
+    starts = w.select(
+        id_col, "n_tokens", "pos", F.xxhash64("_g").alias("gram")
+    )
+    dup_grams = (
+        starts.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("gram")
+    )
+    dup_starts = starts.join(dup_grams, "gram").select(
+        id_col, "n_tokens", "pos"
+    )
+    ord_w = Window.partitionBy(id_col).orderBy("pos")
+    run_w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = (
+        dup_starts.withColumn("_prev", F.lag("pos").over(ord_w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("_brk").over(run_w))
+    )
+    per_island = islands.groupBy(id_col, "n_tokens", "island").agg(
+        (
+            F.least(F.max("pos") + n, F.col("n_tokens")) - F.min("pos")
+        ).alias("span_tokens")
+    )
+    return per_island.groupBy(id_col, "n_tokens").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.sum("span_tokens") / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_ratio"),
+    ).select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "n_islands",
+        "dup_tokens",
+        "dup_ratio",
+    )
+
+
+@register(
+    "d15_duplicate_spans",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, len(words) AS n_tokens, g.pos, g.gram
+        FROM w CROSS JOIN LATERAL (
+            SELECT CASE WHEN len(words) < 10
+                        THEN [array_to_string(words, ' ')]
+                        ELSE [array_to_string(words[(i+1):(i+10)], ' ')
+                              for i in range(len(words)-9)] END AS grams
+        ) t CROSS JOIN LATERAL (
+            SELECT unnest(range(len(t.grams))) AS pos,
+                   unnest(t.grams) AS gram
+        ) g
+    ),
+    dup AS (
+        SELECT gram FROM s GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    ds AS (
+        SELECT s.doc_id, s.n_tokens, s.pos
+        FROM s JOIN dup USING (gram)
+    ),
+    brk AS (
+        SELECT doc_id, n_tokens, pos,
+               CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS NULL
+                    OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         > 10
+                    THEN 1 ELSE 0 END AS b
+        FROM ds
+    ),
+    isl AS (
+        SELECT doc_id, n_tokens, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+        FROM brk
+    ),
+    per_island AS (
+        SELECT doc_id, n_tokens, island,
+               least(MAX(pos) + 10, n_tokens) - MIN(pos) AS span_tokens
+        FROM isl GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(span_tokens) / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio
+    FROM per_island GROUP BY doc_id, n_tokens
+    """,
+    category="llm-dedup",
+    doc=(
+        "ExactSubstr-style duplicated-span accounting: maximal islands "
+        "of 10-token windows shared with other documents, merged with "
+        "one gaps-and-islands window over only the duplicated starts; "
+        "per-doc duplicated token mass and ratio. The relational "
+        "re-expression of suffix-array substring dedup."
+    ),
+)
+def d15_duplicate_spans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", n=10)

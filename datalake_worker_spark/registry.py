@@ -75,6 +75,7 @@ _PRIORITY_NAMES = [
     "m05_image_patchify",
     "v07_mips_topk",
     "smp09_length_bucket_stats",
+    "d15_duplicate_spans",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",

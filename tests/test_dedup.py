@@ -189,3 +189,27 @@ def test_hamming64_matches_python(spark):
     got = {r.i: r.h for r in df.select("i", hamming64(F.col("a"), F.col("b")).alias("h")).collect()}
     for i, a, b in rows:
         assert got[i] == bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_duplicate_spans_planted(spark):
+    """Two docs share one 20-word run; a third is disjoint. The shared
+    run must surface as exactly one island of 20 tokens in each sharer,
+    and the disjoint doc must not appear."""
+    from datalake_worker_spark.functions.dedup import duplicate_spans
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    a = "alpha one two three " + shared + " tail aaa bbb ccc"
+    b = "zeta nine eight " + shared + " omega ddd eee fff ggg"
+    c = " ".join(f"uniq{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(df, "doc_id", "text", n=10).collect()
+    }
+    assert set(out) == {1, 2}
+    for doc in (1, 2):
+        r = out[doc]
+        assert r["n_islands"] == 1
+        assert r["dup_tokens"] == 20
