@@ -402,3 +402,106 @@ def smp09_length_bucket_stats(spark, sf_dir):
             ).alias("pad_efficiency"),
         )
     )
+
+
+@register(
+    "smp10_dsir_importance",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tc AS (SELECT tok, COUNT(*) AS c_t FROM tok WHERE doc_id % 20 = 0 GROUP BY tok),
+    cc AS (SELECT tok, COUNT(*) AS c_c FROM tok WHERE doc_id % 20 <> 0 GROUP BY tok),
+    vocab AS (
+        SELECT COALESCE(tc.tok, cc.tok) AS tok,
+               COALESCE(c_t, 0) AS c_t, COALESCE(c_c, 0) AS c_c
+        FROM tc FULL OUTER JOIN cc ON tc.tok = cc.tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_t) AS DOUBLE) AS n_t,
+               CAST(SUM(c_c) AS DOUBLE) AS n_c,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM vocab
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(LN((vb.c_t + 1) / (tot.n_t + tot.v))
+                          - LN((vb.c_c + 1) / (tot.n_c + tot.v)), 6)
+                    AS DECIMAL(18,6)) AS lw
+        FROM tok t JOIN vocab vb USING (tok) CROSS JOIN tot
+        WHERE t.doc_id % 20 <> 0
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lw) AS DOUBLE) AS log_weight
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, log_weight,
+           PERCENT_RANK() OVER (ORDER BY log_weight DESC, doc_id ASC) <= 0.25
+               AS selected
+    FROM agg
+    """,
+    category="llm-sampling",
+    doc=(
+        "DSIR-style importance resampling (Xie et al. 2023): per-token "
+        "log importance ln(p_target/p_corpus) from two Laplace-smoothed "
+        "unigram models (target = doc_id %% 20 = 0 held-out domain), "
+        "summed per document; top-25%% by weight selected. Per-token "
+        "logs are rounded to 6 dp and summed as DECIMAL (t10's "
+        "order-independence trick), so both engines agree bit-exactly. "
+        "Scale: two token aggregates + one broadcastable vocabulary "
+        "join; the selection is one window over doc-level rows."
+    ),
+)
+def smp10_dsir_importance(spark, sf_dir):
+    from .text import explode_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = explode_tokens(d)
+    tc = (
+        tok.filter(F.col("doc_id") % 20 == 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_t"))
+    )
+    cc = (
+        tok.filter(F.col("doc_id") % 20 != 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_c"))
+    )
+    vocab = (
+        tc.join(cc, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_c", F.lit(0)).alias("c_c"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("c_t").cast("double").alias("n_t"),
+        F.sum("c_c").cast("double").alias("n_c"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lw = F.round(
+        F.log((F.col("c_t") + 1) / (F.col("n_t") + F.col("v")))
+        - F.log((F.col("c_c") + 1) / (F.col("n_c") + F.col("v"))),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tok.filter(F.col("doc_id") % 20 != 0)
+        .join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lw.alias("lw"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("lw").cast("double").alias("log_weight"),
+    )
+    w = W.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        (F.percent_rank().over(w) <= 0.25).alias("selected"),
+    )

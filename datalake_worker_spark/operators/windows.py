@@ -432,3 +432,62 @@ def w10_rolling_zscore(spark, sf_dir):
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "w11_scd2_intervals",
+    """
+    WITH dedup AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM dedup
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               AS is_current
+    FROM changes
+    """,
+    doc=(
+        "SCD2 history build: per-user event-type timeline collapsed to "
+        "change rows (consecutive repeats dropped), each opening a "
+        "[valid_from, valid_to) interval closed by the next change; the "
+        "open interval is flagged current. Two windows over the same "
+        "user_id partitioning — one shuffle, reused across both stages "
+        "(no exchange between them). The standard warehouse "
+        "dimension-versioning primitive; pairs with x05's "
+        "point-in-interval lookup for as-of dimension joins."
+    ),
+)
+def w11_scd2_intervals(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w_ord).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w_iv = W.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w_iv)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

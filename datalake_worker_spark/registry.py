@@ -76,6 +76,8 @@ _PRIORITY_NAMES = [
     "v07_mips_topk",
     "smp09_length_bucket_stats",
     "d15_duplicate_spans",
+    "smp10_dsir_importance",
+    "w11_scd2_intervals",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",
