@@ -78,6 +78,7 @@ _PRIORITY_NAMES = [
     "d15_duplicate_spans",
     "smp10_dsir_importance",
     "w11_scd2_intervals",
+    "st11_streaming_quality_gate",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",

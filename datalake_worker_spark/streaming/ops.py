@@ -46,7 +46,7 @@ def _stream_parquet(spark: SparkSession, path: str, raw_schema, **options) -> Da
 _STREAM_DIRS: dict[str, str] = {}
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # the file stream source requires a directory — expose the single
     # parquet file through a symlinked staging dir
     import tempfile
@@ -54,10 +54,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import ensure_session_confs, nanos_timestamp_columns
 
     ensure_session_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     if path not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="dlw_stream_")
-        os.symlink(path, os.path.join(d, "events.parquet"))
+        os.symlink(path, os.path.join(d, f"{table}.parquet"))
         _STREAM_DIRS[path] = d
     if nanos_timestamp_columns(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,6 +70,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = spark.read.parquet(path).schema
         _SCHEMA_CACHE[path] = raw
     return _stream_parquet(spark, _STREAM_DIRS[path], raw)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _table_stream(spark, sf_dir, "events")
 
 
 def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
@@ -434,3 +438,55 @@ def st10_streaming_cdc_apply(spark, sf_dir):
     q.awaitTermination()
     final = spark.read.parquet(state["path"])
     return final.select("user_id", F.col("total").cast("double").alias("total"))
+
+
+@register(
+    "st11_streaming_quality_gate",
+    r"""
+    WITH gated AS (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 25
+          AND strlen(text)
+              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+              < 12.0
+    )
+    SELECT sha256(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(n_tok) AS BIGINT) AS n_tok
+    FROM gated GROUP BY content_hash
+    """,
+    category="streaming",
+    doc=(
+        "streaming ingestion quality gate + exact dedup: documents "
+        "stream through a per-row quality filter (>=25 tokens, mean "
+        "word length < 12 — the junk rejected BEFORE any state or "
+        "shuffle, bounding state by accepted content), then a "
+        "complete-mode aggregate per content hash keeps the minimum "
+        "doc id as survivor — deterministic regardless of arrival "
+        "order, unlike streaming dropDuplicates whose survivor is "
+        "arrival-dependent. Spark's unified semantics make the batch "
+        "group-by the exact oracle. At scale the hash aggregate is "
+        "RocksDB-backed keyed state; survivor-by-min makes re-runs "
+        "and backfills idempotent."
+    ),
+)
+def st11_streaming_quality_gate(spark, sf_dir):
+    s = _table_stream(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    gated = (
+        s.withColumn("n_tok", n_tok)
+        .filter(
+            (F.col("n_tok") >= 25)
+            & (F.length("text") / F.col("n_tok").cast("double") < 12.0)
+        )
+        .withColumn("content_hash", F.sha2("text", 256))
+    )
+    agg = gated.groupBy("content_hash").agg(
+        F.min("doc_id").cast("long").alias("survivor_id"),
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("n_tok").cast("long").alias("n_tok"),
+    )
+    return run_to_memory(agg, "complete")
