@@ -170,17 +170,29 @@ class ParquetCatalogBackend(CatalogBackend):
             return sorted(table.to_pylist(), key=lambda r: r["seq"])
         return []
 
-    def compact(self) -> None:
+    def compact(self, retain_last: int = 0) -> None:
         """Fold the log to the LATEST record per chunk_id (keeping DELETED
         tombstones as single rows). Without the fold, auto-compaction
-        rewrites the full history every time — O(N²) cumulative I/O."""
+        rewrites the full history every time — O(N²) cumulative I/O.
+
+        With ``retain_last=K`` this is a Delta-style checkpoint instead:
+        records in the last K commits are kept verbatim and only the
+        older prefix folds, so ``state_as_of(seq)`` stays EXACT for any
+        seq within the retained window (and for the cutoff itself, since
+        folded records keep their original seq). Plain compaction
+        (K=0) keeps only each chunk's latest record — history before the
+        newest transitions degrades, which is why lk06 calls compaction
+        a version-retention decision."""
         records = self.read_records()
         if not records:
             return
+        cutoff = records[-1]["seq"] - retain_last
+        tail = [r for r in records if r["seq"] > cutoff]
         latest: dict[str, dict] = {}
         for rec in records:  # read_records is seq-sorted
-            latest[rec["chunk_id"]] = rec
-        records = sorted(latest.values(), key=lambda r: r["seq"])
+            if rec["seq"] <= cutoff:
+                latest[rec["chunk_id"]] = rec
+        records = sorted(latest.values(), key=lambda r: r["seq"]) + tail
         old = [
             f
             for f in os.listdir(self.meta_dir)
@@ -340,6 +352,16 @@ class ChunkCatalog:
         return sorted(
             cid for cid, r in self.state_as_of(seq).items() if r["state"] == state
         )
+
+    def checkpoint(self, retain_last: int = 0) -> None:
+        """Delta-style log checkpoint: fold history older than the last
+        ``retain_last`` commits into one snapshot file, keep the tail
+        verbatim. ``state_as_of`` stays exact for every version in the
+        retained window; older versions degrade to their folded state.
+        Bounds log length (and warm-up fold cost) without giving up
+        recent time travel — the version-retention dial lk06 documents."""
+        self.backend.compact(retain_last=retain_last)
+        self.refresh()
 
     def refresh(self) -> None:
         """Drop the cache (pick up records from other writers)."""

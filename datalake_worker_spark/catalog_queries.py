@@ -233,3 +233,47 @@ def lk06_time_travel_listing(spark, sf_dir):
     return spark.createDataFrame(
         rows, "chunk_id string, active_as_of_v10 boolean, active_now boolean"
     )
+
+
+@register(
+    "lk07_checkpointed_time_travel",
+    f"""
+    WITH {_SQL_CHUNKS_CTE}
+    SELECT chunk_id,
+           TRUE AS active_at_checkpoint,
+           name NOT IN ('events', 'documents') AS active_now
+    FROM chunks
+    """,
+    category="lake-core",
+    doc=(
+        "Delta-style log checkpoint: history older than the retained "
+        "window folds into one snapshot file (bounding log length and "
+        "warm-up fold cost), the tail is kept verbatim, and time travel "
+        "stays EXACT inside the window — a listing as of the "
+        "all-registered version survives checkpointing even though two "
+        "chunks were deleted afterwards. Plain compaction (lk06's "
+        "caveat) would replace the deleted chunks' history with "
+        "tombstones and silently drop them from that listing; the "
+        "retained tail is what makes recent versions addressable. At "
+        "scale this is the same O(1)-warmup contract as Delta "
+        "checkpoints: fold once, replay only the tail."
+    ),
+)
+def lk07_checkpointed_time_travel(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    v_registered = cat.version  # after all 10 registrations, before deletes
+    for name in ("events", "documents"):
+        cat.schedule_delete(_sha256_hex(name))
+    cat.vacuum()
+    # fold everything older than the delete transitions; v_registered is
+    # the cutoff itself, so it must remain exactly addressable
+    cat.checkpoint(retain_last=cat.version - v_registered)
+    as_of = set(cat.list_chunks_as_of(v_registered))
+    now = set(cat.list_chunks())
+    rows = [
+        (cid, cid in as_of, cid in now)
+        for cid in sorted(_sha256_hex(n) for n in _CHUNK_TABLES)
+    ]
+    return spark.createDataFrame(
+        rows, "chunk_id string, active_at_checkpoint boolean, active_now boolean"
+    )

@@ -79,6 +79,7 @@ _PRIORITY_NAMES = [
     "smp10_dsir_importance",
     "w11_scd2_intervals",
     "st11_streaming_quality_gate",
+    "lk07_checkpointed_time_travel",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",

@@ -208,3 +208,52 @@ def test_compaction_preserves_state(cat):
     cat.backend.compact()
     assert cat.list_chunks(PENDING_DELETE) == ["chunk01"]
     assert cat.list_chunks(ACTIVE) == ["chunk02"]
+
+
+def test_checkpoint_retains_recent_history(spark, tmp_path):
+    """checkpoint(retain_last=K): versions inside the window stay exactly
+    addressable; plain compact() degrades them (deleted chunks vanish
+    from pre-delete listings)."""
+    from datalake_worker_spark.catalog import ChunkCatalog, ChunkMeta
+
+    def build(root):
+        cat = ChunkCatalog(spark, str(root))
+        for i in range(4):
+            cat.register_chunk(
+                ChunkMeta(
+                    dataset_id="d",
+                    chunk_id=f"c{i}",
+                    block_start=i * 10,
+                    block_end=(i + 1) * 10,
+                    files={},
+                    size_bytes=1,
+                )
+            )
+        return cat
+
+    cat = build(tmp_path / "a")
+    v4 = cat.version
+    cat.schedule_delete("c1")
+    cat.vacuum()
+    before = cat.list_chunks_as_of(v4)
+    assert "c1" in before
+    n_files_before = len(
+        [f for f in (tmp_path / "a" / "_meta").iterdir() if f.suffix == ".parquet"]
+    )
+    cat.checkpoint(retain_last=cat.version - v4)
+    # log shrank, current state intact, retained version exact
+    n_files_after = len(
+        [f for f in (tmp_path / "a" / "_meta").iterdir() if f.suffix == ".parquet"]
+    )
+    assert n_files_after < n_files_before
+    assert cat.list_chunks_as_of(v4) == before
+    assert "c1" not in cat.list_chunks()
+
+    # contrast: a full fold (retain_last=0) rewrites c1's history to a
+    # tombstone and the v4 listing silently loses it
+    cat2 = build(tmp_path / "b")
+    v4b = cat2.version
+    cat2.schedule_delete("c1")
+    cat2.vacuum()
+    cat2.checkpoint(retain_last=0)
+    assert "c1" not in cat2.list_chunks_as_of(v4b)
