@@ -439,3 +439,53 @@ def io11_dynamic_partition_overwrite(spark, sf_dir):
         .cast("long")
         .alias("n_rewritten"),
     )
+
+
+@register(
+    "io12_binaryfile_ingest",
+    """
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents WHERE doc_id < 50
+    """,
+    category="sources",
+    doc=(
+        "binary-file ingestion front door (the multimodal asset path): "
+        "payloads are written as loose .bin files by a distributed "
+        "foreachPartition sink, then ingested with Spark's binaryFile "
+        "source (pathGlobFilter-scoped), yielding (path, length, "
+        "content) rows whose sha256 must round-trip exactly. At scale "
+        "this is how image/audio blobs enter the lake before m01-m05 "
+        "process them: the source parallelizes over files, prunes on "
+        "path/length metadata, and never decodes payloads it drops."
+    ),
+)
+def io12_binaryfile_ingest(spark, sf_dir):
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "blobs")
+    os.makedirs(out, exist_ok=True)
+
+    def write_files(rows):
+        for r in rows:
+            p = os.path.join(out, f"doc_{r['doc_id']}.bin")
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(r["payload"]))
+            os.rename(tmp, p)  # rename-atomic, idempotent under retries
+
+    d.foreachPartition(write_files)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return back.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha"),
+    )
