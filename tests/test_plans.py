@@ -216,3 +216,43 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     plan = simple_plan(joined)
     assert "SortMergeJoin" in plan, plan
     assert shuffle_count(joined) == 0, plan
+
+
+def test_t18_chunking_no_shuffle(spark, sf_dir):
+    """Chunking must be a pure narrow map — tokenize + posexplode with
+    zero exchanges, or it can't feed a 100 TB embedding job cheaply."""
+    df = REGISTRY["t18_document_chunking"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+
+
+def test_d14_bloom_probe_before_shuffle(spark, sf_dir):
+    """The bloom pass must not join against the vocabulary: no join
+    operator at all, exactly one exchange (the survivors' dedup/agg),
+    and the bitmap shipped as a literal inside the filter."""
+    df = REGISTRY["d14_bloom_decontamination"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    # distinct + final agg share the same hash partitioning → 1 exchange
+    # pair (distinct) + possibly a reused one for the agg
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_d15_islands_only_duplicated_starts(spark, sf_dir):
+    """d15's window stage must sit above the dup-gram semi/inner join —
+    i.e. the sort for the island window happens after filtering to
+    duplicated starts, not over the full gram stream."""
+    df = REGISTRY["d15_duplicate_spans"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    # the gram-join output feeds the window; the window's sort keys are
+    # (doc, pos) — present somewhere above a join in the tree
+    assert plan.index("Window") < plan.index("Join"), (
+        "island window should be downstream (printed above) of the "
+        "dup-gram join:\n" + plan
+    )
+
+
+def test_w11_scd2_single_shuffle(spark, sf_dir):
+    """Both SCD2 windows partition on user_id — one exchange total."""
+    df = REGISTRY["w11_scd2_intervals"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)

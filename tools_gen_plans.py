@@ -26,6 +26,10 @@ FLAGSHIP = [
     ("smp07_weighted_sample", "weighted sample: TakeOrdered top-k, no global sort, no shuffle"),
     ("w09_ewma_smoothing", "EWMA recurrence: FlatMapGroupsInPandas, ONE exchange on the key"),
     ("a13_content_fingerprint", "content fingerprint: partial-agg sha-sum, one narrow shuffle"),
+    ("d14_bloom_decontamination", "bloom decontamination: binary-literal bitmap probed map-side, shuffle carries only survivors"),
+    ("d15_duplicate_spans", "duplicate spans: two-phase gram agg, island window over duplicated starts only"),
+    ("t18_document_chunking", "chunking: tokenize + posexplode, zero shuffles"),
+    ("smp10_dsir_importance", "DSIR: broadcastable vocab join, decimal log-weight partial aggs"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
