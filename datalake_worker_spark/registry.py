@@ -81,6 +81,7 @@ _PRIORITY_NAMES = [
     "st11_streaming_quality_gate",
     "lk07_checkpointed_time_travel",
     "io12_binaryfile_ingest",
+    "io13_zorder_layout",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",

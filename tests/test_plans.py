@@ -256,3 +256,64 @@ def test_w11_scd2_single_shuffle(spark, sf_dir):
     """Both SCD2 windows partition on user_id — one exchange total."""
     df = REGISTRY["w11_scd2_intervals"].spark_fn(spark, sf_dir)
     assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_zorder_files_cluster_both_dimensions(spark, sf_dir, tmp_path):
+    """The point of the Z-layout: per-file parquet min/max stats must
+    cover a narrow slice of BOTH clustering columns. A single-column
+    sort nails one dimension and leaves the other at ~full range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datalake_worker_spark.sources.roundtrip import zorder_write
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").cast("long").alias("order_epoch"),
+    )
+
+    def avg_file_coverage(path, col):
+        files = sorted(glob.glob(path + "/part-*.parquet"))
+        spans, lo_g, hi_g = [], None, None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((lo, hi))
+            lo_g = lo if lo_g is None else min(lo_g, lo)
+            hi_g = hi if hi_g is None else max(hi_g, hi)
+        full = hi_g - lo_g
+        return sum((hi - lo) / full for lo, hi in spans) / len(spans), len(files)
+
+    z = str(tmp_path / "zorder")
+    zorder_write(o, ["o_custkey", "order_epoch"], z, n_files=8)
+    lin = str(tmp_path / "linear")
+    (
+        o.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+
+    z_cust, nz = avg_file_coverage(z, "o_custkey")
+    z_time, _ = avg_file_coverage(z, "order_epoch")
+    l_cust, nl = avg_file_coverage(lin, "o_custkey")
+    l_time, _ = avg_file_coverage(lin, "order_epoch")
+    assert nz > 1 and nl > 1
+    # linear: near-perfect on the sort column, useless on the other
+    assert l_cust < 0.35
+    assert l_time > 0.8
+    # z-order: BOTH dimensions clustered well below full range
+    assert z_cust < 0.75, (z_cust, z_time)
+    assert z_time < 0.75, (z_cust, z_time)
+    # and the second dimension beats the linear layout decisively
+    assert z_time < l_time - 0.2
