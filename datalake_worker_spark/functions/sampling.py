@@ -505,3 +505,51 @@ def smp10_dsir_importance(spark, sf_dir):
         "log_weight",
         (F.percent_rank().over(w) <= 0.25).alias("selected"),
     )
+
+
+@register(
+    "smp11_epoch_shuffle",
+    """
+    SELECT doc_id, epoch,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch
+               ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':' ||
+                               CAST(epoch AS VARCHAR)), doc_id
+           ) AS BIGINT) AS position
+    FROM documents
+    CROSS JOIN (VALUES (0), (1), (2)) e(epoch)
+    """,
+    category="llm-sampling",
+    doc=(
+        "deterministic per-epoch training-order shuffle: position = rank "
+        "of sha256(doc_id:epoch) — a different but REPRODUCIBLE "
+        "permutation each epoch, stable under re-ingest, repartitioning, "
+        "and engine choice (no RNG state to coordinate across 1000 "
+        "executors). The global rank shown here is the oracle-checkable "
+        "form; at 100 TB you sort by the same hash WITHIN each output "
+        "shard (repartitionByRange on the hash + sortWithinPartitions), "
+        "which needs no global window."
+    ),
+)
+def smp11_epoch_shuffle(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.sparkSession.range(3).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    keyed = d.crossJoin(F.broadcast(epochs)).withColumn(
+        "_h",
+        F.sha2(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("epoch").cast("string"),
+            ),
+            256,
+        ),
+    )
+    w = W.partitionBy("epoch").orderBy("_h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "epoch",
+        F.row_number().over(w).cast("long").alias("position"),
+    )

@@ -299,3 +299,110 @@ def x05_interval_lookup_join(spark, sf_dir):
             F.sum(p.cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "x06_asof_join_nearest",
+    """
+    WITH u AS (
+        SELECT user_id, ts, 0 AS is_probe, event_id AS tie,
+               event_id AS click_id, ts AS click_ts, NULL::BIGINT AS probe_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 1 AS is_probe, NULL AS tie,
+               NULL AS click_id, NULL AS click_ts, event_id AS probe_id
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT probe_id, is_probe, ts,
+               last_value(click_id IGNORE NULLS) OVER back AS b_id,
+               last_value(click_ts IGNORE NULLS) OVER back AS b_ts,
+               first_value(click_id IGNORE NULLS) OVER fwd AS f_id,
+               first_value(click_ts IGNORE NULLS) OVER fwd AS f_ts
+        FROM u
+        WINDOW back AS (PARTITION BY user_id ORDER BY ts, is_probe, tie
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY user_id ORDER BY ts, is_probe, tie
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT probe_id AS event_id,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(ts))
+                THEN b_id ELSE f_id END AS nearest_click_id,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(ts))
+                THEN CAST(epoch_us(ts) - epoch_us(b_ts) AS BIGINT)
+                ELSE CAST(epoch_us(f_ts) - epoch_us(ts) AS BIGINT)
+                END AS dist_us
+    FROM w WHERE is_probe = 1
+    """,
+    doc=(
+        "nearest-direction as-of join (pandas merge_asof "
+        "direction='nearest'): each purchase matches its temporally "
+        "closest same-user click, before OR after; equidistant ties "
+        "resolve to the earlier (backward) click. Implemented as ONE "
+        "union + ONE shuffle + ONE sort with two frames over the same "
+        "ordering (carry-last backward, carry-first forward) — the "
+        "single-Exchange scale shape of x01 preserved; a naive "
+        "nearest-neighbor range join would be O(probes x candidates)."
+    ),
+)
+def x06_asof_join_nearest(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.col("event_id").alias("tie"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("tie"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("probe_id"),
+    )
+    u = clicks.unionByName(probes)
+    order = [F.col("ts"), F.col("is_probe"), F.col("tie")]
+    back = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    w = u.select(
+        "probe_id",
+        "is_probe",
+        "ts",
+        F.last("click_id", ignorenulls=True).over(back).alias("b_id"),
+        F.last("click_ts", ignorenulls=True).over(back).alias("b_ts"),
+        F.first("click_id", ignorenulls=True).over(fwd).alias("f_id"),
+        F.first("click_ts", ignorenulls=True).over(fwd).alias("f_ts"),
+    ).filter(F.col("is_probe") == 1)
+    b_dist = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    f_dist = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    take_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_dist <= f_dist)
+    )
+    return w.select(
+        F.col("probe_id").alias("event_id"),
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "nearest_click_id"
+        ),
+        F.when(take_back, b_dist)
+        .otherwise(f_dist)
+        .cast("long")
+        .alias("dist_us"),
+    )

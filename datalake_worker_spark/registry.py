@@ -82,6 +82,9 @@ _PRIORITY_NAMES = [
     "lk07_checkpointed_time_travel",
     "io12_binaryfile_ingest",
     "io13_zorder_layout",
+    "io14_table_stats",
+    "smp11_epoch_shuffle",
+    "x06_asof_join_nearest",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",

@@ -590,3 +590,60 @@ def io13_zorder_layout(spark, sf_dir):
     out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "orders_zorder")
     zorder_write(o, ["o_custkey", "order_epoch"], out)
     return spark.read.parquet(out)
+
+
+@register(
+    "io14_table_stats",
+    """
+    SELECT 'o_orderkey' AS col,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_non_null,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE),
+           CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+    category="sources",
+    doc=(
+        "ANALYZE-style column statistics (non-null/null counts, exact "
+        "NDV, min/max) for the CBO/pruning decisions every lakehouse "
+        "keeps per file and per table: one scan, all columns' moments "
+        "computed together map-side, one tiny shuffle per distinct "
+        "aggregate. At extreme NDV swap COUNT(DISTINCT) for the HLL "
+        "sketch a11 maintains incrementally."
+    ),
+)
+def io14_table_stats(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in ("o_orderkey", "o_custkey", "o_totalprice"):
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col"),
+                F.count(c).cast("long").alias("n_non_null"),
+                (F.count("*") - F.count(c)).cast("long").alias("n_null"),
+                F.count_distinct(F.col(c)).cast("long").alias("ndv"),
+                F.min(c).cast("double").alias("min_v"),
+                F.max(c).cast("double").alias("max_v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

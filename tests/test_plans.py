@@ -317,3 +317,10 @@ def test_zorder_files_cluster_both_dimensions(spark, sf_dir, tmp_path):
     assert z_time < 0.75, (z_cust, z_time)
     # and the second dimension beats the linear layout decisively
     assert z_time < l_time - 0.2
+
+
+def test_x06_nearest_single_shuffle(spark, sf_dir):
+    """Backward and forward frames share one (user_id, ordering) —
+    nearest as-of must keep x01's single-Exchange shape."""
+    df = REGISTRY["x06_asof_join_nearest"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
