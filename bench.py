@@ -83,6 +83,18 @@ PIPELINE = [
     "j10_salted_skew_join",
 ]
 
+# added late in round 4 — the new LLM-curation operators; fourth suite so
+# the earlier three stay comparable round-over-round
+LLM_WAVE = [
+    "t18_document_chunking",
+    "t19_ngram_overlap_score",
+    "d14_bloom_decontamination",
+    "d15_duplicate_spans",
+    "smp10_dsir_importance",
+    "w10_rolling_zscore",
+    "io13_zorder_layout",
+]
+
 RUNS = 3
 
 
@@ -124,6 +136,7 @@ def main() -> None:
     timings = _time(HEADLINE)
     extended = _time(EXTENDED)
     pipeline = _time(PIPELINE)
+    llm_wave = _time(LLM_WAVE)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -132,6 +145,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     ext_total = round(sum(extended.values()), 4)
     pipe_total = round(sum(pipeline.values()), 4)
+    llm_total = round(sum(llm_wave.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -141,6 +155,8 @@ def main() -> None:
         "extended_value": ext_total,
         "pipeline_queries": pipeline,  # round-4 suite (LLM-pipeline heavies)
         "pipeline_value": pipe_total,
+        "llm_wave_queries": llm_wave,  # late round-4 curation operators
+        "llm_wave_value": llm_total,
         "sf": sf,
     }
     if duck:
@@ -166,6 +182,8 @@ def main() -> None:
                 "extended_queries": len(extended),
                 "pipeline_value": pipe_total,
                 "pipeline_queries": len(pipeline),
+                "llm_wave_value": llm_total,
+                "llm_wave_queries": len(llm_wave),
             }
         )
     )

@@ -8,9 +8,12 @@ a real pre-training data run composes them.
     │ 1. quality filter      (t17 rule stack: keep/drop + reasons)
     │ 2. URL canonical dedup (d12: keep min doc_id per canonical URL)
     │ 3. exact text dedup    (sha2 keep-first)
-    │ 4. domain mixture      (smp08 acceptance rates per source)
-    │ 5. weighted sample     (smp07 Efraimidis-Spirakis by n_chars)
-    └─ 6. content fingerprint (a13-style commutative digest of the output)
+    │ 4. decontamination     (d14 bloom gate vs a held-out benchmark set)
+    │ 5. DSIR selection      (smp10 importance weights, top 75% kept)
+    │ 6. domain mixture      (smp08 acceptance rates per source)
+    │ 7. weighted sample     (smp07 Efraimidis-Spirakis by n_chars)
+    │ 8. content fingerprint (a13-style commutative digest of the output)
+    └─ 9. RAG chunking       (t18 sliding windows of the final corpus)
 
 Every stage is deterministic (keyed hashes, never rand()), so the same
 input yields the same corpus — and the same fingerprint — on any cluster
@@ -69,7 +72,58 @@ def main():
     ).drop("_rn")
     n3 = docs.count()
 
-    # 4. domain mixture acceptance (smp08 rates)
+    # 4. decontamination: bloom gate against a held-out benchmark slice
+    from datalake_worker_spark.functions.pipeline import bloom_decontaminate
+
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    flagged = bloom_decontaminate(docs, bench, "doc_id", "text", n=5)
+    docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    n3b = docs.count()
+
+    # 5. DSIR importance selection (smp10's construction inline): keep
+    # the 75% most target-like documents
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    tgt = bench.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    tc = tgt.groupBy("tok").agg(F.count("*").alias("c_t"))
+    cc = tok.groupBy("tok").agg(F.count("*").alias("c_c"))
+    vocab = tc.join(cc, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_c", F.lit(0)).alias("c_c"),
+    )
+    tot = vocab.agg(
+        F.sum("c_t").cast("double").alias("n_t"),
+        F.sum("c_c").cast("double").alias("n_c"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lw = F.round(
+        F.log((F.col("c_t") + 1) / (F.col("n_t") + F.col("v")))
+        - F.log((F.col("c_c") + 1) / (F.col("n_c") + F.col("v"))),
+        6,
+    ).cast("decimal(18,6)")
+    weights = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lw.alias("lw"))
+        .groupBy("doc_id")
+        .agg(F.sum("lw").cast("double").alias("log_weight"))
+    )
+    wsel = W.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    kept = (
+        weights.withColumn("_pr", F.percent_rank().over(wsel))
+        .filter(F.col("_pr") <= 0.75)
+        .select("doc_id")
+    )
+    docs = docs.join(kept, "doc_id", "left_semi")
+    n3c = docs.count()
+
+    # 6. domain mixture acceptance (smp08 rates)
     u01 = "((((doc_id % 4294967296) * 2654435761) % 4294967296) + 0.5) / 4294967296.0"
     rate = (
         F.when(F.col("source").isin("src0", "src1"), 1.0)
@@ -79,22 +133,30 @@ def main():
     docs = docs.filter(F.expr(u01) < rate)
     n4 = docs.count()
 
-    # 5. weighted sample (heavier docs proportionally likelier), top 50
+    # 7. weighted sample (heavier docs proportionally likelier), top 50
     pri = F.expr(f"-ln({u01}) / n_chars")
     sample = docs.orderBy(pri, "doc_id").limit(50)
     n5 = sample.count()
 
-    # 6. order-independent fingerprint of the final corpus
+    # 8. order-independent fingerprint of the final corpus
     canon = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
     v = F.conv(F.substring(F.sha2(canon, 256), 1, 10), 16, 10).cast("long")
     fp = sample.select(v.alias("v")).agg(F.sum("v").cast("long")).first()[0]
+
+    # 9. RAG chunking of the final sample
+    from datalake_worker_spark.functions.pipeline import chunk_documents
+
+    n6 = chunk_documents(sample, "doc_id", "text").count()
 
     print(f"input            {n0:>6}")
     print(f"quality filter   {n1:>6}")
     print(f"url dedup        {n2:>6}")
     print(f"exact dedup      {n3:>6}")
+    print(f"decontaminated   {n3b:>6}")
+    print(f"dsir selected    {n3c:>6}")
     print(f"mixture          {n4:>6}")
     print(f"weighted sample  {n5:>6}")
+    print(f"rag chunks       {n6:>6}")
     print(f"fingerprint      {fp}")
 
 
