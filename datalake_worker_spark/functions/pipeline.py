@@ -813,3 +813,82 @@ def d14_bloom_decontamination(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 20 == 0)
     corpus = d.filter(F.col("doc_id") % 20 != 0)
     return bloom_decontaminate(corpus, bench, "doc_id", "text", n=5)
+
+
+#: Boilerplate patterns in the Java-regex / RE2 common subset (no
+#: lookaround, no backreferences): script/style blocks die whole, then
+#: any remaining tag, then whitespace collapses.
+_HTML_BLOCK_RE = (
+    r"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+)
+_HTML_TAG_RE = r"<[^>]+>"
+
+#: Planting expression shared by both engines (t15's pattern): the
+#: corpus has no markup, so deterministic tags derived from doc_id make
+#: the strip verifiable cross-engine.
+_T20_PLANT_SQL = (
+    "text || ' <div id=\"d' || CAST(doc_id AS VARCHAR)"
+    " || '\" class=\"promo\">click here</div>"
+    "<script type=\"text/javascript\">track(' || CAST(doc_id AS VARCHAR)"
+    " || ');</script><style>.p' || CAST(doc_id % 7 AS VARCHAR)"
+    " || ' {color:red}</style>'"
+)
+
+
+def html_strip(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """Boilerplate removal (the trafilatura/jusText stage reduced to its
+    regex core): script/style blocks removed whole, remaining tags
+    stripped, whitespace collapsed. Per-row JVM regex — zero shuffles,
+    linear at any corpus size. Returns per-doc tag/block counts so a
+    downstream quality rule can drop markup-dominated documents."""
+    t = F.col(text_col)
+    n_blocks = F.regexp_count(t, F.lit(_HTML_BLOCK_RE))
+    deblocked = F.regexp_replace(t, _HTML_BLOCK_RE, " ")
+    n_tags = F.regexp_count(deblocked, F.lit(_HTML_TAG_RE))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(deblocked, _HTML_TAG_RE, " "), r"\s+", " "
+        )
+    )
+    return df.select(
+        *id_cols,
+        clean.alias("clean_text"),
+        n_blocks.cast("long").alias("n_blocks"),
+        n_tags.cast("long").alias("n_tags"),
+    )
+
+
+@register(
+    "t20_html_strip",
+    f"""
+    WITH planted AS (
+        SELECT doc_id, {_T20_PLANT_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+               regexp_replace(text, '{_HTML_BLOCK_RE}', ' ', 'g'),
+               '{_HTML_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_HTML_BLOCK_RE}'))
+               AS BIGINT) AS n_blocks,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text, '{_HTML_BLOCK_RE}', ' ', 'g'),
+               '{_HTML_TAG_RE}')) AS BIGINT) AS n_tags
+    FROM planted
+    """,
+    category="llm-pipeline",
+    doc=(
+        "HTML boilerplate stripping (crawler-output cleaning): "
+        "script/style blocks removed whole, residual tags stripped, "
+        "whitespace collapsed; per-doc block/tag counts feed "
+        "markup-density quality rules. Markup is planted "
+        "deterministically from doc_id (the corpus is clean text), so "
+        "both engines verify the identical strip. Pure per-row regex "
+        "in the Java/RE2 common subset — zero shuffles."
+    ),
+)
+def t20_html_strip(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id", F.expr(_T20_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
+    )
+    return html_strip(planted, "text", ["doc_id"])

@@ -723,3 +723,37 @@ def j10_salted_skew_join(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum("weight").cast("bigint").alias("total_weight"),
     )
+
+
+_J11_SQL = """
+    SELECT 'no_null' AS variant, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM {o} WHERE o_custkey NOT IN
+        (SELECT c_custkey FROM {c} WHERE c_custkey % 97 = 0)
+    UNION ALL
+    SELECT 'with_null' AS variant, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM {o} WHERE o_custkey NOT IN
+        (SELECT c_custkey FROM {c} WHERE c_custkey % 97 = 0
+         UNION ALL SELECT CAST(NULL AS BIGINT))
+"""
+
+
+@register(
+    "j11_not_in_null_aware",
+    _J11_SQL.format(o="orders", c="customer"),
+    doc=(
+        "null-aware anti join (NOT IN subquery), the classic three-"
+        "valued-logic trap: with no NULL in the subquery it is a plain "
+        "anti join; ONE NULL makes every NOT IN predicate UNKNOWN and "
+        "the result collapses to zero rows — both variants counted side "
+        "by side. Spark plans the null-aware case as a broadcast "
+        "null-aware anti join (the build side must broadcast — there is "
+        "no shuffled NAAJ), which is why production pipelines rewrite "
+        "NOT IN to NOT EXISTS (j03's shape) when the subquery might be "
+        "big or nullable. Cited here through the SQL surface to pin "
+        "semantic parity with ANSI engines."
+    ),
+)
+def j11_not_in_null_aware(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_j11_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_j11_customer")
+    return spark.sql(_J11_SQL.format(o="_j11_orders", c="_j11_customer"))

@@ -85,6 +85,8 @@ _PRIORITY_NAMES = [
     "io14_table_stats",
     "smp11_epoch_shuffle",
     "x06_asof_join_nearest",
+    "t20_html_strip",
+    "j11_not_in_null_aware",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",
