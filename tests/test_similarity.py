@@ -159,3 +159,41 @@ def test_semantic_dedup_deterministic(spark):
     r1 = sorted(map(tuple, semantic_dedup(df, "vec_id", "v", n_clusters=4, dim=16).collect()))
     r2 = sorted(map(tuple, semantic_dedup(df, "vec_id", "v", n_clusters=4, dim=16).collect()))
     assert r1 == r2
+
+
+def test_pq_codebooks_deterministic_and_better_than_mean(spark, sf_dir):
+    """PQ contract: (1) codebooks are bit-stable across runs (no RNG,
+    decimal-summed updates); (2) nearest-codeword reconstruction beats
+    the trivial 1-code (global mean) quantizer in every subspace."""
+    from datalake_worker_spark.functions.similarity import (
+        pq_codebooks,
+        to_double_array,
+    )
+    from datalake_worker_spark.registry import REGISTRY
+    from datalake_worker_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    b1 = pq_codebooks(e, "vec_id", "v", dim=64, n_sub=8, n_codes=16, iters=2)
+    b2 = pq_codebooks(e, "vec_id", "v", dim=64, n_sub=8, n_codes=16, iters=2)
+    assert b1 == b2
+
+    audit = {
+        r["subspace"]: r["rmse"]
+        for r in REGISTRY["v08_pq_quantization_audit"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(audit) == set(range(8))
+    # trivial quantizer: every subvector reconstructed as its subspace mean
+    import math
+
+    rows = e.select("v").collect()
+    import numpy as np
+
+    mat = np.array([r["v"] for r in rows])
+    for m in range(8):
+        sub = mat[:, m * 8 : (m + 1) * 8]
+        mean_rmse = math.sqrt(((sub - sub.mean(axis=0)) ** 2).sum(axis=1).mean() / 8)
+        assert audit[m] < mean_rmse, (m, audit[m], mean_rmse)
