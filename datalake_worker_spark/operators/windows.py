@@ -491,3 +491,58 @@ def w11_scd2_intervals(spark, sf_dir):
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "w12_running_distinct_users",
+    """
+    WITH flagged AS (
+        SELECT event_type, ts, event_id,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY event_type, user_id ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_type, ts, event_id,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_users_so_far
+    FROM flagged
+    """,
+    doc=(
+        "running COUNT(DISTINCT) — which no engine supports as a window "
+        "frame directly — decomposed into its standard exact form: flag "
+        "each user's first occurrence per event_type (one row_number "
+        "window), then a running SUM of the flags. Two windows, but the "
+        "second partitions on a prefix of the first's keys, so one "
+        "hash exchange serves both (extra sort only). O(1) frame state; "
+        "the cumulative-audience metric every funnel dashboard needs. "
+        "At extreme per-timestamp output width, swap the running sum "
+        "for windowed HLL merges (a11) and accept the approximation."
+    ),
+)
+def w12_running_distinct_users(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    first_w = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    run_w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("first_seen").over(run_w).cast("long").alias(
+            "distinct_users_so_far"
+        ),
+    )
