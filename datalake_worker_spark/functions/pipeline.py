@@ -892,3 +892,59 @@ def t20_html_strip(spark, sf_dir):
         "doc_id", F.expr(_T20_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
     )
     return html_strip(planted, "text", ["doc_id"])
+
+
+@register(
+    "smp12_leakage_free_split",
+    """
+    WITH raw AS (
+        SELECT doc_id, text,
+               CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 'train'
+                    WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                    THEN 'val'
+                    ELSE 'test' END AS split_raw
+        FROM documents
+    ),
+    grp AS (
+        SELECT sha256(text) AS h,
+               COUNT(DISTINCT split_raw) AS n_splits
+        FROM raw GROUP BY h
+    )
+    SELECT r.doc_id, r.split_raw,
+           CASE WHEN g.n_splits > 1 THEN 'train' ELSE r.split_raw END
+               AS split_final,
+           g.n_splits > 1 AS leaked
+    FROM raw r JOIN grp g ON sha256(r.text) = g.h
+    """,
+    category="llm-sampling",
+    doc=(
+        "leakage-free train/val/test split: the deterministic hash "
+        "split (smp06) followed by a duplicate-leak repair — any "
+        "content group (sha256(text)) whose members land in more than "
+        "one split is forced entirely into train, so no eval document "
+        "has a training-set twin. One content-hash aggregate + one "
+        "group-keyed join back; at 100 TB swap exact content groups for "
+        "the near-dup clusters d13 emits and the same two-stage shape "
+        "holds. The repair direction (demote to train) is the "
+        "conservative one: eval sets shrink, they never contaminate."
+    ),
+)
+def smp12_leakage_free_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("h"),
+        hash_split(d, "doc_id").alias("split_raw"),
+    )
+    grp = raw.groupBy("h").agg(
+        (F.count_distinct("split_raw") > 1).alias("leaked")
+    )
+    return raw.join(grp, "h").select(
+        "doc_id",
+        "split_raw",
+        F.when(F.col("leaked"), F.lit("train"))
+        .otherwise(F.col("split_raw"))
+        .alias("split_final"),
+        "leaked",
+    )

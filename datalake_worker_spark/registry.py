@@ -92,6 +92,7 @@ _PRIORITY_NAMES = [
     "j11_not_in_null_aware",
     "v08_pq_quantization_audit",
     "w12_running_distinct_users",
+    "smp12_leakage_free_split",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",
