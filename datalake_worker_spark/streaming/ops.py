@@ -490,3 +490,45 @@ def st11_streaming_quality_gate(spark, sf_dir):
         F.min("n_tok").cast("long").alias("n_tok"),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "st12_dedup_within_watermark",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    category="streaming",
+    doc=(
+        "streaming dedup via dropDuplicatesWithinWatermark (the "
+        "bounded-state variant): same doubled-replay collapse as st04, "
+        "but dedup state is GUARANTEED evicted once event time passes "
+        "the watermark delay — plain dropDuplicates on a non-watermark "
+        "key retains every key forever, which is the state leak that "
+        "kills month-long 100 TB streams. The contract traded away: "
+        "duplicates arriving farther apart than the delay are kept; "
+        "here the replay gap is within the 10-day delay, so the batch "
+        "distinct count is still the exact oracle."
+    ),
+)
+def st12_dedup_within_watermark(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources.readers import ensure_session_confs, nanos_timestamp_columns
+
+    ensure_session_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="dlw_replay_")
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(tmp, "a.parquet"))
+    shutil.copy(src, os.path.join(tmp, "b.parquet"))
+    if nanos_timestamp_columns(src):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(src).schema
+    s = _stream_parquet(spark, tmp, raw, maxFilesPerTrigger=1)
+    deduped = s.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_to_memory(agg, "complete")
