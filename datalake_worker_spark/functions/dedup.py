@@ -846,3 +846,103 @@ def duplicate_spans(
 def d15_duplicate_spans(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return duplicate_spans(d, "doc_id", "text", n=10)
+
+
+def char_shingles(text: Column, n: int = 5, stride: int | None = None) -> Column:
+    """Distinct character n-gram shingles — the tokenizer-free unit for
+    scripts without whitespace word boundaries (CJK, Thai) where word
+    shingles (d03/d04) don't exist. Short texts fall back to one
+    whole-text shingle.
+
+    ``stride`` is the recall/cost dial: 1 = textbook overlapping
+    shingles (n× larger gram sets — measured ~5x slower end-to-end in
+    the d16 pair join at n=5); ``stride=n`` (the default) = disjoint
+    blocks, the t14-style unit that keeps gram sets |text|/n."""
+    if stride is None:
+        stride = n
+    t = F.trim(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.ceil((F.length(t) - n + 1) / stride) - 1),
+        lambda i: t.substr(i * stride + 1, F.lit(n)),
+    )
+    return F.array_distinct(
+        F.when(F.length(t) < n, F.array(t)).otherwise(grams)
+    )
+
+
+@register(
+    "d16_char_jaccard_pairs",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct(CASE WHEN strlen(trim(text)) < 5
+                    THEN [trim(text)]
+                    ELSE [substr(trim(text), i*5+1, 5)
+                          FOR i IN range(CAST(ceil((strlen(trim(text)) - 4) / 5.0) AS BIGINT))] END) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+             AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND b.n_chars BETWEEN a.n_chars - 2 AND a.n_chars + 2
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+    """,
+    category="llm-dedup",
+    doc=(
+        "character 5-gram-block Jaccard over the same (lang, length-bucket) "
+        "blocked pair join as d03 — the tokenizer-free dedup path for "
+        "scripts without whitespace word boundaries, where word-shingle "
+        "MinHash/Jaccard has no unit to work with. Grams travel as "
+        "xxhash64 longs; same probe-bucket replication, same "
+        "granular-key scale argument."
+    ),
+)
+def d16_char_jaccard_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.array_distinct(
+                F.transform(
+                    char_shingles(F.col("text"), 5), lambda g: F.xxhash64(g)
+                )
+            ).alias("grams"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bucket = (F.col("n_chars") / 5).cast("long")
+    a = t.withColumn(
+        "probe_bucket", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("grams").alias("ga"),
+        "probe_bucket",
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("grams").alias("gb"),
+        bucket.alias("bucket_b"),
+    )
+    jac = exact_jaccard(F.col("ga"), F.col("gb"))
+    return (
+        a.join(
+            b,
+            (F.col("probe_bucket") == F.col("bucket_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("nc_b") >= F.col("nc_a") - 2)
+            & (F.col("nc_b") <= F.col("nc_a") + 2),
+        )
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )

@@ -94,6 +94,7 @@ _PRIORITY_NAMES = [
     "w12_running_distinct_users",
     "smp12_leakage_free_split",
     "st12_dedup_within_watermark",
+    "d16_char_jaccard_pairs",
     "st10_streaming_cdc_apply",
     "lk06_time_travel_listing",
     "v06_cosine_range_search",
