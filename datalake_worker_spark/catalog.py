@@ -28,8 +28,9 @@ Reference semantics reproduced here (with citations into /root/reference):
 Design for scale: the metadata log is O(#chunks), not O(data); every data
 operation is a Spark DataFrame over the chunk files; driver-side work is
 metadata-only. The log is append-only one-Parquet-file-per-commit with
-atomic tmp+rename, last-writer-wins per chunk_id (the reference's
-optimistic single-writer assumption, src/data_manager.rs:259-262);
+atomic exclusive creation of the seq-named commit file — multi-writer
+CAS (the reference only COMMENTS that conflicts "are not expected",
+src/data_manager.rs:259-262; here they are detected and retried);
 ``compact()`` folds the log. On a cluster the same layout works on any
 rename-atomic store; for S3-class stores swap the backend (CatalogBackend
 is the ``StorageEngine`` trait analog, src/lib.rs:75-103).
@@ -51,7 +52,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .errors import MaxSizeAllocated
+from .errors import ChunkConflict, MaxSizeAllocated
 
 # Reference: MAX_SIZE_ON_DISK = 1 TB (src/data_manager.rs:19)
 MAX_SIZE_ON_DISK = 1_000_000_000_000
@@ -101,6 +102,16 @@ class CatalogBackend(ABC):
     @abstractmethod
     def read_records(self) -> list[dict]: ...
 
+    def frontier_seq(self) -> int:
+        """Highest committed seq. Writers MUST pick seqs above this before
+        every commit: the CAS exclusive-create only detects a version
+        collision while the version's file still exists, and compaction
+        folds old files away — a writer whose local clock trails the
+        frontier would otherwise silently reuse a folded seq and fork
+        history (two records, one version; the fold then drops one)."""
+        records = self.read_records()
+        return records[-1]["seq"] if records else 0
+
     @abstractmethod
     def add_lease(self, lease_id: str, chunk_id: str) -> None: ...
 
@@ -131,11 +142,26 @@ class ParquetCatalogBackend(CatalogBackend):
     AUTO_COMPACT_AT = 64
 
     def append_record(self, record: dict) -> None:
+        """Commit one record at exactly ``seq`` — compare-and-swap via the
+        one primitive every POSIX/object store with if-none-match offers:
+        exclusive creation. The file name IS the seq, so two writers
+        racing the same version cannot both win: ``os.link`` fails for
+        the loser (``ChunkConflict``), who must re-read the log, pick a
+        later seq, and re-validate. This is the Delta/Iceberg commit
+        protocol in miniature; the former uuid-suffixed naming let both
+        racers "succeed" and silently forked history."""
         table = pa.Table.from_pylist([record], schema=_META_SCHEMA)
-        name = f"{record['seq']:020d}-{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(self.meta_dir, f".tmp-{name}")
+        name = f"{record['seq']:020d}.parquet"
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}-{name}")
         pq.write_table(table, tmp)
-        os.rename(tmp, os.path.join(self.meta_dir, name))
+        try:
+            os.link(tmp, os.path.join(self.meta_dir, name))
+        except FileExistsError:
+            raise ChunkConflict(
+                f"seq {record['seq']} already committed by another writer"
+            ) from None
+        finally:
+            os.remove(tmp)
         n_files = sum(
             1
             for f in os.listdir(self.meta_dir)
@@ -143,6 +169,17 @@ class ParquetCatalogBackend(CatalogBackend):
         )
         if n_files > self.AUTO_COMPACT_AT:
             self.compact()
+
+    def frontier_seq(self) -> int:
+        """Cheap frontier: the max canonical (seq-named) file. compact()
+        always RETAINS the highest canonical file it folds, so this
+        listing can never go backwards through a compaction."""
+        best = 0
+        for f in os.listdir(self.meta_dir):
+            stem = f.split(".")[0]
+            if f.endswith(".parquet") and stem.isdigit():
+                best = max(best, int(stem))
+        return best
 
     def read_records(self) -> list[dict]:
         import pyarrow.dataset as ds
@@ -167,7 +204,16 @@ class ParquetCatalogBackend(CatalogBackend):
                 if attempt == 4:
                     raise
                 continue
-            return sorted(table.to_pylist(), key=lambda r: r["seq"])
+            rows = sorted(table.to_pylist(), key=lambda r: r["seq"])
+            # racing compactors can each copy the same committed record
+            # into their own compacted file — a seq is committed exactly
+            # once (CAS), so same-seq rows are identical; keep one
+            out, last = [], None
+            for r in rows:
+                if r["seq"] != last:
+                    out.append(r)
+                    last = r["seq"]
+            return out
         return []
 
     def compact(self, retain_last: int = 0) -> None:
@@ -182,29 +228,68 @@ class ParquetCatalogBackend(CatalogBackend):
         folded records keep their original seq). Plain compaction
         (K=0) keeps only each chunk's latest record — history before the
         newest transitions degrades, which is why lk06 calls compaction
-        a version-retention decision."""
-        records = self.read_records()
+        a version-retention decision.
+
+        Concurrency contract: the fold reads EXACTLY the file snapshot it
+        later deletes. Listing the deletions separately (the earlier
+        code) lost any commit that landed between the fold and the
+        delete — the file was removed without its record being folded
+        in. A commit after the snapshot is simply left in place; a
+        racing compactor deleting our files mid-read triggers a relist
+        of a fresh snapshot."""
+        import pyarrow.dataset as ds
+
+        for attempt in range(5):
+            files = sorted(
+                f
+                for f in os.listdir(self.meta_dir)
+                if f.endswith(".parquet") and not f.startswith(".tmp-")
+            )
+            if not files:
+                return
+            try:
+                table = ds.dataset(
+                    [os.path.join(self.meta_dir, f) for f in files],
+                    schema=_META_SCHEMA,
+                    format="parquet",
+                ).to_table()
+            except (FileNotFoundError, OSError):
+                if attempt == 4:
+                    raise
+                continue
+            break
+        rows = sorted(table.to_pylist(), key=lambda r: r["seq"])
+        records, last = [], None
+        for r in rows:  # same-seq duplicates from racing compactors
+            if r["seq"] != last:
+                records.append(r)
+                last = r["seq"]
         if not records:
             return
         cutoff = records[-1]["seq"] - retain_last
         tail = [r for r in records if r["seq"] > cutoff]
         latest: dict[str, dict] = {}
-        for rec in records:  # read_records is seq-sorted
+        for rec in records:  # seq-sorted
             if rec["seq"] <= cutoff:
                 latest[rec["chunk_id"]] = rec
         records = sorted(latest.values(), key=lambda r: r["seq"]) + tail
-        old = [
-            f
-            for f in os.listdir(self.meta_dir)
-            if f.endswith(".parquet") and not f.startswith(".tmp-")
-        ]
         table = pa.Table.from_pylist(records, schema=_META_SCHEMA)
         name = f"compacted-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.meta_dir, f".tmp-{name}")
         pq.write_table(table, tmp)
         os.rename(tmp, os.path.join(self.meta_dir, name))
-        for f in old:
-            os.remove(os.path.join(self.meta_dir, f))
+        # retain the highest canonical file: it anchors frontier_seq(),
+        # so no writer can ever reuse a folded version (its duplicate
+        # content is collapsed by the same-seq dedupe on read)
+        canon = [f for f in files if f.split(".")[0].isdigit()]
+        keep = max(canon, key=lambda f: int(f.split(".")[0])) if canon else None
+        for f in files:  # exactly the snapshot that was folded
+            if f == keep:
+                continue
+            try:
+                os.remove(os.path.join(self.meta_dir, f))
+            except FileNotFoundError:
+                pass  # a racing compactor already removed it
 
     def add_lease(self, lease_id: str, chunk_id: str) -> None:
         tmp = os.path.join(self.lease_dir, f".tmp-{lease_id}")
@@ -323,11 +408,39 @@ class ChunkCatalog:
             self._state_cache = state
         return self._state_cache
 
-    def _append(self, rec: dict) -> None:
-        """Write-through: commit to the log, then update the cache."""
-        self.backend.append_record(rec)
-        if self._state_cache is not None:
-            self._state_cache[rec["chunk_id"]] = rec
+    def _append(self, rec: dict, revalidate=None) -> bool:
+        """Write-through with optimistic-concurrency retry: commit to the
+        log at ``rec['seq']``; on a CAS conflict (another writer took that
+        version) re-read the log, advance past the observed frontier, let
+        ``revalidate(current_state)`` re-check the caller's precondition
+        against what actually committed, and retry with a fresh seq.
+        Returns False when revalidation rejects (e.g. the chunk was
+        registered by the racer) — the caller's no-op path."""
+        for _ in range(32):
+            frontier = self.backend.frontier_seq()
+            if rec["seq"] <= frontier:
+                self._seq = max(self._seq, frontier)
+                rec["seq"] = self._next_seq()
+            try:
+                self.backend.append_record(rec)
+            except ChunkConflict:
+                self.refresh()
+                committed = self.backend.read_records()
+                if committed:
+                    self._seq = max(self._seq, committed[-1]["seq"])
+                # seq is a version, not a row number — gaps are fine. A
+                # writer-unique jump past the frontier breaks the
+                # thundering herd where every loser re-picks frontier+1
+                # and collides again (livelocked the 8-writer test).
+                self._seq += int(uuid.uuid4().hex[:4], 16) % 251 + 1
+                if revalidate is not None and not revalidate(self._current()):
+                    return False
+                rec["seq"] = self._next_seq()
+                continue
+            if self._state_cache is not None:
+                self._state_cache[rec["chunk_id"]] = rec
+            return True
+        raise ChunkConflict("commit retry budget exhausted (16 attempts)")
 
     @property
     def version(self) -> int:
@@ -375,15 +488,24 @@ class ChunkCatalog:
         Entry::Vacant dedupe, src/data_manager.rs:226-228). Raises
         MaxSizeAllocated if the cap would trip (src/data_manager.rs:229-239).
         """
-        cur = self._current()
-        if meta.chunk_id in cur and cur[meta.chunk_id]["state"] != DELETED:
+        def admissible(cur: dict[str, dict]) -> bool:
+            if meta.chunk_id in cur and cur[meta.chunk_id]["state"] != DELETED:
+                return False
+            total = sum(
+                r["size_bytes"] for r in cur.values() if r["state"] != DELETED
+            )
+            if total + meta.size_bytes > self.max_size_bytes:
+                raise MaxSizeAllocated(
+                    total + meta.size_bytes, self.max_size_bytes
+                )
+            return True
+
+        if not admissible(self._current()):
             return False
-        total = sum(
-            r["size_bytes"] for r in cur.values() if r["state"] != DELETED
-        )
-        if total + meta.size_bytes > self.max_size_bytes:
-            raise MaxSizeAllocated(total + meta.size_bytes, self.max_size_bytes)
-        self._append(
+        # `admissible` doubles as the CAS revalidation: when another writer
+        # wins the version race, the precondition re-runs against what
+        # actually committed (duplicate -> False/no-op; cap -> raise)
+        return self._append(
             {
                 "dataset_id": meta.dataset_id,
                 "chunk_id": meta.chunk_id,
@@ -394,9 +516,9 @@ class ChunkCatalog:
                 "state": ACTIVE,
                 "seq": self._next_seq(),
                 "created_at": pa.scalar(int(time.time() * 1e6), pa.timestamp("us")).as_py(),
-            }
+            },
+            revalidate=admissible,
         )
-        return True
 
     # -- R3: list ----------------------------------------------------------
     def list_chunks(self, state: str = ACTIVE) -> list[str]:

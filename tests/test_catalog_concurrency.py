@@ -154,3 +154,78 @@ def test_lease_ttl_reaps_crashed_reader(spark, tmp_path):
     time.sleep(0.25)  # lease expires un-released (crashed reader)
     assert cat.vacuum() == ["c000"]
     assert not os.path.isdir(ref.path())
+
+
+def test_cas_commit_rejects_version_race(spark, tmp_path):
+    """Two writers forced onto the SAME next seq: exclusive-create makes
+    exactly one link win per version; the loser retries past the
+    frontier. Both registrations land, history has no forked seq, and
+    the fold is identical from both instances."""
+    from datalake_worker_spark.errors import ChunkConflict
+
+    root = str(tmp_path / "cat")
+    a = ChunkCatalog(spark, root)
+    b = ChunkCatalog(spark, root)
+    b._seq = a._seq  # force the version collision
+    ma = ChunkMeta("ds", "ca", 0, 10, {}, 1)
+    mb = ChunkMeta("ds", "cb", 10, 20, {}, 1)
+    assert a.register_chunk(ma)
+    assert b.register_chunk(mb)  # CAS conflict -> retry with fresh seq
+    seqs = [r["seq"] for r in a.backend.read_records()]
+    assert len(seqs) == len(set(seqs)), f"forked history: {seqs}"
+    a.refresh(); b.refresh()
+    assert a.list_chunks() == b.list_chunks() == ["ca", "cb"]
+
+    # duplicate-register race: the loser's revalidation sees the racer's
+    # commit and turns into the idempotent no-op
+    c = ChunkCatalog(spark, root)
+    c._seq = a.backend.read_records()[-1]["seq"]  # collide again
+    a._seq = c._seq
+    same = ChunkMeta("ds", "cc", 20, 30, {}, 1)
+    assert a.register_chunk(same)
+    assert c.register_chunk(ChunkMeta("ds", "cc", 20, 30, {}, 1)) is False
+
+    # cap race: room for exactly one more byte-sized chunk — one writer
+    # admits, the other's revalidation raises the cap error
+    import pytest
+
+    from datalake_worker_spark.errors import MaxSizeAllocated
+
+    d1 = ChunkCatalog(spark, root, max_size_bytes=4)
+    d2 = ChunkCatalog(spark, root, max_size_bytes=4)
+    d2._seq = d1._seq
+    assert d1.register_chunk(ChunkMeta("ds", "cd", 30, 40, {}, 1))
+    with pytest.raises(MaxSizeAllocated):
+        d2.register_chunk(ChunkMeta("ds", "ce", 40, 50, {}, 1))
+
+
+def test_parallel_writers_all_commits_survive(spark, tmp_path):
+    """8 threads x 12 registrations through SEPARATE catalog instances
+    over one root, seqs deliberately seeded equal: every chunk must be
+    admitted exactly once with a unique version."""
+    root = str(tmp_path / "cat")
+    cats = [ChunkCatalog(spark, root) for _ in range(8)]
+    base = cats[0]._seq
+    for c in cats:
+        c._seq = base
+    errs = []
+
+    def writer(wid: int):
+        try:
+            for i in range(12):
+                assert cats[wid].register_chunk(
+                    ChunkMeta("ds", f"w{wid}_{i}", 0, 10, {}, 1)
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    fresh = ChunkCatalog(spark, root)
+    assert len(fresh.list_chunks()) == 96
+    seqs = [r["seq"] for r in fresh.backend.read_records()]
+    assert len(seqs) == len(set(seqs))
