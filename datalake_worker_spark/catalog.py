@@ -141,6 +141,15 @@ class ParquetCatalogBackend(CatalogBackend):
     # LSM-compaction analog of the reference's RocksDB backend)
     AUTO_COMPACT_AT = 64
 
+    #: Oldest seq auto-compaction may fold away. ``compact(retain_last=K)``
+    #: (the ``checkpoint`` path) moves this floor to its cutoff, so the
+    #: retained-tail window a checkpoint promises survives subsequent
+    #: auto-compactions instead of being folded by the 65th commit.
+    #: In-memory only: retention is a per-process dial — a writer in
+    #: another process that never checkpointed compacts with its own
+    #: (default 0) floor.
+    retain_floor_seq: int = 0
+
     def append_record(self, record: dict) -> None:
         """Commit one record at exactly ``seq`` — compare-and-swap via the
         one primitive every POSIX/object store with if-none-match offers:
@@ -149,17 +158,32 @@ class ParquetCatalogBackend(CatalogBackend):
         the loser (``ChunkConflict``), who must re-read the log, pick a
         later seq, and re-validate. This is the Delta/Iceberg commit
         protocol in miniature; the former uuid-suffixed naming let both
-        racers "succeed" and silently forked history."""
+        racers "succeed" and silently forked history.
+
+        Filesystems that forbid hard links (some FUSE/network mounts:
+        EPERM/EXDEV) fall back to ``O_CREAT|O_EXCL`` on the final name —
+        the same exclusive-create guarantee, just copying bytes instead
+        of linking the already-written temp file."""
         table = pa.Table.from_pylist([record], schema=_META_SCHEMA)
         name = f"{record['seq']:020d}.parquet"
+        dst = os.path.join(self.meta_dir, name)
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}-{name}")
         pq.write_table(table, tmp)
         try:
-            os.link(tmp, os.path.join(self.meta_dir, name))
+            os.link(tmp, dst)
         except FileExistsError:
             raise ChunkConflict(
                 f"seq {record['seq']} already committed by another writer"
             ) from None
+        except OSError:  # link unsupported here -> O_EXCL fallback
+            try:
+                fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ChunkConflict(
+                    f"seq {record['seq']} already committed by another writer"
+                ) from None
+            with open(tmp, "rb") as src, os.fdopen(fd, "wb") as out:
+                out.write(src.read())
         finally:
             os.remove(tmp)
         n_files = sum(
@@ -168,7 +192,11 @@ class ParquetCatalogBackend(CatalogBackend):
             if f.endswith(".parquet") and not f.startswith(".tmp-")
         )
         if n_files > self.AUTO_COMPACT_AT:
-            self.compact()
+            # honor the checkpoint retention floor: fold only history at or
+            # below it (retain_last is a seq-delta from the current max)
+            self.compact(
+                retain_last=max(0, self.frontier_seq() - self.retain_floor_seq)
+            )
 
     def frontier_seq(self) -> int:
         """Cheap frontier: the max canonical (seq-named) file. compact()
@@ -267,6 +295,9 @@ class ParquetCatalogBackend(CatalogBackend):
         if not records:
             return
         cutoff = records[-1]["seq"] - retain_last
+        # the latest retention request wins: later auto-compactions fold
+        # nothing newer than this cutoff (see retain_floor_seq)
+        self.retain_floor_seq = cutoff
         tail = [r for r in records if r["seq"] > cutoff]
         latest: dict[str, dict] = {}
         for rec in records:  # seq-sorted
@@ -278,13 +309,24 @@ class ParquetCatalogBackend(CatalogBackend):
         tmp = os.path.join(self.meta_dir, f".tmp-{name}")
         pq.write_table(table, tmp)
         os.rename(tmp, os.path.join(self.meta_dir, name))
-        # retain the highest canonical file: it anchors frontier_seq(),
-        # so no writer can ever reuse a folded version (its duplicate
-        # content is collapsed by the same-seq dedupe on read)
-        canon = [f for f in files if f.split(".")[0].isdigit()]
-        keep = max(canon, key=lambda f: int(f.split(".")[0])) if canon else None
+        # retain the newest canonical files: the highest anchors
+        # frontier_seq() (so no writer can reuse a folded version), and
+        # keeping a small tail of them closes the narrow race where a
+        # writer passes its frontier check, a racer commits twice, and a
+        # compaction folds the in-between seq before the writer's
+        # exclusive-create lands — with the tail retained, that create
+        # still collides. Their duplicate content (also in the compacted
+        # file) is collapsed by the same-seq dedupe on read.
+        canon = sorted(
+            (f for f in files if f.split(".")[0].isdigit()),
+            key=lambda f: int(f.split(".")[0]),
+        )
+        # half the log up to 8 files: enough that the race needs more
+        # concurrent commits than ever plausible inside the window, while
+        # small explicit compactions still shrink the file count
+        keep = set(canon[-max(1, min(8, len(canon) // 2)):])
         for f in files:  # exactly the snapshot that was folded
-            if f == keep:
+            if f in keep:
                 continue
             try:
                 os.remove(os.path.join(self.meta_dir, f))
@@ -387,66 +429,94 @@ class ChunkCatalog:
         # held until release). Set a TTL in deployments where readers can
         # crash without releasing.
         self.lease_ttl_seconds = lease_ttl_seconds
-        self._seq = int(time.time() * 1e6)
         # in-memory fold of the log — the analog of the reference's
-        # startup warm-up + HashMap cache (src/data_manager.rs:165-186):
-        # single-writer assumption means the cache is authoritative;
-        # refresh() re-reads if another process wrote.
+        # startup warm-up + HashMap cache (src/data_manager.rs:165-186);
+        # refresh() re-reads if another process wrote. _snapshot_seq is
+        # the version the fold was built at: the Delta-style commit in
+        # _append always attempts exactly _snapshot_seq + 1, so every
+        # precondition is provably checked against the state it commits
+        # on top of.
         self._state_cache: dict[str, dict] | None = None
+        self._snapshot_seq = 0
+
+    #: consecutive NO-PROGRESS commit rounds tolerated before giving up.
+    #: A CAS loss means another writer committed snapshot+1, so the
+    #: frontier advanced and the counter resets — contention alone can
+    #: never exhaust this; only a broken filesystem (conflicts with no
+    #: visible new commit) can.
+    COMMIT_RETRY_BUDGET = 32
 
     # -- state assembly ----------------------------------------------------
-    def _next_seq(self) -> int:
-        self._seq += 1
-        return self._seq
-
     def _current(self) -> dict[str, dict]:
         """Fold the log: last record per chunk_id wins (cached)."""
         if self._state_cache is None:
             state: dict[str, dict] = {}
+            top = 0
             for rec in sorted(self.backend.read_records(), key=lambda r: r["seq"]):
                 state[rec["chunk_id"]] = rec
+                top = max(top, rec["seq"])
             self._state_cache = state
+            self._snapshot_seq = top
         return self._state_cache
 
     def _append(self, rec: dict, revalidate=None) -> bool:
-        """Write-through with optimistic-concurrency retry: commit to the
-        log at ``rec['seq']``; on a CAS conflict (another writer took that
-        version) re-read the log, advance past the observed frontier, let
-        ``revalidate(current_state)`` re-check the caller's precondition
-        against what actually committed, and retry with a fresh seq.
-        Returns False when revalidation rejects (e.g. the chunk was
-        registered by the racer) — the caller's no-op path."""
-        for _ in range(32):
-            frontier = self.backend.frontier_seq()
-            if rec["seq"] <= frontier:
-                self._seq = max(self._seq, frontier)
-                rec["seq"] = self._next_seq()
+        """Delta-protocol commit: attempt version ``_snapshot_seq + 1``
+        exactly — the version immediately after the state the caller's
+        precondition was validated against. ANY concurrent commit
+        (same seq or not) therefore collides: either our exclusive-create
+        loses (``ChunkConflict``) or the racer's does. On a loss we
+        re-read the log, let ``revalidate(current_state)`` re-check the
+        caller's precondition against what actually committed, and retry
+        at the new snapshot+1. Returns False when revalidation rejects
+        (e.g. the chunk was registered, or the cap was filled, by the
+        racer) — the caller's no-op/raise path.
+
+        Progress: one writer wins each version, so a conflict implies
+        system-wide progress; the retry budget counts only rounds where
+        the snapshot did NOT advance (never under mere contention).
+        The earlier clock-seeded-seq scheme made concurrent writers in
+        different processes commit at disjoint seqs with no conflict at
+        all — revalidation never ran, so two racers could both
+        register the same chunk or jointly blow max_size_bytes."""
+        stuck = 0
+        while stuck < self.COMMIT_RETRY_BUDGET:
+            self._current()  # ensure a snapshot exists to commit on top of
+            before = self._snapshot_seq
+            if self.backend.frontier_seq() > before:
+                # commits landed since our fold. Rebase rather than commit
+                # blind: a compaction may already have FOLDED the version
+                # we would attempt, and exclusive-create cannot detect the
+                # reuse of a vacated seq (it would fork history).
+                self.refresh()
+                if revalidate is not None and not revalidate(self._current()):
+                    return False
+                stuck = stuck + 1 if self._snapshot_seq <= before else 0
+                continue
+            rec["seq"] = before + 1
             try:
                 self.backend.append_record(rec)
             except ChunkConflict:
                 self.refresh()
-                committed = self.backend.read_records()
-                if committed:
-                    self._seq = max(self._seq, committed[-1]["seq"])
-                # seq is a version, not a row number — gaps are fine. A
-                # writer-unique jump past the frontier breaks the
-                # thundering herd where every loser re-picks frontier+1
-                # and collides again (livelocked the 8-writer test).
-                self._seq += int(uuid.uuid4().hex[:4], 16) % 251 + 1
                 if revalidate is not None and not revalidate(self._current()):
                     return False
-                rec["seq"] = self._next_seq()
+                self._current()
+                stuck = stuck + 1 if self._snapshot_seq <= before else 0
                 continue
-            if self._state_cache is not None:
-                self._state_cache[rec["chunk_id"]] = rec
+            self._state_cache[rec["chunk_id"]] = rec
+            self._snapshot_seq = rec["seq"]
             return True
-        raise ChunkConflict("commit retry budget exhausted (16 attempts)")
+        raise ChunkConflict(
+            f"commit retry budget exhausted "
+            f"({self.COMMIT_RETRY_BUDGET} no-progress rounds)"
+        )
 
     @property
     def version(self) -> int:
-        """The latest committed seq — pass to ``state_as_of`` /
-        ``list_chunks_as_of`` to address this point in history later."""
-        return self._seq
+        """The latest committed seq this instance has observed — pass to
+        ``state_as_of`` / ``list_chunks_as_of`` to address this point in
+        history later."""
+        self._current()
+        return self._snapshot_seq
 
     def state_as_of(self, seq: int) -> dict[str, dict]:
         """Time travel: fold only log records with ``seq`` ≤ the given
@@ -514,7 +584,7 @@ class ChunkCatalog:
                 "files": json.dumps(meta.files, sort_keys=True),
                 "size_bytes": meta.size_bytes,
                 "state": ACTIVE,
-                "seq": self._next_seq(),
+                "seq": 0,  # assigned by _append at commit time (snapshot+1)
                 "created_at": pa.scalar(int(time.time() * 1e6), pa.timestamp("us")).as_py(),
             },
             revalidate=admissible,
@@ -604,9 +674,12 @@ class ChunkCatalog:
         cur = self._current().get(chunk_id)
         if cur is None or cur["state"] != ACTIVE:
             return False
-        rec = dict(cur, state=PENDING_DELETE, seq=self._next_seq())
-        self._append(rec)
-        return True
+        rec = dict(cur, state=PENDING_DELETE, seq=0)
+        return self._append(
+            rec,
+            # racer already transitioned it (deleted/vacuumed): no-op
+            revalidate=lambda now: now.get(chunk_id, {}).get("state") == ACTIVE,
+        )
 
     # -- R7/R8: vacuum (the acquire_many barrier, src/data_manager.rs:141-144)
     def vacuum(self) -> list[str]:
@@ -622,8 +695,13 @@ class ChunkCatalog:
                 path = self.chunk_path(meta)
                 if path.startswith(self.root):  # only managed dirs
                     self.backend.delete_chunk_files(path)
-                self._append(dict(r, state=DELETED, seq=self._next_seq()))
-                removed.append(cid)
+                if self._append(
+                    dict(r, state=DELETED, seq=0),
+                    # a racing vacuum already tombstoned it: no-op
+                    revalidate=lambda now, cid=cid: now.get(cid, {}).get("state")
+                    == PENDING_DELETE,
+                ):
+                    removed.append(cid)
         return sorted(removed)
 
     # -- R10: chunk_path (implements the todo!(), rocksdb_storage_engine.rs:140)

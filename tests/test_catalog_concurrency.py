@@ -157,43 +157,46 @@ def test_lease_ttl_reaps_crashed_reader(spark, tmp_path):
 
 
 def test_cas_commit_rejects_version_race(spark, tmp_path):
-    """Two writers forced onto the SAME next seq: exclusive-create makes
-    exactly one link win per version; the loser retries past the
-    frontier. Both registrations land, history has no forked seq, and
-    the fold is identical from both instances."""
-    from datalake_worker_spark.errors import ChunkConflict
-
+    """Writers with STALE snapshots (folded before the racer's commit —
+    the real multi-process race): the Delta-protocol commit at
+    snapshot+1 must collide, exclusive-create picks exactly one winner
+    per version, and the loser rebases + revalidates. Both
+    registrations land, history has no forked seq, and the fold is
+    identical from both instances."""
     root = str(tmp_path / "cat")
     a = ChunkCatalog(spark, root)
     b = ChunkCatalog(spark, root)
-    b._seq = a._seq  # force the version collision
+    b._current()  # b folds the EMPTY log: snapshot version 0
     ma = ChunkMeta("ds", "ca", 0, 10, {}, 1)
     mb = ChunkMeta("ds", "cb", 10, 20, {}, 1)
-    assert a.register_chunk(ma)
-    assert b.register_chunk(mb)  # CAS conflict -> retry with fresh seq
+    assert a.register_chunk(ma)  # commits version 1
+    # b's stale snapshot makes it attempt version 1 too -> CAS conflict
+    # -> rebase -> revalidate -> commit at 2
+    assert b.register_chunk(mb)
     seqs = [r["seq"] for r in a.backend.read_records()]
-    assert len(seqs) == len(set(seqs)), f"forked history: {seqs}"
+    assert seqs == [1, 2], f"forked/gapped history: {seqs}"
     a.refresh(); b.refresh()
     assert a.list_chunks() == b.list_chunks() == ["ca", "cb"]
 
-    # duplicate-register race: the loser's revalidation sees the racer's
-    # commit and turns into the idempotent no-op
+    # duplicate-register race: c folds BEFORE a registers "cc"; c's
+    # pre-check passes on the stale fold, the commit collides, and the
+    # revalidation sees the racer's identical chunk -> idempotent no-op
     c = ChunkCatalog(spark, root)
-    c._seq = a.backend.read_records()[-1]["seq"]  # collide again
-    a._seq = c._seq
-    same = ChunkMeta("ds", "cc", 20, 30, {}, 1)
-    assert a.register_chunk(same)
+    c._current()
+    assert a.register_chunk(ChunkMeta("ds", "cc", 20, 30, {}, 1))
     assert c.register_chunk(ChunkMeta("ds", "cc", 20, 30, {}, 1)) is False
+    assert len(c.backend.read_records()) == 3  # no duplicate commit landed
 
-    # cap race: room for exactly one more byte-sized chunk — one writer
-    # admits, the other's revalidation raises the cap error
+    # cap race: room for exactly one more byte-sized chunk — both
+    # writers' pre-checks pass on the same snapshot, one commit wins,
+    # the loser's revalidation raises the cap error
     import pytest
 
     from datalake_worker_spark.errors import MaxSizeAllocated
 
     d1 = ChunkCatalog(spark, root, max_size_bytes=4)
     d2 = ChunkCatalog(spark, root, max_size_bytes=4)
-    d2._seq = d1._seq
+    d1._current(); d2._current()  # same snapshot: 3 bytes used of 4
     assert d1.register_chunk(ChunkMeta("ds", "cd", 30, 40, {}, 1))
     with pytest.raises(MaxSizeAllocated):
         d2.register_chunk(ChunkMeta("ds", "ce", 40, 50, {}, 1))
@@ -201,13 +204,13 @@ def test_cas_commit_rejects_version_race(spark, tmp_path):
 
 def test_parallel_writers_all_commits_survive(spark, tmp_path):
     """8 threads x 12 registrations through SEPARATE catalog instances
-    over one root, seqs deliberately seeded equal: every chunk must be
-    admitted exactly once with a unique version."""
+    over one root, all starting from the same snapshot: every chunk must
+    be admitted exactly once, and the Delta protocol (commit at exactly
+    snapshot+1) must yield a DENSE, fork-free version history."""
     root = str(tmp_path / "cat")
     cats = [ChunkCatalog(spark, root) for _ in range(8)]
-    base = cats[0]._seq
     for c in cats:
-        c._seq = base
+        c._current()  # all start from the same (empty) snapshot
     errs = []
 
     def writer(wid: int):
@@ -228,4 +231,64 @@ def test_parallel_writers_all_commits_survive(spark, tmp_path):
     fresh = ChunkCatalog(spark, root)
     assert len(fresh.list_chunks()) == 96
     seqs = [r["seq"] for r in fresh.backend.read_records()]
-    assert len(seqs) == len(set(seqs))
+    # dense versions 1..96: every commit rebased onto the real frontier,
+    # so no writer ever committed blind past a concurrent commit
+    assert sorted(seqs) == list(range(1, 97)), f"non-dense history: {seqs}"
+
+
+def test_commit_cas_on_linkless_filesystem(spark, tmp_path, monkeypatch):
+    """Filesystems that reject hard links (EPERM on some FUSE/network
+    mounts): append_record must fall back to O_CREAT|O_EXCL with the
+    SAME exclusivity — a winner commits, the racer's attempt at the
+    same version raises ChunkConflict (not a silent double-commit)."""
+    import pytest
+
+    from datalake_worker_spark.errors import ChunkConflict
+
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+
+    def no_link(src, dst, **kw):
+        raise PermissionError("hard links not permitted on this mount")
+
+    monkeypatch.setattr(os, "link", no_link)
+    assert cat.register_chunk(ChunkMeta("ds", "ca", 0, 10, {}, 1))
+    cat.refresh()
+    assert cat.list_chunks() == ["ca"]  # fallback wrote a readable commit
+
+    # direct double-commit at one version: second O_EXCL create must lose
+    rec = dict(cat.backend.read_records()[-1])
+    rec["seq"] = rec["seq"] + 1
+    cat.backend.append_record(dict(rec))
+    with pytest.raises(ChunkConflict):
+        cat.backend.append_record(dict(rec))
+
+
+def test_auto_compaction_honors_checkpoint_retention(spark, tmp_path):
+    """checkpoint(retain_last=K) promises state_as_of stays exact inside
+    the retained window; the 65th commit's auto-compaction must not fold
+    that window away (it honors the retention floor)."""
+    from datalake_worker_spark.catalog import ACTIVE, PENDING_DELETE
+
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    for i in range(6):
+        assert cat.register_chunk(ChunkMeta("ds", f"c{i:02d}", i, i + 1, {}, 1))
+    v_registered = cat.version  # 6
+    assert cat.schedule_delete("c00")
+    v_mid = cat.version  # 7: c00 pending, c01 still active
+    assert cat.schedule_delete("c01")
+    # retain the two delete transitions verbatim; fold the older prefix
+    cat.checkpoint(retain_last=cat.version - v_registered)
+    # flood commits past AUTO_COMPACT_AT to force auto-compactions
+    for i in range(10, 10 + cat.backend.AUTO_COMPACT_AT + 10):
+        assert cat.register_chunk(ChunkMeta("ds", f"f{i:03d}", i, i + 1, {}, 1))
+    cat.refresh()
+    # v_mid sits INSIDE the checkpoint-retained window: it must still
+    # separate the two transitions exactly (c00 flipped, c01 not yet).
+    # Pre-fix, the 65th commit auto-compacted with retain_last=0,
+    # folding c01 to its PENDING_DELETE record at seq 8 and erasing its
+    # ACTIVE state from every version below 8.
+    st = cat.state_as_of(v_mid)
+    assert st["c00"]["state"] == PENDING_DELETE
+    assert st["c01"]["state"] == ACTIVE, "retained window was folded away"
