@@ -49,79 +49,18 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 
 
 #: The external driver runs queries in dict order and its correctness
-#: budget can truncate the run (round 1 stopped at 47/104), so families
-#: it has not yet verified come first. Insertion order alone is not
-#: reliable: ``entry()`` imports the relational module before
-#: ``queries()`` is called, which would put the long-green relational
-#: block first again.
-#: Round-4 refinement: every query now has a CORRECTNESS row somewhere in
-#: rounds 1-3, so the rotation target shifts from "never verified" to
-#: "longest-unverified".  st01/st02 go first (round-3 reds, oracle
-#: timestamp type fixed this round — the driver must re-confirm), then
-#: EVERY query added in round 4 (zero CORRECTNESS rows — a never-verified
-#: query outranks any stale green), then the queries whose only green row
-#: is round 1 (they sit on top of the round-3 ``readers.py`` schema-cache
-#: change).  Round 4 added ~46 queries, so with a ~50-query budget the
-#: round-1 rotation VERDICT r3 asked for is mostly deferred to round 5 —
-#: the deliberate trade: zero-row queries are the harder gap, and the
-#: full 175-query surface is locally sweep-verified green this round
-#: (tools_verify_driver, sf0.01) as the compensating signal.
+#: budget truncates the run at ~50 queries per round.  The list below is
+#: therefore a rotation schedule: the ~50-query prefix is this round's
+#: verification budget, and it is rewritten each round to burn the
+#: largest verification debt first (VERDICT r4 "Next round" item 1).
+#: Round-5 ordering: x04 (the one query with zero driver rows ever),
+#: then the 48 queries whose newest green row is round 1, then a08 and
+#: the lake-core lk01-lk05 family (r2 greens under the r4 CAS rewrite).
+#: Everything the driver confirmed in round 4 moves to the very end.
 _PRIORITY_NAMES = [
-    # round-3 reds, fixed this round — re-confirm first
-    "st01_tumbling_window",
-    "st02_sliding_window",
-    # new in round 4 — no CORRECTNESS row yet
-    "t18_document_chunking",
-    "t19_ngram_overlap_score",
-    "d14_bloom_decontamination",
-    "w10_rolling_zscore",
-    "m05_image_patchify",
-    "v07_mips_topk",
-    "smp09_length_bucket_stats",
-    "d15_duplicate_spans",
-    "smp10_dsir_importance",
-    "w11_scd2_intervals",
-    "st11_streaming_quality_gate",
-    "lk07_checkpointed_time_travel",
-    "io12_binaryfile_ingest",
-    "io13_zorder_layout",
-    "io14_table_stats",
-    "smp11_epoch_shuffle",
-    "x06_asof_join_nearest",
-    "t20_html_strip",
-    "j11_not_in_null_aware",
-    "v08_pq_quantization_audit",
-    "w12_running_distinct_users",
-    "smp12_leakage_free_split",
-    "st12_dedup_within_watermark",
-    "d16_char_jaccard_pairs",
-    "st10_streaming_cdc_apply",
-    "lk06_time_travel_listing",
-    "v06_cosine_range_search",
-    "io11_dynamic_partition_overwrite",
-    "w09_ewma_smoothing",
-    "d13_near_dup_keep_list",
-    "p04_python_udtf",
-    "m04_audio_window_energy",
-    "io10_corrupt_json_handling",
-    "t17_quality_filter_verdict",
-    "smp08_domain_mixture_resample",
-    "st09_stream_stream_left_join",
-    "a13_content_fingerprint",
-    "io09_sorted_compaction",
-    "io08_merge_upsert",
-    "x05_interval_lookup_join",
-    "smp07_weighted_sample",
-    "d12_url_canonical_dedup",
-    "t16_unicode_normalize",
-    "io06_bucketed_colocated_join",
-    "j10_salted_skew_join",
-    "io07_orc_roundtrip",
-    "w08_time_grid_fill",
-    "d11_semantic_dedup",
+    # never driver-verified: zero CORRECTNESS rows ever (missed rounds 3 AND 4 at slot 50/51 of a ~50-query budget) — unconditionally first
     "x04_asof_join_tolerance",
-    # last green in round 1 — cheap scalars/sets first, joins/aggs,
-    # then TPC-H, pandas-UDF last (high fixed cost)
+    # r1-stale (VERDICT r4 item 1): newest green row is round 1, which predates the r3 readers.py schema-cache and r4 session-conf changes under them. Cheap scalars/sets first, then joins/aggs/asof/TPC-H, pandas-UDF last.
     "s01_string_funcs",
     "s02_datetime_funcs",
     "s03_math_funcs",
@@ -170,7 +109,15 @@ _PRIORITY_NAMES = [
     "q18_large_volume_customer",
     "q22_dormant_customers",
     "p01_scalar_pandas_udf",
-    # last green in round 2 — next-stalest block
+    # only non-no-oracle row is an r1 crash; declared approximate since r3 but never driver-re-run (VERDICT r4 item 5)
+    "a08_approx_aggregates",
+    # r2 greens sitting on top of the round-4 CAS commit-path rewrite (catalog.py:143-172) — VERDICT r4 item 6
+    "lk01_list_chunks",
+    "lk02_find_chunk_containment",
+    "lk03_delete_lifecycle",
+    "lk04_total_size",
+    "lk05_query_through_chunk",
+    # newest green is r2/r3 — stalest-first among the remainder, current relative order preserved
     "t01_token_stats",
     "t02_quality_score",
     "t03_language_id",
@@ -202,6 +149,99 @@ _PRIORITY_NAMES = [
     "smp03_exact_percentiles",
     "smp04_histogram",
     "smp05_temperature_resample",
+    "d10_duplicate_clusters",
+    "t14_segment_dedup",
+    "d09_benchmark_decontamination",
+    "smp06_hash_split",
+    "t15_pii_redaction",
+    "a11_hll_distinct_rollup",
+    "w01_topk_per_group",
+    "w02_rank_dense_ntile",
+    "w03_running_lag_lead",
+    "w04_range_frame",
+    "w07_percent_rank_cume",
+    "w05_multikey_sort_limit",
+    "w06_sessionization",
+    "io01_parquet_roundtrip_partitioned",
+    "d06_embedding_near_dups",
+    "d07_ssjoin_prefix",
+    "v01_exact_cosine_topk",
+    "v02_ann_lsh_topk",
+    "v04_ann_ivf_topk",
+    "v05_embedding_quantize",
+    "v03_embedding_stats",
+    "p02_grouped_map_pandas",
+    "p03_grouped_agg_pandas",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_suppliers_semijoin",
+    "q21_last_shipper",
+    "st03_session_window",
+    "st04_stream_dedup",
+    "st07_stream_stream_join",
+    "st05_stream_static_join",
+    "st06_stateful_user_totals",
+    "st08_continuous_rollup",
+    "a10_statistical_aggregates",
+    "s09_casts",
+    # freshly driver-verified in round 4 (green rows in CORRECTNESS_r04.json) — last
+    "st01_tumbling_window",
+    "st02_sliding_window",
+    "t18_document_chunking",
+    "t19_ngram_overlap_score",
+    "d14_bloom_decontamination",
+    "w10_rolling_zscore",
+    "m05_image_patchify",
+    "v07_mips_topk",
+    "smp09_length_bucket_stats",
+    "d15_duplicate_spans",
+    "smp10_dsir_importance",
+    "w11_scd2_intervals",
+    "st11_streaming_quality_gate",
+    "lk07_checkpointed_time_travel",
+    "io12_binaryfile_ingest",
+    "io13_zorder_layout",
+    "io14_table_stats",
+    "smp11_epoch_shuffle",
+    "x06_asof_join_nearest",
+    "t20_html_strip",
+    "j11_not_in_null_aware",
+    "v08_pq_quantization_audit",
+    "w12_running_distinct_users",
+    "smp12_leakage_free_split",
+    "st12_dedup_within_watermark",
+    "d16_char_jaccard_pairs",
+    "st10_streaming_cdc_apply",
+    "lk06_time_travel_listing",
+    "v06_cosine_range_search",
+    "io11_dynamic_partition_overwrite",
+    "w09_ewma_smoothing",
+    "d13_near_dup_keep_list",
+    "p04_python_udtf",
+    "m04_audio_window_energy",
+    "io10_corrupt_json_handling",
+    "t17_quality_filter_verdict",
+    "smp08_domain_mixture_resample",
+    "st09_stream_stream_left_join",
+    "a13_content_fingerprint",
+    "io09_sorted_compaction",
+    "io08_merge_upsert",
+    "x05_interval_lookup_join",
+    "smp07_weighted_sample",
+    "d12_url_canonical_dedup",
+    "t16_unicode_normalize",
+    "io06_bucketed_colocated_join",
+    "j10_salted_skew_join",
+    "io07_orc_roundtrip",
+    "w08_time_grid_fill",
+    "d11_semantic_dedup",
 ]
 
 _MODULE_ORDER = [
