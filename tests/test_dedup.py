@@ -213,3 +213,32 @@ def test_duplicate_spans_planted(spark):
         r = out[doc]
         assert r["n_islands"] == 1
         assert r["dup_tokens"] == 20
+
+
+def test_d16_char_jaccard_planted_cjk_pair(spark, tmp_path):
+    """True-positive gate for d16 (its driver green at sf0.01 was a
+    0-row hash-match — both engines agreeing on an empty set proves
+    nothing about recall). A whitespace-free CJK near-duplicate pair
+    must surface with jaccard >= 0.2, and a disjoint same-lang,
+    same-length doc must not pair with either."""
+    from datalake_worker_spark.registry import REGISTRY
+
+    base = "漢字文書処理系統試験資料集合第一巻内容本文節選抜粋例示用途限定公開版本番号零壱弐参肆"
+    near = base[:-5] + "伍陸柒捌玖"  # same length, last 5-gram block differs
+    disjoint = "全然違程内容持別文章同言語同長補埋草稿置換行列式微分積分幾何代数確率統計解析関数論集"
+    assert len(base) == len(near) == len(disjoint)
+    rows = [
+        (1, base, "zh", "planted", len(base)),
+        (2, near, "zh", "planted", len(near)),
+        (3, disjoint, "zh", "planted", len(disjoint)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = REGISTRY["d16_char_jaccard_pairs"].spark_fn(spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert (1, 2) in pairs, f"planted near-dup not found: {pairs}"
+    assert pairs[(1, 2)] >= 0.2
+    assert set(pairs) == {(1, 2)}, f"disjoint doc paired: {pairs}"
