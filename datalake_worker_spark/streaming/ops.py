@@ -507,9 +507,12 @@ def st11_streaming_quality_gate(spark, sf_dir):
         "the watermark delay — plain dropDuplicates on a non-watermark "
         "key retains every key forever, which is the state leak that "
         "kills month-long 100 TB streams. The contract traded away: "
-        "duplicates arriving farther apart than the delay are kept; "
-        "here the replay gap is within the 10-day delay, so the batch "
-        "distinct count is still the exact oracle."
+        "duplicates arriving farther apart than the delay are kept. The "
+        "delay is DERIVED from the data's event-time span (span + 1 "
+        "day), so no replayed event is ever older than the watermark "
+        "and the batch distinct count is the exact oracle by "
+        "construction at every scale factor — a fixed delay would "
+        "silently diverge the moment a table's ts range outgrew it."
     ),
 )
 def st12_dedup_within_watermark(spark, sf_dir):
@@ -526,8 +529,20 @@ def st12_dedup_within_watermark(spark, sf_dir):
     if nanos_timestamp_columns(src):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(src).schema
+    # size the watermark delay to the data: state for events older than
+    # max(ts) - delay is evicted after the first replay file, so a delay
+    # smaller than the event-time span would re-emit the oldest
+    # duplicates and break the COUNT(DISTINCT) oracle equivalence
+    from ..sources.readers import load_table
+
+    lo, hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("ts"), F.max("ts"))
+        .first()
+    )
+    span_days = (hi - lo).days + 2
     s = _stream_parquet(spark, tmp, raw, maxFilesPerTrigger=1)
-    deduped = s.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+    deduped = s.withWatermark("ts", f"{span_days} days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
