@@ -459,7 +459,12 @@ def io11_dynamic_partition_overwrite(spark, sf_dir):
         "content) rows whose sha256 must round-trip exactly. At scale "
         "this is how image/audio blobs enter the lake before m01-m05 "
         "process them: the source parallelizes over files, prunes on "
-        "path/length metadata, and never decodes payloads it drops."
+        "path/length metadata, and never decodes payloads it drops. "
+        "DEPLOYMENT NOTE: the foreachPartition sink runs on executors, "
+        "so the landing dir MUST be a shared filesystem (NFS/object "
+        "store mount) visible to both executors and the binaryFile "
+        "read — a tempdir only works in local mode; on a cluster pass "
+        "a shared root instead."
     ),
 )
 def io12_binaryfile_ingest(spark, sf_dir):
@@ -468,6 +473,8 @@ def io12_binaryfile_ingest(spark, sf_dir):
         .filter(F.col("doc_id") < 50)
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
+    # local-mode landing dir; executors and driver share one filesystem
+    # here. On a real cluster this must be a shared root (see doc note).
     out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "blobs")
     os.makedirs(out, exist_ok=True)
 
