@@ -95,6 +95,19 @@ LLM_WAVE = [
     "io13_zorder_layout",
 ]
 
+# added in round 5 (VERDICT r4 item 3) — the so-far-unmeasured heavies,
+# so each has a tracked round-over-round number; fifth suite, earlier
+# suites stay frozen per the established contract. (smp10/io13 from the
+# verdict's list are already tracked in LLM_WAVE and not duplicated.)
+DEPTH = [
+    "v08_pq_quantization_audit",
+    "d16_char_jaccard_pairs",
+    "w12_running_distinct_users",
+    "x06_asof_join_nearest",
+    "st10_streaming_cdc_apply",
+    "io09_sorted_compaction",
+]
+
 RUNS = 3
 
 
@@ -137,6 +150,7 @@ def main() -> None:
     extended = _time(EXTENDED)
     pipeline = _time(PIPELINE)
     llm_wave = _time(LLM_WAVE)
+    depth = _time(DEPTH)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -146,6 +160,7 @@ def main() -> None:
     ext_total = round(sum(extended.values()), 4)
     pipe_total = round(sum(pipeline.values()), 4)
     llm_total = round(sum(llm_wave.values()), 4)
+    depth_total = round(sum(depth.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -157,6 +172,8 @@ def main() -> None:
         "pipeline_value": pipe_total,
         "llm_wave_queries": llm_wave,  # late round-4 curation operators
         "llm_wave_value": llm_total,
+        "depth_queries": depth,  # round-5 suite (previously unmeasured heavies)
+        "depth_value": depth_total,
         "sf": sf,
     }
     if duck:
@@ -184,6 +201,8 @@ def main() -> None:
                 "pipeline_queries": len(pipeline),
                 "llm_wave_value": llm_total,
                 "llm_wave_queries": len(llm_wave),
+                "depth_value": depth_total,
+                "depth_queries": len(depth),
             }
         )
     )
