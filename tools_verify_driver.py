@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Driver-contract verification per .claude/skills/verify: fresh
-driver-like bare session, every oracle-backed query compared to DuckDB
-at sf0.01 (cols, rows, value hash); rows-only queries just executed."""
+"""Driver-contract verification: fresh driver-like bare session, every
+oracle-backed query compared to DuckDB at sf0.01 (cols, rows, value
+hash); rows-only queries just executed."""
 
 from __future__ import annotations
 
