@@ -117,6 +117,9 @@ _PRIORITY_NAMES = [
     "lk03_delete_lifecycle",
     "lk04_total_size",
     "lk05_query_through_chunk",
+    # new in round 5 — no CORRECTNESS row yet; next in line if the budget
+    # stretches past the debt list above
+    "st13_incremental_near_dup",
     # newest green is r2/r3 — stalest-first among the remainder, current relative order preserved
     "t01_token_stats",
     "t02_quality_score",
@@ -324,7 +327,7 @@ def _load_all():
     from .functions import dedup, setsim, similarity  # noqa: F401
     from .operators import udfs  # noqa: F401  (warms the Arrow/Python worker path for streaming's applyInPandasWithState)
     from .operators import tpch_full  # noqa: F401
-    from .streaming import ops, rollup, stateful  # noqa: F401
+    from .streaming import incdedup, ops, rollup, stateful  # noqa: F401
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

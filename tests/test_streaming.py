@@ -175,3 +175,22 @@ def test_stream_batch_agreement_tumbling(spark, sf_dir):
     assert sorted(map(tuple, stream_out.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_incremental_near_dup_planted(spark, tmp_path):
+    """Dedup-against-history: batch 0 admits A and B (distinct) and drops
+    A's exact copy; batch 1 must drop a near-duplicate of A (one word
+    changed) via the signature state and admit only the novel doc C."""
+    from datalake_worker_spark.streaming.incdedup import run_incremental_near_dup
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    near = base.replace("alpha3", "ALPHA3", 1)  # one token differs
+    other = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(12))
+    novel = " ".join(f"omega{i} sigma{i} kappa{i}" for i in range(12))
+    b0 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base)], ["doc_id", "text"]
+    )  # 3 = exact copy of 1
+    b1 = spark.createDataFrame([(10, near), (11, novel)], ["doc_id", "text"])
+    out = run_incremental_near_dup(spark, [b0, b1], root=str(tmp_path / "inc"))
+    got = {(r.doc_id, r.epoch) for r in out.collect()}
+    assert got == {(1, 0), (2, 0), (11, 1)}, got
