@@ -57,6 +57,10 @@ def get_spark(
         # that bypass load_table (landing-dir inference, catalog folds) —
         # matches ensure_session_confs (sources/readers.py)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write micros (the annotated int64 type), not legacy INT96:
+        # INT96 round-trips as timestamp[ns] through Arrow readers, which
+        # external tools (and our own nanos detection) then mis-classify
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

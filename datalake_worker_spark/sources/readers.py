@@ -96,8 +96,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[path] = df.schema
+    # Convert only columns Spark actually surfaced as LONG: footer-level
+    # nanos detection also matches legacy INT96 files (Arrow reports both
+    # as timestamp[ns]), but Spark reads INT96 as a real TIMESTAMP that
+    # needs no conversion.
+    dtypes = dict(df.dtypes)
     for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -38,8 +38,12 @@ def _stream_parquet(spark: SparkSession, path: str, raw_schema, **options) -> Da
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in nanos_timestamp_columns(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # footer nanos detection also matches legacy INT96 (Arrow calls
+        # both timestamp[ns]); only convert what Spark surfaced as long
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
