@@ -101,6 +101,7 @@ LLM_WAVE = [
 # verdict's list are already tracked in LLM_WAVE and not duplicated.)
 DEPTH = [
     "v08_pq_quantization_audit",
+    "v09_ann_ivfpq_topk",
     "d16_char_jaccard_pairs",
     "w12_running_distinct_users",
     "x06_asof_join_nearest",

@@ -120,6 +120,7 @@ _PRIORITY_NAMES = [
     # new in round 5 — no CORRECTNESS row yet; next in line if the budget
     # stretches past the debt list above
     "st13_incremental_near_dup",
+    "v09_ann_ivfpq_topk",
     # newest green is r2/r3 — stalest-first among the remainder, current relative order preserved
     "t01_token_stats",
     "t02_quality_score",

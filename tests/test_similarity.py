@@ -197,3 +197,39 @@ def test_pq_codebooks_deterministic_and_better_than_mean(spark, sf_dir):
         sub = mat[:, m * 8 : (m + 1) * 8]
         mean_rmse = math.sqrt(((sub - sub.mean(axis=0)) ** 2).sum(axis=1).mean() / 8)
         assert audit[m] < mean_rmse, (m, audit[m], mean_rmse)
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVF+PQ with ADC + refine recovers most of the exact top-5 on
+    clusterable data (planted blobs): PQ ranks candidates via lookup
+    tables only, the refine stage restores exact ordering."""
+    import random
+
+    from datalake_worker_spark.functions.similarity import ann_topk_ivfpq
+
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 5) for _ in range(16)] for _ in range(6)]
+    rows = [
+        (i, [c + rng.gauss(0, 0.5) for c in centers[i % 6]]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = df.filter(F.col("vec_id") < 15)
+    exact = exact_topk(df, q, "vec_id", "v", k=5).collect()
+    pq = ann_topk_ivfpq(
+        df, q, "vec_id", "v", k=5, n_clusters=6, nprobe=2, dim=16,
+        n_sub=4, n_codes=16, iters=2, refine=48,
+    ).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in pq}
+    assert len(e & a) / len(e) >= 0.85, len(e & a) / len(e)
+
+
+def test_ivfpq_deterministic_across_runs(spark):
+    from datalake_worker_spark.functions.similarity import ann_topk_ivfpq
+
+    df, _ = _vectors(spark, n=120, dim=16)
+    q = df.filter(F.col("vec_id") < 5)
+    kw = dict(k=3, n_clusters=4, nprobe=2, dim=16, n_sub=4, n_codes=8, refine=24)
+    r1 = sorted(map(tuple, ann_topk_ivfpq(df, q, **kw).collect()))
+    r2 = sorted(map(tuple, ann_topk_ivfpq(df, q, **kw).collect()))
+    assert r1 == r2
