@@ -546,3 +546,113 @@ def w12_running_distinct_users(spark, sf_dir):
             "distinct_users_so_far"
         ),
     )
+
+
+@register(
+    "w13_time_weighted_average",
+    """
+    WITH s AS (
+        SELECT user_id, value,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap
+    FROM s
+    GROUP BY user_id
+    HAVING SUM(dt_us) > 0
+    """,
+    category="windows",
+    doc=(
+        "time-weighted average (TWAP): each event's value holds until "
+        "the user's next event; the weight is the microsecond gap to "
+        "that event (lead over a per-user time-ordered window), the "
+        "last event carries no interval. The weighted sum rides "
+        "DECIMAL x BIGINT-microseconds — exact and order-independent, "
+        "so the result is partitioning-stable (the irregularly-sampled "
+        "telemetry aggregate a naive AVG gets wrong whenever sampling "
+        "density correlates with value). One shuffle on user_id shared "
+        "by the window and the aggregate."
+    ),
+)
+def w13_time_weighted_average(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    s = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.lead(t).over(w) - t).alias("dt_us"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("v") * F.col("dt_us")).alias("_w"),
+            F.sum("dt_us").alias("_t"),
+        )
+        .filter(F.col("_t") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("_w").cast("double") / F.col("_t").cast("double"), 6
+            ).alias("twap"),
+        )
+    )
+
+
+@register(
+    "w14_ohlc_bars",
+    """
+    WITH o AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+               FIRST_VALUE(value) OVER w AS open,
+               LAST_VALUE(value) OVER
+                 (PARTITION BY user_id, date_trunc('day', ts)
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS close
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                     ORDER BY ts, event_id)
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(open) AS open, MAX(value) AS high,
+           MIN(value) AS low, MIN(close) AS close
+    FROM o
+    GROUP BY user_id, day
+    """,
+    category="windows",
+    doc=(
+        "OHLC bars (open/high/low/close per user per day): first/last "
+        "value by explicit (ts, event_id) order — deterministic under "
+        "ties, unlike arg_min/arg_max whose tie-break is undefined — "
+        "plus min/max aggregates. The window and the aggregate share "
+        "one (user_id, day) shuffle; the standard downsampling rollup "
+        "for irregular time-series (telemetry, market data)."
+    ),
+)
+def w14_ohlc_bars(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    wf = W.partitionBy("user_id", day).orderBy("ts", "event_id")
+    wall = wf.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    o = e.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        F.first("value").over(wf).alias("open"),
+        F.last("value").over(wall).alias("close"),
+    )
+    return o.groupBy("user_id", "day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close").alias("close"),
+    )

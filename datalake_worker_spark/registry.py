@@ -121,6 +121,8 @@ _PRIORITY_NAMES = [
     # stretches past the debt list above
     "st13_incremental_near_dup",
     "v09_ann_ivfpq_topk",
+    "w13_time_weighted_average",
+    "w14_ohlc_bars",
     # newest green is r2/r3 — stalest-first among the remainder, current relative order preserved
     "t01_token_stats",
     "t02_quality_score",
