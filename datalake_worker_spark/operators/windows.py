@@ -639,12 +639,21 @@ def w13_time_weighted_average(spark, sf_dir):
 )
 def w14_ohlc_bars(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    wf = W.partitionBy("user_id", day).orderBy("ts", "event_id")
-    wall = wf.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    o = e.select(
+    # project the bar key FIRST: windowing on the raw date_trunc
+    # expression while grouping on its alias defeats Catalyst's
+    # partitioning-reuse and costs a second Exchange (measured 2 -> 1)
+    base = e.select(
         "user_id",
-        day.alias("day"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wf = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wall = wf.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    o = base.select(
+        "user_id",
+        "day",
         "value",
         F.first("value").over(wf).alias("open"),
         F.last("value").over(wall).alias("close"),

@@ -324,3 +324,18 @@ def test_x06_nearest_single_shuffle(spark, sf_dir):
     nearest as-of must keep x01's single-Exchange shape."""
     df = REGISTRY["x06_asof_join_nearest"].spark_fn(spark, sf_dir)
     assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_twap_single_shuffle(spark, sf_dir):
+    """TWAP: the lead window and the per-user aggregate share ONE
+    exchange on user_id."""
+    df = REGISTRY["w13_time_weighted_average"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1, simple_plan(df)
+
+
+def test_ohlc_single_shuffle(spark, sf_dir):
+    """OHLC bars: window endpoints and the bar aggregate share ONE
+    exchange on (user_id, day) — requires projecting the bar key before
+    the window (partitioning-reuse gate)."""
+    df = REGISTRY["w14_ohlc_bars"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1, simple_plan(df)
