@@ -452,7 +452,10 @@ def smp09_length_bucket_stats(spark, sf_dir):
         "logs are rounded to 6 dp and summed as DECIMAL (t10's "
         "order-independence trick), so both engines agree bit-exactly. "
         "Scale: two token aggregates + one broadcastable vocabulary "
-        "join; the selection is one window over doc-level rows."
+        "join; the top-25%% selection is a DISTRIBUTED exact "
+        "percent_rank (range-partitioned sort + per-partition offsets, "
+        "operators/windows.py::distributed_percent_rank) — never a "
+        "single-partition global window."
     ),
 )
 def smp10_dsir_importance(spark, sf_dir):
@@ -498,12 +501,19 @@ def smp10_dsir_importance(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_tokens"),
         F.sum("lw").cast("double").alias("log_weight"),
     )
-    w = W.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
-    return agg.select(
+    from ..operators.windows import distributed_percent_rank
+
+    # distributed-exact selection: the former unpartitioned
+    # percent_rank window funneled one row PER DOCUMENT through a
+    # single task — the 100 TB cliff this round removed
+    ranked = distributed_percent_rank(
+        agg, [F.col("log_weight").desc(), F.col("doc_id").asc()]
+    )
+    return ranked.select(
         "doc_id",
         "n_tokens",
         "log_weight",
-        (F.percent_rank().over(w) <= 0.25).alias("selected"),
+        (F.col("pr") <= 0.25).alias("selected"),
     )
 
 

@@ -665,3 +665,61 @@ def w14_ohlc_bars(spark, sf_dir):
         F.min("value").alias("low"),
         F.min("close").alias("close"),
     )
+
+
+def distributed_percent_rank(
+    df, order_by: list, out_col: str = "pr", n_parts: int | None = None
+):
+    """Exact global percent_rank WITHOUT a single-partition sort.
+
+    An unpartitioned window (`W.orderBy(...)`) funnels every row through
+    one task — the classic 100 TB cliff. The distributed-exact recipe:
+
+    1. ``repartitionByRange`` on the ranking order (a DISTRIBUTED sort:
+       range exchange + in-partition sort);
+    2. materialize the partition id BEFORE any further exchange, take
+       partition-local row numbers;
+    3. per-partition counts collect to the driver (≤ shuffle-partitions
+       rows — model-state scale, like k-means centroids), prefix-summed
+       into offsets, and broadcast back;
+    4. global rank = offset(pid) + local row number; percent_rank =
+       (rank-1)/(N-1), identical to the window definition because the
+       ordering is total (callers must include a unique tie-break).
+
+    Costs one extra narrow exchange (the pid-window) vs the
+    single-partition form, in exchange for full parallelism. Range
+    boundaries come from sampling, but any boundary choice yields the
+    same total order, so ranks are deterministic regardless.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(n_parts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = W.partitionBy("_pid").orderBy(*order_by)
+    # materialize the ranked rows once (narrow: input cols + two ints):
+    # the offsets pass below is an eager action, and without lineage
+    # truncation the caller's plan would recompute the whole upstream
+    # DAG a second time
+    d = d.withColumn("_lrn", F.row_number().over(wloc)).localCheckpoint(eager=True)
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in d.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    denom = float(total - 1) if total > 1 else 1.0
+    return (
+        d.join(off_df, "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn") - 1) / F.lit(denom))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -339,3 +339,26 @@ def test_ohlc_single_shuffle(spark, sf_dir):
     the window (partitioning-reuse gate)."""
     df = REGISTRY["w14_ohlc_bars"].spark_fn(spark, sf_dir)
     assert shuffle_count(df) <= 1, simple_plan(df)
+
+
+def test_distributed_percent_rank_matches_window(spark):
+    """The range-partition + offsets recipe must equal the unpartitioned
+    percent_rank window bit-for-bit (unique total order)."""
+    from pyspark.sql import Window as W
+
+    from datalake_worker_spark.operators.windows import distributed_percent_rank
+
+    rows = [(i, float((i * 37) % 19)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r.id: r.pr
+        for r in distributed_percent_rank(df, order, n_parts=7).collect()
+    }
+    want = {
+        r.id: r.pr
+        for r in df.select(
+            "id", F.percent_rank().over(W.orderBy(*order)).alias("pr")
+        ).collect()
+    }
+    assert got == want

@@ -30,6 +30,9 @@ FLAGSHIP = [
     ("d15_duplicate_spans", "duplicate spans: two-phase gram agg, island window over duplicated starts only"),
     ("t18_document_chunking", "chunking: tokenize + posexplode, zero shuffles"),
     ("smp10_dsir_importance", "DSIR: broadcastable vocab join, decimal log-weight partial aggs"),
+    ("w13_time_weighted_average", "TWAP: lead window + aggregate share ONE user_id exchange"),
+    ("w14_ohlc_bars", "OHLC bars: window endpoints + bar agg on one (user, day) exchange"),
+    ("v09_ann_ivfpq_topk", "IVF+PQ: literal codebooks, ADC lookups, cell equi-join only shuffle"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
