@@ -144,15 +144,26 @@ def w04_range_frame(spark, sf_dir):
     FROM supplier
     WINDOW w AS (ORDER BY s_acctbal ASC, s_suppkey ASC)
     """,
-    doc="percent_rank / cume_dist over a global deterministic ordering.",
+    doc=(
+        "percent_rank / cume_dist over a global deterministic ordering — "
+        "computed by the distributed-exact rank recipe "
+        "(range-partitioned sort + per-partition offsets), never an "
+        "unpartitioned window: supplier is dimension-sized here, but "
+        "the same operator over a fact table must not funnel through "
+        "one task."
+    ),
 )
 def w07_percent_rank_cume(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
-    w = W.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
-    return s.select(
+    ranked = distributed_percent_rank(
+        s,
+        [F.col("s_acctbal").asc(), F.col("s_suppkey").asc()],
+        cume_col="cd_raw",
+    )
+    return ranked.select(
         "s_suppkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.col("pr"), 6).alias("pr"),
+        F.round(F.col("cd_raw"), 6).alias("cd"),
     )
 
 
@@ -668,7 +679,11 @@ def w14_ohlc_bars(spark, sf_dir):
 
 
 def distributed_percent_rank(
-    df, order_by: list, out_col: str = "pr", n_parts: int | None = None
+    df,
+    order_by: list,
+    out_col: str = "pr",
+    n_parts: int | None = None,
+    cume_col: str | None = None,
 ):
     """Exact global percent_rank WITHOUT a single-partition sort.
 
@@ -718,8 +733,12 @@ def distributed_percent_rank(
         )
     )
     denom = float(total - 1) if total > 1 else 1.0
-    return (
-        d.join(off_df, "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lrn") - 1) / F.lit(denom))
-        .drop("_pid", "_lrn", "_off")
+    out = d.join(off_df, "_pid").withColumn(
+        out_col, (F.col("_off") + F.col("_lrn") - 1) / F.lit(denom)
     )
+    if cume_col is not None:
+        # unique total order => cume_dist = rank / N exactly
+        out = out.withColumn(
+            cume_col, (F.col("_off") + F.col("_lrn")) / F.lit(float(total))
+        )
+    return out.drop("_pid", "_lrn", "_off")
