@@ -114,9 +114,14 @@ def main():
         .groupBy("doc_id")
         .agg(F.sum("lw").cast("double").alias("log_weight"))
     )
-    wsel = W.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    from datalake_worker_spark.operators.windows import distributed_percent_rank
+
     kept = (
-        weights.withColumn("_pr", F.percent_rank().over(wsel))
+        distributed_percent_rank(
+            weights,
+            [F.col("log_weight").desc(), F.col("doc_id").asc()],
+            out_col="_pr",
+        )
         .filter(F.col("_pr") <= 0.75)
         .select("doc_id")
     )
