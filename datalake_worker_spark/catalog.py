@@ -99,6 +99,14 @@ class CatalogBackend(ABC):
     @abstractmethod
     def append_record(self, record: dict) -> None: ...
 
+    def append_records(self, records: list[dict]) -> None:
+        """Bulk commit (one version, many records). Backends without a
+        native bulk path only support single-record commits."""
+        if len(records) == 1:
+            self.append_record(records[0])
+            return
+        raise NotImplementedError("this backend has no bulk commit")
+
     @abstractmethod
     def read_records(self) -> list[dict]: ...
 
@@ -164,7 +172,16 @@ class ParquetCatalogBackend(CatalogBackend):
         EPERM/EXDEV) fall back to ``O_CREAT|O_EXCL`` on the final name —
         the same exclusive-create guarantee, just copying bytes instead
         of linking the already-written temp file."""
-        table = pa.Table.from_pylist([record], schema=_META_SCHEMA)
+        self.append_records([record])
+
+    def append_records(self, records: list[dict]) -> None:
+        """Bulk form of the CAS commit: every record shares ONE version
+        (identical ``seq``) and lands in one exclusively-created file —
+        a backfill of 10⁶ chunks is batches of single commits, not 10⁶
+        log files. The fold dedupes on (seq, chunk_id), so a bulk commit
+        must not repeat a chunk_id (validated by the catalog layer)."""
+        record = records[0]
+        table = pa.Table.from_pylist(records, schema=_META_SCHEMA)
         name = f"{record['seq']:020d}.parquet"
         dst = os.path.join(self.meta_dir, name)
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}-{name}")
@@ -232,15 +249,20 @@ class ParquetCatalogBackend(CatalogBackend):
                 if attempt == 4:
                     raise
                 continue
-            rows = sorted(table.to_pylist(), key=lambda r: r["seq"])
+            rows = sorted(
+                table.to_pylist(), key=lambda r: (r["seq"], r["chunk_id"])
+            )
             # racing compactors can each copy the same committed record
-            # into their own compacted file — a seq is committed exactly
-            # once (CAS), so same-seq rows are identical; keep one
+            # into their own compacted file — a (seq, chunk_id) pair is
+            # committed exactly once (CAS; a bulk commit holds many
+            # chunk_ids under ONE seq), so duplicate pairs are identical
+            # rows; keep one
             out, last = [], None
             for r in rows:
-                if r["seq"] != last:
+                key = (r["seq"], r["chunk_id"])
+                if key != last:
                     out.append(r)
-                    last = r["seq"]
+                    last = key
             return out
         return []
 
@@ -286,12 +308,13 @@ class ParquetCatalogBackend(CatalogBackend):
                     raise
                 continue
             break
-        rows = sorted(table.to_pylist(), key=lambda r: r["seq"])
+        rows = sorted(table.to_pylist(), key=lambda r: (r["seq"], r["chunk_id"]))
         records, last = [], None
-        for r in rows:  # same-seq duplicates from racing compactors
-            if r["seq"] != last:
+        for r in rows:  # same-(seq,chunk) duplicates from racing compactors
+            key = (r["seq"], r["chunk_id"])
+            if key != last:
                 records.append(r)
-                last = r["seq"]
+                last = key
         if not records:
             return
         cutoff = records[-1]["seq"] - retain_last
@@ -478,6 +501,21 @@ class ChunkCatalog:
         different processes commit at disjoint seqs with no conflict at
         all — revalidation never ran, so two racers could both
         register the same chunk or jointly blow max_size_bytes."""
+        def build(cur):
+            if revalidate is not None and not revalidate(cur):
+                return None
+            return [rec]
+
+        return self._append_batch(build) > 0
+
+    def _append_batch(self, build) -> int:
+        """The commit loop behind ``_append`` and ``register_chunks``:
+        ``build(current_state)`` re-derives the records to commit from the
+        freshest snapshot every attempt (returning None/[] for the no-op
+        path), so preconditions are always validated against the exact
+        state the commit lands on. All records of one batch share ONE
+        version (seq = snapshot+1) — see ``append_records``. Returns the
+        number of records committed."""
         stuck = 0
         while stuck < self.COMMIT_RETRY_BUDGET:
             self._current()  # ensure a snapshot exists to commit on top of
@@ -488,23 +526,25 @@ class ChunkCatalog:
                 # we would attempt, and exclusive-create cannot detect the
                 # reuse of a vacated seq (it would fork history).
                 self.refresh()
-                if revalidate is not None and not revalidate(self._current()):
-                    return False
-                stuck = stuck + 1 if self._snapshot_seq <= before else 0
-                continue
-            rec["seq"] = before + 1
-            try:
-                self.backend.append_record(rec)
-            except ChunkConflict:
-                self.refresh()
-                if revalidate is not None and not revalidate(self._current()):
-                    return False
                 self._current()
                 stuck = stuck + 1 if self._snapshot_seq <= before else 0
                 continue
-            self._state_cache[rec["chunk_id"]] = rec
-            self._snapshot_seq = rec["seq"]
-            return True
+            recs = build(self._current())
+            if not recs:
+                return 0
+            for r in recs:
+                r["seq"] = before + 1
+            try:
+                self.backend.append_records(recs)
+            except ChunkConflict:
+                self.refresh()
+                self._current()
+                stuck = stuck + 1 if self._snapshot_seq <= before else 0
+                continue
+            for r in recs:
+                self._state_cache[r["chunk_id"]] = r
+            self._snapshot_seq = before + 1
+            return len(recs)
         raise ChunkConflict(
             f"commit retry budget exhausted "
             f"({self.COMMIT_RETRY_BUDGET} no-progress rounds)"
@@ -589,6 +629,55 @@ class ChunkCatalog:
             },
             revalidate=admissible,
         )
+
+    def register_chunks(self, metas: list[ChunkMeta]) -> int:
+        """Bulk admission: the whole batch lands in ONE log commit (one
+        version, one CAS file) — the backfill path. Registering 10⁶
+        chunks one at a time costs 10⁶ commits and compaction churn;
+        batched, it is ⌈10⁶/batch⌉ commits.
+
+        Semantics match repeated ``register_chunk``: already-present ids
+        (and repeats within the batch — first occurrence wins) are
+        skipped as no-ops; ``MaxSizeAllocated`` raises if the batch's
+        NET addition would trip the cap, admitting nothing. Returns the
+        number of chunks actually admitted. The admissible subset is
+        re-derived from the freshest snapshot on every CAS retry, so a
+        racer's commits are respected exactly as in the single path."""
+        now = pa.scalar(int(time.time() * 1e6), pa.timestamp("us")).as_py()
+
+        def build(cur: dict[str, dict]) -> list[dict]:
+            total = sum(
+                r["size_bytes"] for r in cur.values() if r["state"] != DELETED
+            )
+            seen: set[str] = set()
+            keep: list[ChunkMeta] = []
+            add = 0
+            for m in metas:
+                if m.chunk_id in seen:
+                    continue
+                if m.chunk_id in cur and cur[m.chunk_id]["state"] != DELETED:
+                    continue
+                seen.add(m.chunk_id)
+                keep.append(m)
+                add += m.size_bytes
+            if keep and total + add > self.max_size_bytes:
+                raise MaxSizeAllocated(total + add, self.max_size_bytes)
+            return [
+                {
+                    "dataset_id": m.dataset_id,
+                    "chunk_id": m.chunk_id,
+                    "block_start": m.block_start,
+                    "block_end": m.block_end,
+                    "files": json.dumps(m.files, sort_keys=True),
+                    "size_bytes": m.size_bytes,
+                    "state": ACTIVE,
+                    "seq": 0,  # assigned by _append_batch (snapshot+1)
+                    "created_at": now,
+                }
+                for m in keep
+            ]
+
+        return self._append_batch(build)
 
     # -- R3: list ----------------------------------------------------------
     def list_chunks(self, state: str = ACTIVE) -> list[str]:

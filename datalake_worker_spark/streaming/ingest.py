@@ -58,6 +58,7 @@ def ingest_stream(
             "_block", (F.col(block_col) / blocks_per_chunk).cast("long")
         )
         buckets = [r["_block"] for r in with_block.select("_block").distinct().collect()]
+        metas = []
         for b in sorted(buckets):
             part = with_block.filter(F.col("_block") == b).drop("_block")
             chunk_id = hashlib.sha256(
@@ -70,29 +71,38 @@ def ingest_stream(
             # 1. data files land first…
             part.write.mode("overwrite").parquet(out_dir)
             size = _dir_size(out_dir)
-            meta = ChunkMeta(
+            metas.append(ChunkMeta(
                 dataset_id=dataset_id,
                 chunk_id=chunk_id,
                 block_start=start,
                 block_end=end,
                 files={"part.parquet": out_dir},
                 size_bytes=size,
-            )
-            try:
-                # 2. …then the metadata row commits (idempotent, cap-checked).
-                # A False return means this exact chunk_id is already ACTIVE —
-                # which, since chunk_id is deterministic per (dataset, bucket,
-                # epoch), only happens on a foreachBatch REPLAY of a batch
-                # whose register already committed. The overwrite above just
-                # re-materialized the same rows at the same path the live
-                # chunk's manifest points to, so the files must be LEFT alone
-                # (deleting them here would destroy an ACTIVE chunk's data).
-                catalog.register_chunk(meta)
-            except MaxSizeAllocated:
-                # rollback analog (src/data_manager.rs:263-274): no metadata
-                # row was written, remove the orphaned files and re-raise
-                catalog.backend.delete_chunk_files(out_dir)
-                raise
+            ))
+        try:
+            # 2. …then the whole batch's metadata commits as ONE log
+            # version (bulk CAS — one file per micro-batch, not one per
+            # bucket). Already-ACTIVE ids are skipped as no-ops: since
+            # chunk_id is deterministic per (dataset, bucket, epoch), that
+            # only happens on a foreachBatch REPLAY of a batch whose
+            # register already committed. The overwrite above just
+            # re-materialized the same rows at the same path the live
+            # chunk's manifest points to, so the files must be LEFT alone
+            # (deleting them would destroy an ACTIVE chunk's data).
+            catalog.register_chunks(metas)
+        except MaxSizeAllocated:
+            # rollback analog (src/data_manager.rs:263-274): the bulk
+            # admission is atomic, so NO metadata row was written — remove
+            # every file dir this batch materialized that is not backed by
+            # an ACTIVE registration from an earlier commit, and re-raise
+            catalog.refresh()
+            active = set(catalog.list_chunks())
+            for meta in metas:
+                if meta.chunk_id not in active:
+                    catalog.backend.delete_chunk_files(
+                        meta.files["part.parquet"]
+                    )
+            raise
 
     return (
         stream.writeStream.foreachBatch(register_batch)

@@ -292,3 +292,60 @@ def test_auto_compaction_honors_checkpoint_retention(spark, tmp_path):
     st = cat.state_as_of(v_mid)
     assert st["c00"]["state"] == PENDING_DELETE
     assert st["c01"]["state"] == ACTIVE, "retained window was folded away"
+
+
+def test_bulk_register_one_commit(spark, tmp_path):
+    """register_chunks admits a whole batch under ONE version: one CAS
+    file, version advances by 1, time travel sees the batch atomically,
+    re-registration is a no-op, and the cap applies to the batch's net
+    addition atomically."""
+    import pytest
+
+    from datalake_worker_spark.errors import MaxSizeAllocated
+
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    metas = [ChunkMeta("ds", f"b{i:04d}", i, i + 1, {}, 1) for i in range(500)]
+    v0 = cat.version
+    assert cat.register_chunks(metas) == 500
+    assert cat.version == v0 + 1
+    meta_dir = os.path.join(root, "_meta")
+    canon = [f for f in os.listdir(meta_dir) if f.split(".")[0].isdigit()]
+    assert len(canon) == 1, canon  # one log file for the whole batch
+    fresh = ChunkCatalog(spark, root)
+    assert len(fresh.list_chunks()) == 500
+    assert len(fresh.state_as_of(v0)) == 0       # atomic appearance
+    assert len(fresh.state_as_of(v0 + 1)) == 500
+    # idempotent: the whole batch is already present
+    assert cat.register_chunks(metas) == 0
+    # mixed batch: one new + dups + an in-batch repeat -> admits one
+    mixed = [metas[0], ChunkMeta("ds", "new1", 900, 901, {}, 1),
+             ChunkMeta("ds", "new1", 900, 901, {}, 1)]
+    assert cat.register_chunks(mixed) == 1
+    # cap is atomic over the batch: net addition 3 > remaining 2 -> nothing lands
+    capped = ChunkCatalog(spark, str(tmp_path / "cap"), max_size_bytes=2)
+    with pytest.raises(MaxSizeAllocated):
+        capped.register_chunks(
+            [ChunkMeta("ds", f"c{i}", i, i + 1, {}, 1) for i in range(3)]
+        )
+    assert capped.list_chunks() == []
+
+
+def test_bulk_register_racing_writers(spark, tmp_path):
+    """Two bulk writers with overlapping batches from the same snapshot:
+    CAS + rebuilt admissible subset admit every chunk exactly once."""
+    root = str(tmp_path / "cat")
+    a = ChunkCatalog(spark, root)
+    b = ChunkCatalog(spark, root)
+    a._current(); b._current()  # same (empty) snapshot
+    batch_a = [ChunkMeta("ds", f"x{i:03d}", i, i + 1, {}, 1) for i in range(40)]
+    batch_b = [ChunkMeta("ds", f"x{i:03d}", i, i + 1, {}, 1) for i in range(20, 60)]
+    n_a = a.register_chunks(batch_a)
+    n_b = b.register_chunks(batch_b)  # stale snapshot -> conflict -> rebuild
+    assert n_a == 40
+    assert n_b == 20, n_b  # only the non-overlapping suffix
+    fresh = ChunkCatalog(spark, root)
+    assert len(fresh.list_chunks()) == 60
+    recs = fresh.backend.read_records()
+    assert len(recs) == 60
+    assert len({r["seq"] for r in recs}) == 2  # two bulk versions
