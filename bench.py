@@ -237,8 +237,20 @@ def _lake_core_bench(spark) -> dict:
     removed = len(cat.vacuum())
     t_del = time.perf_counter() - t0
     assert hits == 1000 and removed == 100
+    # round-5 bulk path: a 5000-chunk backfill in ONE commit
+    cat2 = ChunkCatalog(spark, tempfile.mkdtemp(prefix="dlw_lakebench2_"))
+    t0 = time.perf_counter()
+    n_bulk = cat2.register_chunks(
+        [
+            ChunkMeta("bench", f"b{i:05d}", i * 100, (i + 1) * 100, {"f": f"/y{i}"}, 1)
+            for i in range(5000)
+        ]
+    )
+    t_bulk = time.perf_counter() - t0
+    assert n_bulk == 5000
     return {
         "register_200_sec": round(t_reg, 4),
+        "bulk_register_5000_sec": round(t_bulk, 4),
         "find_1000_sec": round(t_find, 4),
         "delete_vacuum_100_sec": round(t_del, 4),
     }
