@@ -688,13 +688,34 @@ class ChunkCatalog:
     # -- R4/R5: containment lookup (divergence D1: intended semantics) -----
     def find_chunks_df(self, dataset_id: str, block_number: int) -> DataFrame:
         """Containment lookup through the DataFrame path — for very large
-        catalogs where the Python-side fold would be the bottleneck; the
-        predicate prunes on parquet min/max stats of the metadata log."""
-        return self.chunks_df().filter(
-            (F.col("dataset_id") == dataset_id)
-            & (F.col("state") == ACTIVE)
-            & (F.col("block_start") <= block_number)
-            & (F.lit(block_number) < F.col("block_end"))
+        catalogs where the Python-side fold would be the bottleneck.
+
+        The containment predicate applies on the RAW log scan, BELOW the
+        latest-per-chunk fold: dataset_id and the block range are
+        immutable per chunk (only ``state`` transitions across a chunk's
+        records), so every record of a chunk matches or none do, and the
+        fold over the filtered subset equals filtering the folded table.
+        Filtering above the fold (the former shape) blocked pushdown
+        entirely — the window stood between the predicate and the scan,
+        so a 10⁶-chunk catalog was fully scanned per lookup. Now the
+        predicate reaches ``PushedFilters`` and parquet min/max stats
+        prune row groups (gated in tests/test_plans.py). Only the
+        ``state`` filter stays above the fold."""
+        from pyspark.sql import Window as W
+
+        raw = self._raw_meta_df()
+        if raw is None:
+            return self._empty_meta_df()
+        w = W.partitionBy("chunk_id").orderBy(F.col("seq").desc())
+        return (
+            raw.filter(
+                (F.col("dataset_id") == dataset_id)
+                & (F.col("block_start") <= block_number)
+                & (F.lit(block_number) < F.col("block_end"))
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("state") == ACTIVE))
+            .drop("_rn")
         )
 
     def find_chunk_meta(self, dataset_id: str, block_number: int) -> ChunkMeta | None:
@@ -826,23 +847,32 @@ class ChunkCatalog:
         """
         from pyspark.sql import Window as W
 
-        meta = self.meta_dir_path()
-        if not any(
-            f.endswith(".parquet") and not f.startswith(".tmp-")
-            for f in os.listdir(meta)
-        ):
-            return self.spark.createDataFrame(
-                [],
-                "dataset_id string, chunk_id string, block_start long, "
-                "block_end long, files string, size_bytes long, state string, "
-                "seq long, created_at timestamp",
-            )
-        df = self.spark.read.parquet(meta)
+        df = self._raw_meta_df()
+        if df is None:
+            return self._empty_meta_df()
         w = W.partitionBy("chunk_id").orderBy(F.col("seq").desc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+        )
+
+    def _raw_meta_df(self) -> DataFrame | None:
+        """The unfolded metadata log as a parquet scan (None if empty)."""
+        meta = self.meta_dir_path()
+        if not any(
+            f.endswith(".parquet") and not f.startswith(".tmp-")
+            for f in os.listdir(meta)
+        ):
+            return None
+        return self.spark.read.parquet(meta)
+
+    def _empty_meta_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "dataset_id string, chunk_id string, block_start long, "
+            "block_end long, files string, size_bytes long, state string, "
+            "seq long, created_at timestamp",
         )
 
     def meta_dir_path(self) -> str:

@@ -362,3 +362,25 @@ def test_distributed_percent_rank_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_catalog_find_df_pushdown_at_5k_chunks(spark, tmp_path):
+    """The catalog's DataFrame lookup path must stay a pruned parquet
+    scan as the metadata log grows: containment predicates reach
+    PushedFilters (block range min/max prune row groups), and the
+    result matches the Python-side fold."""
+    from datalake_worker_spark.catalog import ChunkCatalog, ChunkMeta
+
+    cat = ChunkCatalog(spark, str(tmp_path / "cat"))
+    n = cat.register_chunks(
+        [
+            ChunkMeta("ds", f"c{i:05d}", i * 100, (i + 1) * 100, {}, 1)
+            for i in range(5000)
+        ]
+    )
+    assert n == 5000
+    df = cat.find_chunks_df("ds", 123_456)
+    assert has_pushed_filters(df), formatted_plan(df)
+    rows = df.collect()
+    assert [r["chunk_id"] for r in rows] == ["c01234"]
+    assert cat.find_chunk_meta("ds", 123_456).chunk_id == "c01234"
