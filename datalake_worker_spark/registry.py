@@ -123,6 +123,7 @@ _PRIORITY_NAMES = [
     "v09_ann_ivfpq_topk",
     "w13_time_weighted_average",
     "w14_ohlc_bars",
+    "st14_streaming_vector_index",
     # newest green is r2/r3 — stalest-first among the remainder, current relative order preserved
     "t01_token_stats",
     "t02_quality_score",
@@ -330,7 +331,7 @@ def _load_all():
     from .functions import dedup, setsim, similarity  # noqa: F401
     from .operators import udfs  # noqa: F401  (warms the Arrow/Python worker path for streaming's applyInPandasWithState)
     from .operators import tpch_full  # noqa: F401
-    from .streaming import incdedup, ops, rollup, stateful  # noqa: F401
+    from .streaming import incdedup, ops, rollup, stateful, vecindex  # noqa: F401
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

@@ -1,0 +1,167 @@
+"""Streaming vector-index maintenance: the incremental-ANN story.
+
+Batch ANN (v02/v04/v09) trains and searches one corpus. A vector lake
+ingests embeddings continuously; retraining the index per batch is
+absurd, and a 100 TB index must be SEARCHABLE without scanning itself.
+The standard production shape (FAISS/Milvus alike):
+
+1. train the coarse quantizer ONCE on the first batch and freeze it —
+   centroids are model state; later drift is handled by periodic offline
+   retrain, not per-batch churn;
+2. every subsequent micro-batch assigns its vectors to cells MAP-SIDE
+   (argmin over literal centroids — no shuffle, no state read) and
+   appends to a CELL-PARTITIONED parquet index (epoch-keyed overwrites:
+   foreachBatch's at-least-once replay is idempotent);
+3. a search probes nprobe cells per query: the cell filter prunes
+   PARTITION DIRECTORIES of the index (PartitionFilters — gated in
+   tests/test_plans.py), so probe cost is ~nprobe/n_clusters of the
+   index regardless of its total size; probed candidates rerank by
+   exact cosine.
+
+The index layout IS the query plan: partitioning by cell id turns
+"which vectors might match" into directory pruning, the same move the
+chunk catalog makes for block ranges.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+from ..functions.similarity import (
+    cosine_sim,
+    kmeans_centroids,
+    nearest_centroid,
+    nearest_centroids,
+    to_double_array,
+)
+
+
+def run_streaming_vector_index(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 4,
+    dim: int = 64,
+    iters: int = 1,
+    root: str | None = None,
+) -> DataFrame:
+    """Stream ``batches`` into a cell-partitioned index (one micro-batch
+    per file, in order), then answer top-k for ``queries`` against the
+    accumulated index. Returns (query_id, neighbor_id, cosine, rn)."""
+    root = root or tempfile.mkdtemp(prefix="dlw_vecidx_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    for i, b in enumerate(batches):
+        stage = os.path.join(root, f"_stage_{i}")
+        b.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))[0]
+        shutil.copy(
+            os.path.join(stage, part),
+            os.path.join(landing, f"batch_{i:04d}.parquet"),
+        )
+
+    index_dir = os.path.join(root, "index")
+    model: dict = {"cents": None}
+
+    def update(df: DataFrame, epoch_id: int) -> None:
+        if model["cents"] is None:
+            # frozen coarse quantizer: trained on the first batch only
+            model["cents"] = kmeans_centroids(
+                df.persist(), "vec_id", "v", n_clusters, dim, iters
+            )
+        assigned = df.select(
+            "vec_id", "v", nearest_centroid(F.col("v"), model["cents"]).alias("cid")
+        )
+        # map-side assignment, cell-partitioned layout, epoch-keyed
+        # overwrite (replay-idempotent)
+        assigned.write.partitionBy("cid").mode("overwrite").parquet(
+            f"{index_dir}/epoch={int(epoch_id)}"
+        )
+
+    schema = spark.read.parquet(landing).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(update)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cents = model["cents"]
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qv"),
+        F.explode(nearest_centroids(F.col(vec_col), cents, nprobe)).alias("cid"),
+    )
+    probed_cells = sorted(
+        {r["cid"] for r in qdf.select("cid").distinct().collect()}
+    )
+    # the cell filter prunes index partition DIRECTORIES — probe cost is
+    # ~nprobe/n_clusters of the index no matter how many epochs landed
+    index = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cid").isin(probed_cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.col("cid").cast("int").alias("cid"),
+        )
+    )
+    sim = F.round(cosine_sim(F.col("qv"), F.col("nv")), 6)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(qdf)
+        .join(index, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@register(
+    "st14_streaming_vector_index",
+    None,  # approximate (frozen quantizer + nprobe) — recall pinned in pytest
+    category="streaming",
+    doc=(
+        "streaming vector-index maintenance: embeddings arrive as two "
+        "micro-batches; the coarse quantizer trains once on the first "
+        "and freezes, later batches assign cells map-side (literal "
+        "centroids, zero shuffle, zero state reads) into a "
+        "cell-partitioned parquet index with epoch-keyed idempotent "
+        "writes. Search probes nprobe cells — the cell filter prunes "
+        "index partition directories (PartitionFilters plan gate), so "
+        "probe cost tracks nprobe/n_clusters, not index size — and "
+        "reranks by exact cosine."
+    ),
+)
+def st14_streaming_vector_index(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    probes = e.filter(F.col("vec_id") < 10)
+    return run_streaming_vector_index(
+        spark, [half, rest], probes, k=5, n_clusters=8, nprobe=5, dim=64
+    )

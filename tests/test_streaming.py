@@ -194,3 +194,39 @@ def test_incremental_near_dup_planted(spark, tmp_path):
     out = run_incremental_near_dup(spark, [b0, b1], root=str(tmp_path / "inc"))
     got = {(r.doc_id, r.epoch) for r in out.collect()}
     assert got == {(1, 0), (2, 0), (11, 1)}, got
+
+
+def test_streaming_vector_index_recall_and_pruning(spark, tmp_path):
+    """Frozen-quantizer streaming index on clusterable blobs: the second
+    batch is indexed without retraining, search recall vs exact stays
+    high, and the probe's cell filter prunes index partition
+    directories (PartitionFilters — the index layout IS the plan)."""
+    import random
+
+    from datalake_worker_spark.functions.similarity import exact_topk
+    from datalake_worker_spark.plans.inspect import formatted_plan
+    from datalake_worker_spark.streaming.vecindex import run_streaming_vector_index
+
+    rng = random.Random(13)
+    centers = [[rng.gauss(0, 5) for _ in range(16)] for _ in range(6)]
+    rows = [
+        (i, [c + rng.gauss(0, 0.5) for c in centers[i % 6]]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    b0 = df.filter(F.col("vec_id") < 150)
+    b1 = df.filter(F.col("vec_id") >= 150)
+    probes = df.filter(F.col("vec_id") < 12)
+    out = run_streaming_vector_index(
+        spark, [b0, b1], probes, k=5, n_clusters=6, nprobe=2, dim=16, iters=2,
+        root=str(tmp_path / "idx"),
+    )
+    plan = formatted_plan(out)
+    assert "PartitionFilters: [" in plan
+    assert "PartitionFilters: []" not in plan, plan
+    got = out.collect()
+    # neighbors from BOTH batches must be reachable
+    assert any(r.neighbor_id >= 150 for r in got)
+    exact = exact_topk(df, probes, "vec_id", "v", k=5).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(e & a) / len(e) >= 0.85, len(e & a) / len(e)
