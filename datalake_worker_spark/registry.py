@@ -119,10 +119,11 @@ _PRIORITY_NAMES = [
     "lk05_query_through_chunk",
     # new in round 5 — no CORRECTNESS row yet; next in line if the budget
     # stretches past the debt list above
-    "st13_incremental_near_dup",
-    "v09_ann_ivfpq_topk",
+    # cheap oracle-backed (hash signal) first, heavy rows-only streaming last
     "w13_time_weighted_average",
     "w14_ohlc_bars",
+    "v09_ann_ivfpq_topk",
+    "st13_incremental_near_dup",
     "st14_streaming_vector_index",
     # newest green is r2/r3 — stalest-first among the remainder, current relative order preserved
     "t01_token_stats",
