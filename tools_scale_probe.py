@@ -51,6 +51,10 @@ PROBE = [
     "t01_token_stats",           # text scan
     "smp03_exact_percentiles",   # sort-based percentiles
     "v01_exact_cosine_topk",     # brute-force ANN baseline
+    "w13_time_weighted_average", # lead-window + agg, one shuffle
+    "w14_ohlc_bars",             # windowed endpoints + bar agg
+    "d16_char_jaccard_pairs",    # blocked pair join (CJK dedup path)
+    "smp10_dsir_importance",     # distributed exact rank selection
 ]
 
 
