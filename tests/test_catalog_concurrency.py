@@ -349,3 +349,22 @@ def test_bulk_register_racing_writers(spark, tmp_path):
     recs = fresh.backend.read_records()
     assert len(recs) == 60
     assert len({r["seq"] for r in recs}) == 2  # two bulk versions
+
+
+def test_bulk_register_equals_sequential(spark, tmp_path):
+    """Bulk admission must produce the same folded state as registering
+    the same batch sequentially (modulo seq granularity)."""
+    m = [ChunkMeta("ds", f"e{i:02d}", i * 10, (i + 1) * 10, {}, i + 1) for i in range(25)]
+    a = ChunkCatalog(spark, str(tmp_path / "a"))
+    b = ChunkCatalog(spark, str(tmp_path / "b"))
+    assert a.register_chunks(m) == 25
+    for meta in m:
+        assert b.register_chunk(meta)
+    fa = {c: (r["state"], r["size_bytes"], r["block_start"], r["block_end"])
+          for c, r in a._current().items()}
+    fb = {c: (r["state"], r["size_bytes"], r["block_start"], r["block_end"])
+          for c, r in b._current().items()}
+    assert fa == fb
+    assert a.total_size() == b.total_size()
+    assert a.list_chunks() == b.list_chunks()
+    assert a.version == 1 and b.version == 25
