@@ -149,14 +149,17 @@ class ParquetCatalogBackend(CatalogBackend):
     # LSM-compaction analog of the reference's RocksDB backend)
     AUTO_COMPACT_AT = 64
 
-    #: Oldest seq auto-compaction may fold away. ``compact(retain_last=K)``
-    #: (the ``checkpoint`` path) moves this floor to its cutoff, so the
-    #: retained-tail window a checkpoint promises survives subsequent
-    #: auto-compactions instead of being folded by the 65th commit.
+    #: Newest seq auto-compaction may fold (None = no retention promise:
+    #: fold everything to latest-per-chunk, the bounded default).
+    #: ``compact(retain_last=K>0)`` (the ``checkpoint`` path) sets this
+    #: floor to its cutoff, so the retained-tail window a checkpoint
+    #: promises survives subsequent auto-compactions instead of being
+    #: folded by the 65th commit; a plain ``compact()`` clears it (a full
+    #: fold is an explicit choice to drop history, not a promise).
     #: In-memory only: retention is a per-process dial — a writer in
     #: another process that never checkpointed compacts with its own
-    #: (default 0) floor.
-    retain_floor_seq: int = 0
+    #: (default fold-all) floor.
+    retain_floor_seq: int | None = None
 
     def append_record(self, record: dict) -> None:
         """Commit one record at exactly ``seq`` — compare-and-swap via the
@@ -209,11 +212,18 @@ class ParquetCatalogBackend(CatalogBackend):
             if f.endswith(".parquet") and not f.startswith(".tmp-")
         )
         if n_files > self.AUTO_COMPACT_AT:
-            # honor the checkpoint retention floor: fold only history at or
-            # below it (retain_last is a seq-delta from the current max)
-            self.compact(
-                retain_last=max(0, self.frontier_seq() - self.retain_floor_seq)
-            )
+            # honor the checkpoint retention floor when one was promised:
+            # fold only history at or below it (retain_last is a seq-delta
+            # from the current max). With no promise, fold everything to
+            # latest-per-chunk — the bounded default.
+            if self.retain_floor_seq is None:
+                self.compact()
+            else:
+                self.compact(
+                    retain_last=max(
+                        0, self.frontier_seq() - self.retain_floor_seq
+                    )
+                )
 
     def frontier_seq(self) -> int:
         """Cheap frontier: the max canonical (seq-named) file. compact()
@@ -232,7 +242,14 @@ class ParquetCatalogBackend(CatalogBackend):
         # a concurrent compaction (single writer, many readers) can delete
         # log files between our listing and the read — the fold is
         # equivalent before and after compaction, so just re-list and
-        # retry on vanished files
+        # retry on vanished files. The O_EXCL linkless fallback also makes
+        # a commit file visible BEFORE its bytes finish copying: a
+        # truncated parquet read is transient (retry), but a writer that
+        # crashed mid-copy leaves it truncated forever — an ABORTED
+        # commit. Its seq stays claimed (the filename anchors
+        # frontier_seq, so the version is never reused) and the final
+        # attempt folds the log without it, exactly as if the dead writer
+        # had never been acked.
         for attempt in range(5):
             files = [
                 os.path.join(self.meta_dir, f)
@@ -245,10 +262,26 @@ class ParquetCatalogBackend(CatalogBackend):
                 table = ds.dataset(
                     files, schema=_META_SCHEMA, format="parquet"
                 ).to_table()
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 if attempt == 4:
                     raise
                 continue
+            except Exception:  # truncated/in-flight file — retry, then skip
+                if attempt < 4:
+                    continue
+                import pyarrow.parquet as _pq
+
+                batches = []
+                for f in files:
+                    try:
+                        batches.append(
+                            _pq.read_table(f, schema=_META_SCHEMA)
+                        )
+                    except Exception:  # noqa: BLE001 — aborted commit
+                        continue
+                if not batches:
+                    return []
+                table = pa.concat_tables(batches)
             rows = sorted(
                 table.to_pylist(), key=lambda r: (r["seq"], r["chunk_id"])
             )
@@ -303,9 +336,9 @@ class ParquetCatalogBackend(CatalogBackend):
                     schema=_META_SCHEMA,
                     format="parquet",
                 ).to_table()
-            except (FileNotFoundError, OSError):
+            except Exception:  # vanished or in-flight truncated file
                 if attempt == 4:
-                    raise
+                    return  # compaction is an optimization: skip, never brick
                 continue
             break
         rows = sorted(table.to_pylist(), key=lambda r: (r["seq"], r["chunk_id"]))
@@ -319,8 +352,10 @@ class ParquetCatalogBackend(CatalogBackend):
             return
         cutoff = records[-1]["seq"] - retain_last
         # the latest retention request wins: later auto-compactions fold
-        # nothing newer than this cutoff (see retain_floor_seq)
-        self.retain_floor_seq = cutoff
+        # nothing newer than this cutoff. A full fold (retain_last=0)
+        # clears the promise instead of freezing all future history
+        # verbatim (see retain_floor_seq).
+        self.retain_floor_seq = cutoff if retain_last > 0 else None
         tail = [r for r in records if r["seq"] > cutoff]
         latest: dict[str, dict] = {}
         for rec in records:  # seq-sorted

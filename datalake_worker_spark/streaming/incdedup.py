@@ -56,6 +56,23 @@ BANDS = 16
 AGREEMENT = 0.5
 
 
+def stage_batches(root: str, batches: list[DataFrame], select_cols) -> str:
+    """Stage each batch as one landing file, in list order (the file
+    source triggers by (mod-time, path), so list order == arrival
+    order). Shared by the foreachBatch harnesses (incdedup, vecindex)."""
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    for i, b in enumerate(batches):
+        stage = os.path.join(root, f"_stage_{i}")
+        b.select(*select_cols).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))[0]
+        shutil.copy(
+            os.path.join(stage, part),
+            os.path.join(landing, f"batch_{i:04d}.parquet"),
+        )
+    return landing
+
+
 def run_incremental_near_dup(
     spark: SparkSession,
     batches: list[DataFrame],
@@ -67,18 +84,11 @@ def run_incremental_near_dup(
     the incremental dedup (one micro-batch per file, in list order), and
     return the admitted docs as (doc_id, epoch)."""
     root = root or tempfile.mkdtemp(prefix="dlw_incdup_")
-    landing = os.path.join(root, "landing")
-    os.makedirs(landing, exist_ok=True)
-    # stage in order: the file source triggers by (mod-time, path), and
-    # list order must equal arrival order for determinism
-    for i, b in enumerate(batches):
-        stage = os.path.join(root, f"_stage_{i}")
-        b.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")) \
-            .coalesce(1).write.mode("overwrite").parquet(stage)
-        part = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))[0]
-        shutil.copy(os.path.join(stage, part),
-                    os.path.join(landing, f"batch_{i:04d}.parquet"))
-
+    landing = stage_batches(
+        root,
+        batches,
+        [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")],
+    )
     state_bands = os.path.join(root, "state_bands")
     state_sigs = os.path.join(root, "state_sigs")
 
@@ -133,16 +143,24 @@ def run_incremental_near_dup(
         )
         survivors = live.join(near_drop, "doc_id", "left_anti")
         if os.path.isdir(state_bands):
-            hist_b = s.read.parquet(state_bands).select(
-                F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+            # STRICTLY EARLIER epochs only: an at-least-once replay of this
+            # epoch would otherwise read its own first attempt's state,
+            # self-match every admitted doc at agreement 1.0, and
+            # overwrite the epoch's state with an empty set
+            hist_b = (
+                s.read.parquet(state_bands)
+                .filter(F.col("epoch") < e)
+                .select(F.col("doc_id").alias("old_id"), "band_idx", "band_hash")
             )
             cand = (
                 bands.join(hist_b, ["band_idx", "band_hash"])
                 .select("doc_id", "old_id")
                 .distinct()
             )
-            hist_sig = s.read.parquet(state_sigs).select(
-                F.col("doc_id").alias("old_id"), F.col("sig").alias("so")
+            hist_sig = (
+                s.read.parquet(state_sigs)
+                .filter(F.col("epoch") < e)
+                .select(F.col("doc_id").alias("old_id"), F.col("sig").alias("so"))
             )
             hist_drop = (
                 cand.join(sig, "doc_id")

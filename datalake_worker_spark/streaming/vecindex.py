@@ -26,7 +26,6 @@ chunk catalog makes for block ranges.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,29 +59,40 @@ def run_streaming_vector_index(
     """Stream ``batches`` into a cell-partitioned index (one micro-batch
     per file, in order), then answer top-k for ``queries`` against the
     accumulated index. Returns (query_id, neighbor_id, cosine, rn)."""
-    root = root or tempfile.mkdtemp(prefix="dlw_vecidx_")
-    landing = os.path.join(root, "landing")
-    os.makedirs(landing, exist_ok=True)
-    for i, b in enumerate(batches):
-        stage = os.path.join(root, f"_stage_{i}")
-        b.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))[0]
-        shutil.copy(
-            os.path.join(stage, part),
-            os.path.join(landing, f"batch_{i:04d}.parquet"),
-        )
+    import json
 
+    from .incdedup import stage_batches
+
+    root = root or tempfile.mkdtemp(prefix="dlw_vecidx_")
+    landing = stage_batches(
+        root, batches, [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")]
+    )
     index_dir = os.path.join(root, "index")
+    # the frozen quantizer is DURABLE model state, not driver memory: a
+    # restarted run (checkpoint replays only later epochs) must assign
+    # with the SAME centroids epoch 0 was indexed under, or cells from
+    # different epochs silently disagree
+    model_path = os.path.join(root, "model.json")
     model: dict = {"cents": None}
+    if os.path.exists(model_path):
+        with open(model_path) as fh:
+            model["cents"] = json.load(fh)
 
     def update(df: DataFrame, epoch_id: int) -> None:
         if model["cents"] is None:
-            # frozen coarse quantizer: trained on the first batch only
-            model["cents"] = kmeans_centroids(
-                df.persist(), "vec_id", "v", n_clusters, dim, iters
-            )
+            # frozen coarse quantizer: trained on the first batch only,
+            # persisted beside the index before any epoch commits
+            cached = df.persist()
+            try:
+                model["cents"] = kmeans_centroids(
+                    cached, "vec_id", "v", n_clusters, dim, iters
+                )
+            finally:
+                cached.unpersist(blocking=False)
+            tmp = model_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(model["cents"], fh)
+            os.replace(tmp, model_path)
         assigned = df.select(
             "vec_id", "v", nearest_centroid(F.col("v"), model["cents"]).alias("cid")
         )

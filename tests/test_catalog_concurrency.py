@@ -368,3 +368,21 @@ def test_bulk_register_equals_sequential(spark, tmp_path):
     assert a.total_size() == b.total_size()
     assert a.list_chunks() == b.list_chunks()
     assert a.version == 1 and b.version == 25
+
+
+def test_auto_compaction_still_folds_without_checkpoint(spark, tmp_path):
+    """With no checkpoint retention promise, auto-compaction must keep
+    folding to latest-per-chunk (bounded log), not retain all history."""
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    n = cat.backend.AUTO_COMPACT_AT + 10
+    for i in range(n):
+        assert cat.register_chunk(ChunkMeta("ds", f"c{i:03d}", i, i + 1, {}, 1))
+    for i in range(n):
+        assert cat.schedule_delete(f"c{i:03d}")
+    cat.refresh()
+    recs = cat.backend.read_records()
+    # 2n commits happened; a folded log holds ~latest-per-chunk plus the
+    # small post-compaction tail — far fewer than the 2n raw records
+    assert len(recs) < n + cat.backend.AUTO_COMPACT_AT, len(recs)
+    assert len(cat.list_chunks("PENDING_DELETE")) == n

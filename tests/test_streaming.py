@@ -230,3 +230,66 @@ def test_streaming_vector_index_recall_and_pruning(spark, tmp_path):
     e = {(r.query_id, r.neighbor_id) for r in exact}
     a = {(r.query_id, r.neighbor_id) for r in got}
     assert len(e & a) / len(e) >= 0.85, len(e & a) / len(e)
+
+
+def test_incremental_near_dup_replay_idempotent(spark, tmp_path):
+    """Full at-least-once replay (checkpoint lost, state retained): the
+    history join reads STRICTLY EARLIER epochs, so re-processing a batch
+    against its own first attempt's state must not self-match and erase
+    admitted docs."""
+    import shutil
+
+    from datalake_worker_spark.streaming.incdedup import run_incremental_near_dup
+
+    a = " ".join(f"alpha{i} beta{i}" for i in range(15))
+    b = " ".join(f"omega{i} kappa{i}" for i in range(15))
+    b0 = spark.createDataFrame([(1, a)], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(2, b)], ["doc_id", "text"])
+    root = str(tmp_path / "inc")
+    first = {(r.doc_id, r.epoch) for r in
+             run_incremental_near_dup(spark, [b0, b1], root=root).collect()}
+    assert first == {(1, 0), (2, 1)}
+    shutil.rmtree(os.path.join(root, "_ckpt"))  # lose the checkpoint
+    replay = {(r.doc_id, r.epoch) for r in
+              run_incremental_near_dup(spark, [b0, b1], root=root).collect()}
+    assert replay == first, replay
+
+
+def test_vector_index_quantizer_survives_restart(spark, tmp_path):
+    """The frozen coarse quantizer is durable model state: a restarted
+    run that replays only the SECOND batch must assign with the same
+    centroids the first epoch was indexed under."""
+    import json
+    import random
+    import shutil
+
+    from datalake_worker_spark.streaming.vecindex import run_streaming_vector_index
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    b0 = df.filter(F.col("vec_id") < 60)
+    b1 = df.filter(F.col("vec_id") >= 60)
+    probes = df.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "idx")
+    first = sorted(map(tuple, run_streaming_vector_index(
+        spark, [b0, b1], probes, k=3, n_clusters=4, nprobe=2, dim=16, root=root
+    ).collect()))
+    model_path = os.path.join(root, "model.json")
+    with open(model_path) as fh:
+        cents_before = json.load(fh)
+    mtime_before = os.path.getmtime(model_path)
+    time.sleep(0.05)
+    # restart: checkpoint lost, batches replay against the existing root.
+    # The run must LOAD the persisted quantizer, never retrain — a
+    # retrain rewrites model.json (fresh mtime) and, on a partial
+    # replay, would re-assign later epochs under different centroids.
+    shutil.rmtree(os.path.join(root, "_ckpt"))
+    second = sorted(map(tuple, run_streaming_vector_index(
+        spark, [b0, b1], probes, k=3, n_clusters=4, nprobe=2, dim=16, root=root
+    ).collect()))
+    with open(model_path) as fh:
+        cents_after = json.load(fh)
+    assert cents_after == cents_before
+    assert os.path.getmtime(model_path) == mtime_before, "quantizer was retrained"
+    assert second == first
