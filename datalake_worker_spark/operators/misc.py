@@ -105,3 +105,42 @@ def a10_statistical_aggregates(spark, sf_dir):
             6,
         ).alias("qty_price_corr"),
     )
+
+
+@register(
+    "a12_grouped_mode",
+    """
+    WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY event_type, user_id
+    ), r AS (
+        SELECT event_type, user_id, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id ASC) AS rn
+        FROM c
+    )
+    SELECT event_type,
+           CAST(user_id AS BIGINT) AS mode_user,
+           CAST(n AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+    """,
+    category="aggregation",
+    doc=(
+        "deterministic grouped mode (most frequent user per event type, "
+        "ties to the smallest id): a pure TWO-PHASE aggregate — count "
+        "per (group, value), then max_by over a (count, -value) struct "
+        "— no per-group sort, no window, map-side partial aggregation "
+        "at both phases. The built-in mode()/arg_max tie-break is "
+        "engine-undefined, which is why profiling pipelines need the "
+        "explicit struct ordering; the oracle expresses the same "
+        "semantics through a window for cross-engine clarity."
+    ),
+)
+def a12_grouped_mode(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    rank_key = F.struct(F.col("n"), (-F.col("user_id")).alias("neg_id"))
+    return counts.groupBy("event_type").agg(
+        F.max_by("user_id", rank_key).cast("long").alias("mode_user"),
+        F.max("n").cast("long").alias("n_events"),
+    )

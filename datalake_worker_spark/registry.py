@@ -122,6 +122,7 @@ _PRIORITY_NAMES = [
     # cheap oracle-backed (hash signal) first, heavy rows-only streaming last
     "w13_time_weighted_average",
     "w14_ohlc_bars",
+    "a12_grouped_mode",
     "v09_ann_ivfpq_topk",
     "st13_incremental_near_dup",
     "st14_streaming_vector_index",
