@@ -236,6 +236,42 @@ class ParquetCatalogBackend(CatalogBackend):
                 best = max(best, int(stem))
         return best
 
+    def aborted_top(self, above: int) -> int:
+        """Highest version reachable from ``above`` through contiguous
+        ABORTED commits — claimed (seq-named file exists) but unreadable
+        (a linkless-fallback writer crashed mid-copy). Stops at the
+        first READABLE unfolded commit, which the caller must fold
+        before committing. Each candidate is probed twice with a short
+        grace so an in-flight (still-copying) commit is not
+        misclassified as aborted."""
+        import pyarrow.parquet as _pq
+
+        seqs = sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.endswith(".parquet")
+            and f.split(".")[0].isdigit()
+            and int(f.split(".")[0]) > above
+        )
+        top = above
+        for s in seqs:
+            f = os.path.join(self.meta_dir, f"{s:020d}.parquet")
+            readable = False
+            for attempt in range(2):
+                try:
+                    _pq.read_table(f, schema=_META_SCHEMA)
+                    readable = True
+                    break
+                except FileNotFoundError:
+                    return top  # compacted away mid-probe: re-fold
+                except Exception:  # noqa: BLE001 — truncated (maybe in flight)
+                    if attempt == 0:
+                        time.sleep(0.05)
+            if readable:
+                break
+            top = s
+        return top
+
     def read_records(self) -> list[dict]:
         import pyarrow.dataset as ds
 
@@ -562,7 +598,19 @@ class ChunkCatalog:
                 # reuse of a vacated seq (it would fork history).
                 self.refresh()
                 self._current()
-                stuck = stuck + 1 if self._snapshot_seq <= before else 0
+                if self._snapshot_seq <= before:
+                    # the gap didn't fold: claimed-but-unreadable versions
+                    # are ABORTED commits (crashed linkless-fallback
+                    # writers) — adopt them as the commit base, or the
+                    # frontier check wedges every future writer forever
+                    adopted = self.backend.aborted_top(self._snapshot_seq)
+                    if adopted > self._snapshot_seq:
+                        self._snapshot_seq = adopted
+                        stuck = 0
+                    else:
+                        stuck += 1
+                else:
+                    stuck = 0
                 continue
             recs = build(self._current())
             if not recs:
@@ -893,14 +941,21 @@ class ChunkCatalog:
         )
 
     def _raw_meta_df(self) -> DataFrame | None:
-        """The unfolded metadata log as a parquet scan (None if empty)."""
+        """The unfolded metadata log as a parquet scan (None if empty).
+
+        ``ignoreCorruptFiles`` applies the same ABORTED-commit policy as
+        the Python read path (``read_records``): a writer that crashed
+        mid-copy on a linkless filesystem leaves a truncated commit file
+        whose seq stays claimed but whose record never existed."""
         meta = self.meta_dir_path()
         if not any(
             f.endswith(".parquet") and not f.startswith(".tmp-")
             for f in os.listdir(meta)
         ):
             return None
-        return self.spark.read.parquet(meta)
+        return (
+            self.spark.read.option("ignoreCorruptFiles", "true").parquet(meta)
+        )
 
     def _empty_meta_df(self) -> DataFrame:
         return self.spark.createDataFrame(

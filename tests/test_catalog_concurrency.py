@@ -386,3 +386,25 @@ def test_auto_compaction_still_folds_without_checkpoint(spark, tmp_path):
     # small post-compaction tail — far fewer than the 2n raw records
     assert len(recs) < n + cat.backend.AUTO_COMPACT_AT, len(recs)
     assert len(cat.list_chunks("PENDING_DELETE")) == n
+
+
+def test_aborted_commit_tolerated_everywhere(spark, tmp_path):
+    """A truncated (crashed-mid-copy) commit file is an ABORTED commit:
+    its seq stays claimed (frontier anchors on the filename, so the
+    version is never reused) but both the Python fold and the Spark
+    metadata scan must read through it."""
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    for i in range(3):
+        assert cat.register_chunk(ChunkMeta("ds", f"c{i}", i, i + 1, {}, 1))
+    # simulate the linkless-fallback crash: version 4 visible but empty
+    meta = os.path.join(root, "_meta")
+    with open(os.path.join(meta, f"{4:020d}.parquet"), "wb") as fh:
+        fh.write(b"PAR1garbage")
+    cat.refresh()
+    assert cat.list_chunks() == ["c0", "c1", "c2"]          # Python fold
+    assert cat.chunks_df().count() == 3                      # Spark scan
+    assert cat.backend.frontier_seq() == 4                   # seq stays claimed
+    # the next commit rebases past the aborted version
+    assert cat.register_chunk(ChunkMeta("ds", "c9", 9, 10, {}, 1))
+    assert cat.backend.read_records()[-1]["seq"] == 5
