@@ -373,9 +373,31 @@ class ParquetCatalogBackend(CatalogBackend):
                     format="parquet",
                 ).to_table()
             except Exception:  # vanished or in-flight truncated file
-                if attempt == 4:
-                    return  # compaction is an optimization: skip, never brick
-                continue
+                if attempt < 4:
+                    continue
+                # final attempt: fold around ABORTED (permanently
+                # unreadable) commit files instead of giving up —
+                # otherwise one crashed linkless-fallback writer would
+                # disable compaction forever and the log grows unbounded.
+                # Only successfully-read files enter the fold AND the
+                # deletion snapshot; aborted files are left untouched
+                # (their filename keeps the claimed seq anchored).
+                readable, parts = [], []
+                for f in files:
+                    try:
+                        parts.append(
+                            pq.read_table(
+                                os.path.join(self.meta_dir, f),
+                                schema=_META_SCHEMA,
+                            )
+                        )
+                        readable.append(f)
+                    except Exception:  # noqa: BLE001 — aborted commit
+                        continue
+                if not parts:
+                    return
+                files = readable
+                table = pa.concat_tables(parts)
             break
         rows = sorted(table.to_pylist(), key=lambda r: (r["seq"], r["chunk_id"]))
         records, last = [], None

@@ -408,3 +408,25 @@ def test_aborted_commit_tolerated_everywhere(spark, tmp_path):
     # the next commit rebases past the aborted version
     assert cat.register_chunk(ChunkMeta("ds", "c9", 9, 10, {}, 1))
     assert cat.backend.read_records()[-1]["seq"] == 5
+
+
+def test_compaction_folds_around_aborted_commit(spark, tmp_path):
+    """One crashed linkless-fallback writer must not disable compaction
+    forever: the fold reads around the unreadable file, deletes only
+    what it folded, and leaves the aborted file anchoring its seq."""
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    assert cat.register_chunk(ChunkMeta("ds", "c0", 0, 1, {}, 1))
+    meta = os.path.join(root, "_meta")
+    aborted = os.path.join(meta, f"{2:020d}.parquet")
+    with open(aborted, "wb") as fh:
+        fh.write(b"PAR1garbage")
+    n = cat.backend.AUTO_COMPACT_AT + 10
+    for i in range(1, n):
+        assert cat.register_chunk(ChunkMeta("ds", f"c{i}", i, i + 1, {}, 1))
+    files = [f for f in os.listdir(meta) if f.endswith(".parquet")]
+    # auto-compaction ran despite the aborted file: log stayed bounded
+    assert len(files) < cat.backend.AUTO_COMPACT_AT, len(files)
+    assert os.path.exists(aborted)  # left in place, seq stays claimed
+    cat.refresh()
+    assert len(cat.list_chunks()) == n
