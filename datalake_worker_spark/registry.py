@@ -58,75 +58,25 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: the lake-core lk01-lk05 family (r2 greens under the r4 CAS rewrite).
 #: Everything the driver confirmed in round 4 moves to the very end.
 _PRIORITY_NAMES = [
-    # never driver-verified: zero CORRECTNESS rows ever (missed rounds 3 AND 4 at slot 50/51 of a ~50-query budget) — unconditionally first
-    "x04_asof_join_tolerance",
-    # r1-stale (VERDICT r4 item 1): newest green row is round 1, which predates the r3 readers.py schema-cache and r4 session-conf changes under them. Cheap scalars/sets first, then joins/aggs/asof/TPC-H, pandas-UDF last.
-    "s01_string_funcs",
-    "s02_datetime_funcs",
-    "s03_math_funcs",
-    "s04_array_funcs",
-    "s05_explode_tokens",
-    "s06_posexplode",
-    "s07_json_map",
-    "s08_conditional",
-    "s10_map_funcs",
-    "u01_union_all",
-    "u02_union_distinct",
-    "u03_intersect",
-    "u04_except_all",
-    "u05_except_distinct",
-    "u06_intersect_all",
-    "j01_left_outer_counts",
-    "j02_full_outer",
-    "j03_anti_join",
-    "j04_cross_join",
-    "j05_theta_join",
-    "j06_broadcast_join",
-    "j07_null_safe_join",
-    "j08_composite_key_join",
-    "j09_right_outer",
-    "a01_rollup",
-    "a02_cube",
-    "a03_count_distinct_having",
-    "a04_minmax_stats",
-    "a05_pivot",
-    "a06_grouping_sets",
-    "a07_unpivot",
-    "a09_collect_set_sorted",
-    "x01_asof_purchase_click",
-    "x02_asof_event_order",
-    "x03_range_join_buckets",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q02_min_cost_supplier",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q11_scalar_subquery",
-    "q16_part_supplier_counts",
-    "q18_large_volume_customer",
-    "q22_dormant_customers",
-    "p01_scalar_pandas_udf",
-    # only non-no-oracle row is an r1 crash; declared approximate since r3 but never driver-re-run (VERDICT r4 item 5)
-    "a08_approx_aggregates",
-    # r2 greens sitting on top of the round-4 CAS commit-path rewrite (catalog.py:143-172) — VERDICT r4 item 6
+    # ROUND-6 ROTATION (VERDICT r5 items 1 & 3): the ~50-query driver
+    # budget burns the unverified frontier first — the six round-5
+    # queries with zero driver rows (a12/w13/w14 oracle-backed, then
+    # the rows-only streaming/ANN trio), then lk01-lk05 (newest rows r3,
+    # predating the r4/r5 CAS + aborted-commit rewrites under them),
+    # then the 31 r2-stale greens (t01-t13, d01-d05/d08, io02-io05,
+    # m01-m03, smp01-smp05) and the r3-era remainder stalest-first.
+    # Everything the r5 driver re-greened moves to the very end.
+    "a12_grouped_mode",
+    "w13_time_weighted_average",
+    "w14_ohlc_bars",
+    "st13_incremental_near_dup",
+    "st14_streaming_vector_index",
+    "v09_ann_ivfpq_topk",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",
     "lk04_total_size",
     "lk05_query_through_chunk",
-    # new in round 5 — no CORRECTNESS row yet; next in line if the budget
-    # stretches past the debt list above
-    # cheap oracle-backed (hash signal) first, heavy rows-only streaming last
-    "w13_time_weighted_average",
-    "w14_ohlc_bars",
-    "a12_grouped_mode",
-    "v09_ann_ivfpq_topk",
-    "st13_incremental_near_dup",
-    "st14_streaming_vector_index",
-    # newest green is r2/r3 — stalest-first among the remainder, current relative order preserved
     "t01_token_stats",
     "t02_quality_score",
     "t03_language_id",
@@ -200,7 +150,6 @@ _PRIORITY_NAMES = [
     "st08_continuous_rollup",
     "a10_statistical_aggregates",
     "s09_casts",
-    # freshly driver-verified in round 4 (green rows in CORRECTNESS_r04.json) — last
     "st01_tumbling_window",
     "st02_sliding_window",
     "t18_document_chunking",
@@ -251,6 +200,56 @@ _PRIORITY_NAMES = [
     "io07_orc_roundtrip",
     "w08_time_grid_fill",
     "d11_semantic_dedup",
+    "x04_asof_join_tolerance",
+    "s01_string_funcs",
+    "s02_datetime_funcs",
+    "s03_math_funcs",
+    "s04_array_funcs",
+    "s05_explode_tokens",
+    "s06_posexplode",
+    "s07_json_map",
+    "s08_conditional",
+    "s10_map_funcs",
+    "u01_union_all",
+    "u02_union_distinct",
+    "u03_intersect",
+    "u04_except_all",
+    "u05_except_distinct",
+    "u06_intersect_all",
+    "j01_left_outer_counts",
+    "j02_full_outer",
+    "j03_anti_join",
+    "j04_cross_join",
+    "j05_theta_join",
+    "j06_broadcast_join",
+    "j07_null_safe_join",
+    "j08_composite_key_join",
+    "j09_right_outer",
+    "a01_rollup",
+    "a02_cube",
+    "a03_count_distinct_having",
+    "a04_minmax_stats",
+    "a05_pivot",
+    "a06_grouping_sets",
+    "a07_unpivot",
+    "a09_collect_set_sorted",
+    "x01_asof_purchase_click",
+    "x02_asof_event_order",
+    "x03_range_join_buckets",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q11_scalar_subquery",
+    "q16_part_supplier_counts",
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    "p01_scalar_pandas_udf",
+    "a08_approx_aggregates",
 ]
 
 _MODULE_ORDER = [
