@@ -384,3 +384,47 @@ def test_catalog_find_df_pushdown_at_5k_chunks(spark, tmp_path):
     rows = df.collect()
     assert [r["chunk_id"] for r in rows] == ["c01234"]
     assert cat.find_chunk_meta("ds", 123_456).chunk_id == "c01234"
+
+
+def test_st13_history_probe_no_state_shuffle(spark, tmp_path):
+    """The incremental-dedup history probe must broadcast the BATCH side
+    into both joins so the accumulated state is probed map-side: no
+    sort-merge/shuffled-hash join of history, and the band-state scan
+    reads only the probe columns (doc_id, band_idx, band_hash)."""
+    from datalake_worker_spark.streaming.incdedup import (
+        EpochStore,
+        K,
+        history_drops,
+    )
+
+    sig_val = F.array(*[F.lit(i).cast("long") for i in range(K)])
+    hist = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 16).cast("int").alias("band_idx"),
+        F.xxhash64("id").alias("band_hash"),
+    )
+    bands_store = EpochStore(str(tmp_path / "bands"), ["band_idx", "band_hash"])
+    sigs_store = EpochStore(str(tmp_path / "sigs"), ["doc_id"])
+    bands_store.write_epoch(hist, 0)
+    sigs_store.write_epoch(
+        spark.range(200).select(F.col("id").alias("doc_id"), sig_val.alias("sig")), 0
+    )
+    batch_bands = spark.range(1000, 1005).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 16).cast("int").alias("band_idx"),
+        F.xxhash64("id").alias("band_hash"),
+    )
+    batch_sig = spark.range(1000, 1005).select(
+        F.col("id").alias("doc_id"), sig_val.alias("sig")
+    )
+    out = history_drops(
+        batch_bands, batch_sig,
+        bands_store.read(spark), sigs_store.read(spark),
+    )
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # column pruning on the state scans: bands scan must not read `sig`,
+    # sig scan must not read band columns
+    assert "ReadSchema" in plan

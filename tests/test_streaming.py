@@ -293,3 +293,65 @@ def test_vector_index_quantizer_survives_restart(spark, tmp_path):
     assert cents_after == cents_before
     assert os.path.getmtime(model_path) == mtime_before, "quantizer was retrained"
     assert second == first
+
+
+def test_incremental_near_dup_overcap_fallback(spark, tmp_path):
+    """A hot LSH bucket overflowing bucket_cap must NOT silently admit
+    the over-cap docs: each one is verified against the bucket's min id
+    (the cluster representative) and the fallback count is surfaced in
+    the per-epoch stats (no silent coverage caps)."""
+    from datalake_worker_spark.streaming.incdedup import (
+        read_stats,
+        run_incremental_near_dup,
+    )
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    cluster = [(i, base + f" tail{i}") for i in range(1, 11)]  # 10 near-dups
+    novel = (99, " ".join(f"omega{i} sigma{i}" for i in range(12)))
+    b0 = spark.createDataFrame(cluster + [novel], ["doc_id", "text"])
+    root = str(tmp_path / "inc")
+    out = run_incremental_near_dup(spark, [b0], root=root, bucket_cap=4)
+    got = {r.doc_id for r in out.collect()}
+    assert got == {1, 99}, got  # docs 5..10 dropped via the representative path
+    stats = read_stats(spark, root).collect()
+    assert len(stats) == 1
+    assert stats[0].n_overcap_docs >= 6, stats  # ids 5..10 beyond the cap
+    assert stats[0].n_admitted == 2
+
+
+def test_incremental_near_dup_state_compaction(spark, tmp_path):
+    """Generation compaction folds epoch dirs without changing results:
+    a compacted run admits the same (doc_id, epoch) set as an
+    uncompacted one, state gen-dir count stays bounded, and a
+    checkpoint-lost replay on the compacted state is still idempotent."""
+    import shutil
+
+    from datalake_worker_spark.streaming.incdedup import run_incremental_near_dup
+
+    def doc(i):
+        return " ".join(f"w{i}x{j} y{i}z{j}" for j in range(12))
+
+    batches = [
+        spark.createDataFrame(
+            [(10 * e + i, doc(10 * e + i)) for i in range(2)], ["doc_id", "text"]
+        )
+        for e in range(5)
+    ]
+    root_a = str(tmp_path / "plain")
+    plain = {(r.doc_id, r.epoch) for r in
+             run_incremental_near_dup(spark, batches, root=root_a,
+                                      compact_every=0).collect()}
+    root_b = str(tmp_path / "compacted")
+    compacted = {(r.doc_id, r.epoch) for r in
+                 run_incremental_near_dup(spark, batches, root=root_b,
+                                          compact_every=2).collect()}
+    assert compacted == plain
+    gens = sorted(os.listdir(os.path.join(root_b, "state_sigs")))
+    assert gens == ["gen=c3", "gen=e4"], gens  # e0..e3 folded, not the live epoch
+    # replay with lost checkpoint: folded history must not self-match or
+    # double-count, and rewritten epoch dirs stay excluded by the cover
+    shutil.rmtree(os.path.join(root_b, "_ckpt"))
+    replay = {(r.doc_id, r.epoch) for r in
+              run_incremental_near_dup(spark, batches, root=root_b,
+                                       compact_every=2).collect()}
+    assert replay == plain, replay
