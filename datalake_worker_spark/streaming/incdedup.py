@@ -92,10 +92,20 @@ class EpochStore:
     excluded DIRECTORIES at planning time.
     """
 
-    def __init__(self, path: str, sort_cols: list[str], buckets: int = 4):
+    def __init__(
+        self,
+        path: str,
+        sort_cols: list[str],
+        buckets: int = 4,
+        partition_by: list[str] | None = None,
+    ):
         self.path = path
         self.sort_cols = sort_cols
         self.buckets = buckets
+        #: optional hive-style sub-partitioning INSIDE each generation
+        #: (e.g. the vector index's cell id) — preserved by compaction,
+        #: so directory pruning on these columns survives every fold
+        self.partition_by = list(partition_by or [])
 
     # -- layout helpers ----------------------------------------------------
     def _gens(self) -> tuple[int, list[int]]:
@@ -126,12 +136,14 @@ class EpochStore:
     def write_epoch(self, df: DataFrame, epoch: int) -> None:
         """Idempotent epoch append: a replayed batch overwrites its own
         generation dir with identical content."""
-        (
+        out = (
             df.withColumn("epoch", F.lit(int(epoch)).cast("long"))
-            .sortWithinPartitions(*self.sort_cols)
+            .sortWithinPartitions(*(self.partition_by + self.sort_cols))
             .write.mode("overwrite")
-            .parquet(os.path.join(self.path, f"gen=e{int(epoch)}"))
         )
+        if self.partition_by:
+            out = out.partitionBy(*self.partition_by)
+        out.parquet(os.path.join(self.path, f"gen=e{int(epoch)}"))
 
     def compact(self, spark: SparkSession, before_epoch: int) -> None:
         """Fold every generation strictly below ``before_epoch`` into one
@@ -149,16 +161,20 @@ class EpochStore:
         vals = [f"e{g}" for g in fold]
         if covered >= 0:
             vals.append(f"c{covered}")
+        cols = self.partition_by + self.sort_cols
         folded = (
             spark.read.parquet(self.path)
             .filter(F.col("gen").isin(vals))
             .drop("gen")
-            .repartitionByRange(self.buckets, *self.sort_cols)
-            .sortWithinPartitions(*self.sort_cols)
+            .repartitionByRange(self.buckets, *cols)
+            .sortWithinPartitions(*cols)
         )
         tmp = f"{self.path}.tmp-compact"
         shutil.rmtree(tmp, ignore_errors=True)
-        folded.write.mode("overwrite").parquet(tmp)
+        writer = folded.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
         dst = os.path.join(self.path, f"gen=c{top}")
         shutil.rmtree(dst, ignore_errors=True)
         os.rename(tmp, dst)

@@ -55,19 +55,31 @@ def run_streaming_vector_index(
     dim: int = 64,
     iters: int = 1,
     root: str | None = None,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Stream ``batches`` into a cell-partitioned index (one micro-batch
     per file, in order), then answer top-k for ``queries`` against the
-    accumulated index. Returns (query_id, neighbor_id, cosine, rn)."""
+    accumulated index. Returns (query_id, neighbor_id, cosine, rn).
+
+    Every ``compact_every`` epochs the index folds its generation dirs
+    into ONE compacted generation (``EpochStore.compact``) that keeps
+    the ``cid=`` sub-partitioning, so file counts stay O(cells) instead
+    of O(cells × epochs) while probe-side directory pruning is
+    unchanged."""
     import json
 
-    from .incdedup import stage_batches
+    from .incdedup import EpochStore, stage_batches
 
     root = root or tempfile.mkdtemp(prefix="dlw_vecidx_")
     landing = stage_batches(
         root, batches, [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")]
     )
-    index_dir = os.path.join(root, "index")
+    store = EpochStore(
+        os.path.join(root, "index"),
+        sort_cols=["vec_id"],
+        buckets=2,
+        partition_by=["cid"],
+    )
     # the frozen quantizer is DURABLE model state, not driver memory: a
     # restarted run (checkpoint replays only later epochs) must assign
     # with the SAME centroids epoch 0 was indexed under, or cells from
@@ -96,11 +108,12 @@ def run_streaming_vector_index(
         assigned = df.select(
             "vec_id", "v", nearest_centroid(F.col("v"), model["cents"]).alias("cid")
         )
-        # map-side assignment, cell-partitioned layout, epoch-keyed
-        # overwrite (replay-idempotent)
-        assigned.write.partitionBy("cid").mode("overwrite").parquet(
-            f"{index_dir}/epoch={int(epoch_id)}"
-        )
+        # map-side assignment, cell-partitioned layout, generation-keyed
+        # overwrite (replay-idempotent); periodic folds bound file counts
+        e = int(epoch_id)
+        store.write_epoch(assigned, e)
+        if compact_every and e > 0 and e % compact_every == 0:
+            store.compact(df.sparkSession, e)
 
     schema = spark.read.parquet(landing).schema
     q = (
@@ -126,7 +139,7 @@ def run_streaming_vector_index(
     # the cell filter prunes index partition DIRECTORIES — probe cost is
     # ~nprobe/n_clusters of the index no matter how many epochs landed
     index = (
-        spark.read.parquet(index_dir)
+        store.read(spark)
         .filter(F.col("cid").isin(probed_cells))
         .select(
             F.col("vec_id").alias("neighbor_id"),

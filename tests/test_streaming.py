@@ -355,3 +355,35 @@ def test_incremental_near_dup_state_compaction(spark, tmp_path):
               run_incremental_near_dup(spark, batches, root=root_b,
                                        compact_every=2).collect()}
     assert replay == plain, replay
+
+
+def test_vector_index_compaction_identical_results(spark, tmp_path):
+    """Index generation compaction: folding epoch generations must not
+    change probe results, must keep the cid= sub-partition layout (the
+    directory-pruning contract), and must bound the gen-dir count."""
+    import random
+
+    from datalake_worker_spark.streaming.vecindex import run_streaming_vector_index
+
+    rng = random.Random(23)
+    centers = [[rng.gauss(0, 5) for _ in range(8)] for _ in range(4)]
+    rows = [
+        (i, [c + rng.gauss(0, 0.4) for c in centers[i % 4]]) for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    batches = [df.filter((F.col("vec_id") % 6) == m) for m in range(6)]
+    probes = df.filter(F.col("vec_id") < 8)
+    kw = dict(k=3, n_clusters=4, nprobe=2, dim=8, iters=1)
+    plain = sorted(map(tuple, run_streaming_vector_index(
+        spark, batches, probes, root=str(tmp_path / "plain"),
+        compact_every=0, **kw).collect()))
+    root_c = str(tmp_path / "compacted")
+    compacted = sorted(map(tuple, run_streaming_vector_index(
+        spark, batches, probes, root=root_c, compact_every=2, **kw).collect()))
+    assert compacted == plain
+    gens = sorted(os.listdir(os.path.join(root_c, "index")))
+    assert gens == ["gen=c3", "gen=e4", "gen=e5"], gens
+    assert any(
+        d.startswith("cid=")
+        for d in os.listdir(os.path.join(root_c, "index", "gen=c3"))
+    )
