@@ -204,6 +204,14 @@ class ParquetCatalogBackend(CatalogBackend):
                 ) from None
             with open(tmp, "rb") as src, os.fdopen(fd, "wb") as out:
                 out.write(src.read())
+            # the O_EXCL path makes the commit file visible BEFORE its
+            # bytes finish copying; this sidecar marker is the "copy
+            # complete" signal that lets readers distinguish an in-flight
+            # slow writer from a crashed one WITHOUT a timing heuristic
+            # (aborted_top consults it). The hard-link path needs no
+            # marker: a linked file is complete the instant it appears.
+            with open(dst[: -len(".parquet")] + ".done", "w"):
+                pass
         finally:
             os.remove(tmp)
         n_files = sum(
@@ -236,16 +244,62 @@ class ParquetCatalogBackend(CatalogBackend):
                 best = max(best, int(stem))
         return best
 
+    #: A claimed-but-unreadable commit with NO completion marker is only
+    #: classified ABORTED once its bytes have been stable this long — a
+    #: slow in-flight linkless-fallback copy keeps mutating size/mtime, a
+    #: crashed one froze. Misclassifying in-flight as aborted would let
+    #: the adopter commit at seq+1 with preconditions validated against a
+    #: state excluding the slow writer's records (serializability break);
+    #: the cost of waiting is only paid on the rare wedged path.
+    ABORTED_GRACE_SECONDS = 2.0
+
+    def _probe_commit(self, path: str) -> str:
+        """Classify a claimed commit file: 'readable', 'complete'
+        (unreadable but its copy-complete marker exists — transient),
+        'aborted' (no marker, bytes stable past the grace window),
+        'inflight' (no marker, bytes still changing / too young), or
+        'vanished' (compacted away)."""
+        import pyarrow.parquet as _pq
+
+        marker = path[: -len(".parquet")] + ".done"
+        last_sig = None
+        start = time.monotonic()
+        stable_since = start
+        while True:
+            try:
+                _pq.read_table(path, schema=_META_SCHEMA)
+                return "readable"
+            except FileNotFoundError:
+                return "vanished"
+            except Exception:  # noqa: BLE001 — truncated
+                pass
+            if os.path.exists(marker):
+                return "complete"
+            try:
+                st = os.stat(path)
+                sig = (st.st_size, st.st_mtime_ns)
+            except FileNotFoundError:
+                return "vanished"
+            now = time.monotonic()
+            if sig != last_sig:
+                last_sig = sig
+                stable_since = now
+            if now - stable_since >= self.ABORTED_GRACE_SECONDS:
+                return "aborted"
+            if now - start >= 10 * self.ABORTED_GRACE_SECONDS:
+                return "inflight"  # pathological flapping: don't adopt
+            time.sleep(0.05)
+
     def aborted_top(self, above: int) -> int:
         """Highest version reachable from ``above`` through contiguous
         ABORTED commits — claimed (seq-named file exists) but unreadable
         (a linkless-fallback writer crashed mid-copy). Stops at the
         first READABLE unfolded commit, which the caller must fold
-        before committing. Each candidate is probed twice with a short
-        grace so an in-flight (still-copying) commit is not
-        misclassified as aborted."""
-        import pyarrow.parquet as _pq
-
+        before committing. A commit is classified aborted only via
+        ``_probe_commit``: its copy-complete sidecar marker is absent
+        AND its bytes have been stable past ``ABORTED_GRACE_SECONDS`` —
+        a slow in-flight writer (marker not yet written, bytes still
+        arriving) is waited out, never adopted past."""
         seqs = sorted(
             int(f.split(".")[0])
             for f in os.listdir(self.meta_dir)
@@ -255,19 +309,12 @@ class ParquetCatalogBackend(CatalogBackend):
         )
         top = above
         for s in seqs:
-            f = os.path.join(self.meta_dir, f"{s:020d}.parquet")
-            readable = False
-            for attempt in range(2):
-                try:
-                    _pq.read_table(f, schema=_META_SCHEMA)
-                    readable = True
-                    break
-                except FileNotFoundError:
-                    return top  # compacted away mid-probe: re-fold
-                except Exception:  # noqa: BLE001 — truncated (maybe in flight)
-                    if attempt == 0:
-                        time.sleep(0.05)
-            if readable:
+            status = self._probe_commit(
+                os.path.join(self.meta_dir, f"{s:020d}.parquet")
+            )
+            if status != "aborted":
+                # readable/complete: the caller must fold it; vanished:
+                # re-fold a fresh listing; inflight: wait, don't adopt
                 break
             top = s
         return top
@@ -286,7 +333,8 @@ class ParquetCatalogBackend(CatalogBackend):
         # frontier_seq, so the version is never reused) and the final
         # attempt folds the log without it, exactly as if the dead writer
         # had never been acked.
-        for attempt in range(5):
+        truncated_retries, relists = 0, 0
+        while True:
             files = [
                 os.path.join(self.meta_dir, f)
                 for f in sorted(os.listdir(self.meta_dir))
@@ -299,22 +347,44 @@ class ParquetCatalogBackend(CatalogBackend):
                     files, schema=_META_SCHEMA, format="parquet"
                 ).to_table()
             except FileNotFoundError:
-                if attempt == 4:
+                # racing compaction deleted a listed file: its content
+                # lives in the racer's compacted file — relist. Each
+                # relist implies a compaction committed, so the cap is a
+                # liveness backstop, not a correctness knob.
+                relists += 1
+                if relists > 16:
                     raise
                 continue
             except Exception:  # truncated/in-flight file — retry, then skip
-                if attempt < 4:
+                truncated_retries += 1
+                if truncated_retries < 5:
                     continue
                 import pyarrow.parquet as _pq
 
-                batches = []
+                batches, vanished = [], False
                 for f in files:
                     try:
                         batches.append(
                             _pq.read_table(f, schema=_META_SCHEMA)
                         )
+                    except FileNotFoundError:
+                        # NOT an aborted commit: a compactor racing
+                        # between our listing and this read deleted the
+                        # file, and its records exist only in a compacted
+                        # file absent from the stale listing — skipping
+                        # it would silently drop committed state. Relist.
+                        vanished = True
+                        break
                     except Exception:  # noqa: BLE001 — aborted commit
                         continue
+                if vanished:
+                    relists += 1
+                    if relists > 16:
+                        raise ChunkConflict(
+                            "metadata listing kept vanishing under "
+                            "racing compactions"
+                        )
+                    continue
                 if not batches:
                     return []
                 table = pa.concat_tables(batches)
@@ -333,7 +403,6 @@ class ParquetCatalogBackend(CatalogBackend):
                     out.append(r)
                     last = key
             return out
-        return []
 
     def compact(self, retain_last: int = 0) -> None:
         """Fold the log to the LATEST record per chunk_id (keeping DELETED
@@ -358,7 +427,8 @@ class ParquetCatalogBackend(CatalogBackend):
         of a fresh snapshot."""
         import pyarrow.dataset as ds
 
-        for attempt in range(5):
+        truncated_retries, relists = 0, 0
+        while True:
             files = sorted(
                 f
                 for f in os.listdir(self.meta_dir)
@@ -372,8 +442,17 @@ class ParquetCatalogBackend(CatalogBackend):
                     schema=_META_SCHEMA,
                     format="parquet",
                 ).to_table()
-            except Exception:  # vanished or in-flight truncated file
-                if attempt < 4:
+            except FileNotFoundError:
+                # racing compactor deleted a listed file — its content is
+                # in the racer's compacted output only: relist, never fold
+                # a snapshot missing committed records
+                relists += 1
+                if relists > 16:
+                    return  # the racer is compacting; nothing left to do
+                continue
+            except Exception:  # in-flight truncated file
+                truncated_retries += 1
+                if truncated_retries < 5:
                     continue
                 # final attempt: fold around ABORTED (permanently
                 # unreadable) commit files instead of giving up —
@@ -381,8 +460,10 @@ class ParquetCatalogBackend(CatalogBackend):
                 # disable compaction forever and the log grows unbounded.
                 # Only successfully-read files enter the fold AND the
                 # deletion snapshot; aborted files are left untouched
-                # (their filename keeps the claimed seq anchored).
-                readable, parts = [], []
+                # (their filename keeps the claimed seq anchored). A
+                # VANISHED file here is a racing compaction, not an
+                # abort — relist (same reasoning as read_records).
+                readable, parts, vanished = [], [], False
                 for f in files:
                     try:
                         parts.append(
@@ -392,8 +473,16 @@ class ParquetCatalogBackend(CatalogBackend):
                             )
                         )
                         readable.append(f)
+                    except FileNotFoundError:
+                        vanished = True
+                        break
                     except Exception:  # noqa: BLE001 — aborted commit
                         continue
+                if vanished:
+                    relists += 1
+                    if relists > 16:
+                        return
+                    continue
                 if not parts:
                     return
                 files = readable
@@ -448,6 +537,14 @@ class ParquetCatalogBackend(CatalogBackend):
                 os.remove(os.path.join(self.meta_dir, f))
             except FileNotFoundError:
                 pass  # a racing compactor already removed it
+            # drop the folded commit's copy-complete marker too (markers
+            # are only consulted while their commit file exists)
+            try:
+                os.remove(
+                    os.path.join(self.meta_dir, f[: -len(".parquet")] + ".done")
+                )
+            except FileNotFoundError:
+                pass
 
     def add_lease(self, lease_id: str, chunk_id: str) -> None:
         tmp = os.path.join(self.lease_dir, f".tmp-{lease_id}")
@@ -785,6 +882,16 @@ class ChunkCatalog:
         return self._append_batch(build)
 
     # -- R3: list ----------------------------------------------------------
+    def registered_chunks(self) -> set[str]:
+        """Chunk ids present in ANY non-DELETED state (ACTIVE or
+        PENDING_DELETE). This is the set whose data files must never be
+        removed outside vacuum's lease-checked path: a PENDING_DELETE
+        chunk may still be pinned by a live lease (R7's barrier), so
+        rollback/cleanup code must treat it as present, not missing."""
+        return {
+            cid for cid, r in self._current().items() if r["state"] != DELETED
+        }
+
     def list_chunks(self, state: str = ACTIVE) -> list[str]:
         return sorted(
             cid for cid, r in self._current().items() if r["state"] == state

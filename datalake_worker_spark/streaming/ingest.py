@@ -11,6 +11,16 @@ files land before the metadata row commits, mirroring the cache-rollback
 ordering at src/data_manager.rs:263-274), then registers it in the
 catalog — idempotent on chunk_id, cap-checked, MaxSizeAllocated on
 overflow.
+
+Object-store posture: ``landing_dir`` is any Hadoop-FS URI — the same
+``readStream`` accepts ``s3a://bucket/landing`` unchanged (the file
+source lists via the Hadoop FileSystem API; S3 credentials/committers
+are cluster config, not code). This sandbox has no object store, so the
+claim is exercised on local paths only; the rename-free pieces the S3
+path needs — exclusive-create commits with the O_EXCL/copy fallback,
+completion markers instead of atomic-rename assumptions — are the
+catalog backend's tested behavior (catalog.py ``append_records``,
+``aborted_top``).
 """
 
 from __future__ import annotations
@@ -93,12 +103,16 @@ def ingest_stream(
         except MaxSizeAllocated:
             # rollback analog (src/data_manager.rs:263-274): the bulk
             # admission is atomic, so NO metadata row was written — remove
-            # every file dir this batch materialized that is not backed by
-            # an ACTIVE registration from an earlier commit, and re-raise
+            # every file dir this batch materialized whose chunk_id is
+            # ENTIRELY absent from the catalog (no record in any
+            # non-DELETED state), and re-raise. A replayed chunk a racer
+            # moved to PENDING_DELETE is not ACTIVE but may still be
+            # lease-pinned: its files belong to vacuum's lease-checked
+            # delete path (R7 barrier), never to this rollback.
             catalog.refresh()
-            active = set(catalog.list_chunks())
+            present = catalog.registered_chunks()
             for meta in metas:
-                if meta.chunk_id not in active:
+                if meta.chunk_id not in present:
                     catalog.backend.delete_chunk_files(
                         meta.files["part.parquet"]
                     )

@@ -430,3 +430,90 @@ def test_compaction_folds_around_aborted_commit(spark, tmp_path):
     assert os.path.exists(aborted)  # left in place, seq stays claimed
     cat.refresh()
     assert len(cat.list_chunks()) == n
+
+
+def test_slow_inflight_commit_not_adopted(spark, tmp_path):
+    """A claimed-but-unreadable commit whose writer is merely SLOW (the
+    linkless O_EXCL copy is still in flight) must not be classified
+    aborted: the adopter would otherwise commit at seq+1 with its
+    preconditions validated against a state excluding the slow writer's
+    records. The adopter must wait the slow commit out and rebase ON TOP
+    of it — both commits' records survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    from datalake_worker_spark.catalog import _META_SCHEMA
+
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    for i in range(3):
+        assert cat.register_chunk(ChunkMeta("ds", f"c{i}", i, i + 1, {}, 1))
+    meta = os.path.join(root, "_meta")
+    slow = os.path.join(meta, f"{4:020d}.parquet")
+    with open(slow, "wb") as fh:  # copy in flight: visible, truncated
+        fh.write(b"PAR1garbage")
+    cat.backend.ABORTED_GRACE_SECONDS = 1.5
+
+    def finish_slow_copy():
+        time.sleep(0.6)
+        rec = {
+            "dataset_id": "ds", "chunk_id": "slow", "block_start": 100,
+            "block_end": 101, "files": "{}", "size_bytes": 1,
+            "state": "ACTIVE", "seq": 4,
+            "created_at": datetime.now(timezone.utc).replace(tzinfo=None),
+        }
+        tmp = slow + ".tmp"
+        pq.write_table(pa.Table.from_pylist([rec], schema=_META_SCHEMA), tmp)
+        os.replace(tmp, slow)
+        with open(slow[: -len(".parquet")] + ".done", "w"):
+            pass
+
+    t = threading.Thread(target=finish_slow_copy)
+    t.start()
+    try:
+        # must block past the slow writer, fold its commit, land at seq 5
+        assert cat.register_chunk(ChunkMeta("ds", "c9", 9, 10, {}, 1))
+    finally:
+        t.join()
+    cat.refresh()
+    assert sorted(cat.list_chunks()) == ["c0", "c1", "c2", "c9", "slow"]
+    assert cat.backend.read_records()[-1]["seq"] == 5
+
+
+def test_crashed_commit_adopted_after_grace(spark, tmp_path):
+    """A markerless unreadable commit whose bytes stay frozen past the
+    grace window IS adopted (the crashed-writer liveness path) — and the
+    completion marker short-circuits: an unreadable file WITH its marker
+    is never classified aborted."""
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    assert cat.register_chunk(ChunkMeta("ds", "c0", 0, 1, {}, 1))
+    meta = os.path.join(root, "_meta")
+    cat.backend.ABORTED_GRACE_SECONDS = 0.3
+    dead = os.path.join(meta, f"{2:020d}.parquet")
+    with open(dead, "wb") as fh:
+        fh.write(b"PAR1garbage")
+    assert cat.backend._probe_commit(dead) == "aborted"
+    with open(dead[: -len(".parquet")] + ".done", "w"):
+        pass
+    assert cat.backend._probe_commit(dead) == "complete"
+    os.remove(dead[: -len(".parquet")] + ".done")
+    # adoption end-to-end: next commit rebases past the dead version
+    assert cat.register_chunk(ChunkMeta("ds", "c9", 9, 10, {}, 1))
+    assert cat.backend.read_records()[-1]["seq"] == 3
+
+
+def test_registered_chunks_includes_pending_delete(spark, tmp_path):
+    """registered_chunks() = ids in any non-DELETED state: the set ingest
+    rollback may NOT touch (a PENDING_DELETE chunk can still be
+    lease-pinned; only vacuum's lease-checked path deletes its files)."""
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    assert cat.register_chunk(ChunkMeta("ds", "keep", 0, 1, {}, 1))
+    assert cat.register_chunk(ChunkMeta("ds", "pend", 1, 2, {}, 1))
+    assert cat.schedule_delete("pend")
+    assert cat.registered_chunks() == {"keep", "pend"}
+    cat.vacuum()
+    cat.refresh()
+    assert cat.registered_chunks() == {"keep"}
