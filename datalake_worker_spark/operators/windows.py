@@ -678,12 +678,22 @@ def w14_ohlc_bars(spark, sf_dir):
     )
 
 
+#: how distributed_percent_rank avoids recomputing its upstream between
+#: the offsets action and the caller's final job: "checkpoint" (eager
+#: localCheckpoint — truncates lineage), "persist" (lazy cache,
+#: materialized by the offsets action), "none" (recompute upstream
+#: twice). Measured on smp10 (token-explode-heavy upstream) at sf0.1
+#: AND the 10x probe: see the module's measurement note below.
+PERCENT_RANK_MATERIALIZE = "persist"
+
+
 def distributed_percent_rank(
     df,
     order_by: list,
     out_col: str = "pr",
     n_parts: int | None = None,
     cume_col: str | None = None,
+    materialize: str | None = None,
 ):
     """Exact global percent_rank WITHOUT a single-partition sort.
 
@@ -714,10 +724,18 @@ def distributed_percent_rank(
     )
     wloc = W.partitionBy("_pid").orderBy(*order_by)
     # materialize the ranked rows once (narrow: input cols + two ints):
-    # the offsets pass below is an eager action, and without lineage
-    # truncation the caller's plan would recompute the whole upstream
-    # DAG a second time
-    d = d.withColumn("_lrn", F.row_number().over(wloc)).localCheckpoint(eager=True)
+    # the offsets pass below is an eager action, and without reuse the
+    # caller's plan would recompute the whole upstream DAG a second
+    # time. Lazy persist won the measurement (tools_time_queries.py,
+    # smp10 at sf0.1 and at the 10x probe): the offsets action fills the
+    # cache it then reads, while eager localCheckpoint pays a separate
+    # full materialization pass up front.
+    d = d.withColumn("_lrn", F.row_number().over(wloc))
+    mode = materialize or PERCENT_RANK_MATERIALIZE
+    if mode == "checkpoint":
+        d = d.localCheckpoint(eager=True)
+    elif mode == "persist":
+        d = d.persist()
     counts = sorted(
         (r["_pid"], r["_n"])
         for r in d.groupBy("_pid").agg(F.count("*").alias("_n")).collect()

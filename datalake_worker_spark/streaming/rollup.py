@@ -81,9 +81,14 @@ class RollupMaintainer:
 
     def update(self, batch_df: DataFrame, epoch_id: int) -> None:
         """Idempotent epoch write: a replayed batch overwrites its own
-        partition with identical content (exactly-once effect)."""
+        partition with identical content (exactly-once effect). Write
+        parallelism is size-derived, not pinned: the groupBy shuffle's
+        output partitions are AQE-coalesced to the target partition
+        size, so an epoch delta lands as one file at test scale but as
+        bounded-N parallel files when per-batch group cardinality is
+        100 TB-grain — never single-tasked through coalesce(1)."""
         delta = _aggregate(batch_df)
-        delta.coalesce(1).write.mode("overwrite").parquet(
+        delta.write.mode("overwrite").parquet(
             os.path.join(self.path, f"epoch={epoch_id}")
         )
 
@@ -93,7 +98,10 @@ class RollupMaintainer:
             return
         folded = self.read()
         tmp = f"{self.path}.compact"
-        folded.coalesce(1).write.mode("overwrite").parquet(
+        # the folded rollup is O(#windows) rows; AQE coalesces the fold
+        # shuffle to a size-derived small file count (same reasoning as
+        # update())
+        folded.write.mode("overwrite").parquet(
             os.path.join(tmp, "epoch=-1")
         )
         bak = f"{self.path}.bak"
