@@ -347,6 +347,10 @@ def run_incremental_near_dup(
     stats_store = EpochStore(os.path.join(root, "stats"), ["epoch"], buckets=1)
 
     def dedup_batch(df: DataFrame, epoch_id: int) -> None:
+        import json
+        import time as _time
+
+        t0 = _time.perf_counter()
         s = df.sparkSession
         e = int(epoch_id)
         # exact sha groups keep the min id — the mass-duplicate guard
@@ -404,6 +408,13 @@ def run_incremental_near_dup(
                 store.compact(s, e)
         for c in (sv_ids, sig, bands):
             c.unpersist(blocking=False)
+        # driver-side per-batch latency trace (diagnostic, append-only;
+        # the scale probe reads it to assert per-batch cost stays flat
+        # as history grows — the last-per-epoch line wins on replay)
+        with open(os.path.join(root, "_batch_seconds.jsonl"), "a") as fh:
+            fh.write(json.dumps(
+                {"epoch": e, "seconds": round(_time.perf_counter() - t0, 3)}
+            ) + "\n")
 
     schema = spark.read.parquet(landing).schema
     q = (

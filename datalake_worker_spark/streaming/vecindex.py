@@ -91,6 +91,9 @@ def run_streaming_vector_index(
             model["cents"] = json.load(fh)
 
     def update(df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
         if model["cents"] is None:
             # frozen coarse quantizer: trained on the first batch only,
             # persisted beside the index before any epoch commits
@@ -114,6 +117,11 @@ def run_streaming_vector_index(
         store.write_epoch(assigned, e)
         if compact_every and e > 0 and e % compact_every == 0:
             store.compact(df.sparkSession, e)
+        # per-batch latency trace for the scale probe (flat-cost gate)
+        with open(os.path.join(root, "_batch_seconds.jsonl"), "a") as fh:
+            fh.write(json.dumps(
+                {"epoch": e, "seconds": round(_time.perf_counter() - t0, 3)}
+            ) + "\n")
 
     schema = spark.read.parquet(landing).schema
     q = (

@@ -84,6 +84,68 @@ def build_big(spark) -> None:
         print(f"built {t}: {COPIES}x", flush=True)
 
 
+def streaming_per_batch_probe(spark, sf_dir, n_batches=12) -> dict:
+    """Replay n_batches micro-batches through st13 (incremental dedup)
+    and st14 (streaming vector index) and report per-batch latency
+    growth: median of the last 3 batches over the median of batches
+    2-4 (batch 0/1 carry trigger warm-up and quantizer training). The
+    two operators' per-batch cost must stay ~flat as state accumulates
+    — history is probed via broadcast joins / pruned cell dirs and the
+    state folds every compact_every epochs, so nothing per-batch should
+    scale with ingest history."""
+    import statistics as stats
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark.sources.readers import load_table
+    from datalake_worker_spark.streaming.incdedup import run_incremental_near_dup
+    from datalake_worker_spark.streaming.vecindex import run_streaming_vector_index
+    from datalake_worker_spark.functions.similarity import to_double_array
+
+    def per_batch(root):
+        latest = {}
+        with open(os.path.join(root, "_batch_seconds.jsonl")) as fh:
+            for line in fh:
+                r = json.loads(line)
+                latest[r["epoch"]] = r["seconds"]
+        return [latest[e] for e in sorted(latest)]
+
+    out = {}
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_batches = [
+        d.filter(F.col("doc_id") % n_batches == m) for m in range(n_batches)
+    ]
+    root13 = tempfile.mkdtemp(prefix="dlw_probe_st13_")
+    run_incremental_near_dup(spark, doc_batches, root=root13, compact_every=4)
+    t13 = per_batch(root13)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    vec_batches = [
+        e.filter(F.col("vec_id") % n_batches == m) for m in range(n_batches)
+    ]
+    root14 = tempfile.mkdtemp(prefix="dlw_probe_st14_")
+    run_streaming_vector_index(
+        spark, vec_batches, e.filter(F.col("vec_id") < 8),
+        k=5, n_clusters=8, nprobe=4, dim=64, root=root14, compact_every=4,
+    ).count()
+    t14 = per_batch(root14)
+    for name, t in (("st13_incremental_near_dup", t13),
+                    ("st14_streaming_vector_index", t14)):
+        early = stats.median(t[2:5])
+        late = stats.median(t[-3:])
+        out[name] = {
+            "per_batch_s": t,
+            "early_s": round(early, 3),
+            "late_s": round(late, 3),
+            "growth": round(late / early, 2) if early else None,
+        }
+        print(f"{name}: early {early:.2f}s late {late:.2f}s "
+              f"growth {out[name]['growth']}", flush=True)
+    return out
+
+
 def time_queries(spark, qs, sf_dir, names, runs=3) -> dict[str, float]:
     out = {}
     for n in names:
@@ -112,10 +174,12 @@ def main() -> None:
     qs = registry.queries()
     small = time_queries(spark, qs, SF_SRC, PROBE)
     big = time_queries(spark, qs, SF_BIG, PROBE)
+    streaming = streaming_per_batch_probe(spark, SF_BIG)
     report = {
         "copies": COPIES,
         "small_dir": SF_SRC,
         "big_dir": SF_BIG,
+        "streaming_per_batch": streaming,
         "queries": {
             n: {
                 "small_s": small[n],
