@@ -563,3 +563,66 @@ def smp11_epoch_shuffle(spark, sf_dir):
         "epoch",
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+@register(
+    "smp13_token_budget_fill",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               n_chars / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                         AS DOUBLE) AS quality
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM t
+    )
+    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM c WHERE cum_tok <= 2000
+    """,
+    category="llm-sampling",
+    doc=(
+        "token-budget fill (training-mix construction): each source "
+        "domain contributes its highest-quality documents until a fixed "
+        "per-domain token budget (2000) is exhausted — greedy by a "
+        "deterministic quality proxy (mean word length), doc_id "
+        "tie-break, cumulative token sum over a per-domain window. The "
+        "complement of smp08's rate-based mixing: budgets are absolute "
+        "token counts (what a training run actually provisions), not "
+        "acceptance rates. Scale: one shuffle on the domain key, then a "
+        "single sorted pass per domain; a domain too large for one "
+        "partition takes the distributed_percent_rank recipe (range-"
+        "partition by quality, per-partition offsets) since the cumsum "
+        "only needs partition-prefix totals, not a global sort."
+    ),
+)
+def smp13_token_budget_fill(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    t = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        (F.col("n_chars") / n_tok.cast("double")).alias("quality"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= 2000)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("cum_tok").cast("long").alias("cum_tok"),
+        )
+    )

@@ -72,6 +72,8 @@ _PRIORITY_NAMES = [
     "st13_incremental_near_dup",
     "st14_streaming_vector_index",
     "v09_ann_ivfpq_topk",
+    # new in round 6 — oracle-backed, no driver row yet
+    "smp13_token_budget_fill",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",
