@@ -760,3 +760,77 @@ def distributed_percent_rank(
             cume_col, (F.col("_off") + F.col("_lrn")) / F.lit(float(total))
         )
     return out.drop("_pid", "_lrn", "_off")
+
+
+@register(
+    "w15_funnel_steps",
+    """
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                            AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ),
+    per_user AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM w3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n_viewed,
+           CAST(COUNT(t2) AS BIGINT) AS n_clicked,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchased,
+           ROUND(COUNT(t3) / CAST(COUNT(t1) AS DOUBLE), 6) AS conversion
+    FROM per_user
+    """,
+    category="window",
+    doc=(
+        "ordered funnel conversion (view -> click -> purchase within 7 "
+        "days of the first view): each step's earliest qualifying "
+        "timestamp is a conditional MIN window over the SAME user "
+        "partitioning, so the three dependent steps stack on ONE "
+        "user-keyed Exchange (no self-joins — the naive k-step funnel "
+        "is k-1 self-joins, k-1 shuffles); the per-user collapse reuses "
+        "that partitioning and only step counts leave the executors. "
+        "The event-analytics staple every OLAP engine demos; step "
+        "dependence (t2 > t1, t3 > t2) is what plain grouped "
+        "conditional aggregation cannot express."
+    ),
+)
+def w15_funnel_steps(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    wu = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    d1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(wu)
+    d2 = d1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    per_user = (
+        d2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    return per_user.agg(
+        F.count("t1").cast("long").alias("n_viewed"),
+        F.count("t2").cast("long").alias("n_clicked"),
+        F.count("t3").cast("long").alias("n_purchased"),
+        F.round(F.count("t3") / F.count("t1").cast("double"), 6).alias("conversion"),
+    )

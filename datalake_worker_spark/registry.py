@@ -74,6 +74,7 @@ _PRIORITY_NAMES = [
     "v09_ann_ivfpq_topk",
     # new in round 6 — oracle-backed, no driver row yet
     "smp13_token_budget_fill",
+    "w15_funnel_steps",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",

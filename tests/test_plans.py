@@ -428,3 +428,13 @@ def test_st13_history_probe_no_state_shuffle(spark, tmp_path):
     # column pruning on the state scans: bands scan must not read `sig`,
     # sig scan must not read band columns
     assert "ReadSchema" in plan
+
+
+def test_w15_funnel_single_user_exchange(spark, sf_dir):
+    """The 3-step funnel's dependent conditional-MIN windows and the
+    per-user collapse must all share ONE user-keyed Exchange; only the
+    final global step-count aggregate adds a second (single-partition,
+    partial-rows-only) one. The naive k-step funnel is k-1 self-joins."""
+    df = REGISTRY["w15_funnel_steps"].spark_fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+    assert "Join" not in simple_plan(df)
