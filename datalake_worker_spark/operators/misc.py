@@ -144,3 +144,51 @@ def a12_grouped_mode(spark, sf_dir):
         F.max_by("user_id", rank_key).cast("long").alias("mode_user"),
         F.max("n").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "a14_retention_cohorts",
+    """
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST((epoch(w.week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM weekly w JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    category="aggregation",
+    doc=(
+        "weekly retention cohort matrix (the product-analytics staple): "
+        "users keyed to their first-activity week, then counted per "
+        "(cohort_week, week_offset) of later activity. Shape: one "
+        "DISTINCT collapse of events to user-weeks (two-phase, map-side "
+        "combined — the only pass over raw events), a per-user MIN, and "
+        "a broadcastable user->cohort join (user-week rows are corpus/"
+        "1000s smaller than events); offsets are exact integer week "
+        "arithmetic on week-truncated timestamps. COUNT(*) over "
+        "already-distinct user-weeks replaces COUNT(DISTINCT user) in "
+        "the final aggregate, keeping every phase partial-aggregable."
+    ),
+)
+def a14_retention_cohorts(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first_seen = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    offset = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        weekly.join(first_seen, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )

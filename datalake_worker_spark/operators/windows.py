@@ -834,3 +834,69 @@ def w15_funnel_steps(spark, sf_dir):
         F.count("t3").cast("long").alias("n_purchased"),
         F.round(F.count("t3") / F.count("t1").cast("double"), 6).alias("conversion"),
     )
+
+
+@register(
+    "w16_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(m.mad), 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    category="window",
+    doc=(
+        "robust outlier detection per group via median absolute "
+        "deviation (the 3-sigma rule's skew/heavy-tail-safe replacement "
+        "— a data-quality gate mean/stddev z-scores fail on): exact "
+        "interpolated medians (smp03's percentile parity), per-row "
+        "absolute deviations against the BROADCAST per-group median, a "
+        "second median pass for the MAD, and a final counted flag at "
+        "the 3 x 1.4826 consistency threshold. Two aggregate passes "
+        "over the fact table plus two broadcastable group-constant "
+        "joins — no window sort, identical double arithmetic on both "
+        "engines so the flag comparisons agree exactly."
+    ),
+)
+def w16_mad_outliers(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+        )
+    )

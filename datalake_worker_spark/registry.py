@@ -75,6 +75,9 @@ _PRIORITY_NAMES = [
     # new in round 6 — oracle-backed, no driver row yet
     "smp13_token_budget_fill",
     "w15_funnel_steps",
+    "w16_mad_outliers",
+    "a14_retention_cohorts",
+    "io15_snapshot_diff",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",

@@ -654,3 +654,76 @@ def io14_table_stats(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "io15_snapshot_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN ROUND(CAST(o_totalprice AS DOUBLE) * 1.1, 2)
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice != v2.o_totalprice
+       OR v1.o_orderstatus != v2.o_orderstatus
+    """,
+    category="io",
+    doc=(
+        "snapshot diff (the Delta change-data-feed question answered "
+        "relationally): two synthetic versions of orders — v2 drops "
+        "some keys, adds others, and reprices every 7th — full-outer "
+        "joined on the key and classified added/removed/changed, with "
+        "unchanged rows (the overwhelming majority in practice) "
+        "filtered out so only the change set leaves the join. Shape: "
+        "ONE key-keyed shuffle join; on bucketed snapshot layouts "
+        "(io06) it co-locates with zero Exchange, and comparing a "
+        "precomputed row content-hash instead of N columns keeps the "
+        "probe narrow at wide schemas. The migration-audit / "
+        "incremental-sync primitive."
+    ),
+)
+def io15_snapshot_diff(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    v1 = o.filter(F.col("o_orderkey") % 3 != 0)
+    v2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("a.o_orderkey").isNull()
+            | F.col("b.o_orderkey").isNull()
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        )
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            change.alias("change"),
+        )
+    )
