@@ -169,3 +169,114 @@ def t07_sentiment_lexicon(spark, sf_dir):
             ).alias("sentiment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t21: TextRank keyword extraction (iterative PageRank, decimal-exact)
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 4
+_TR_DAMP = 0.85
+
+
+def _t21_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as plain CTEs (recursive CTEs
+    cannot aggregate in the recursive member, so the K iterations are
+    generated mechanically). Same arithmetic as the Spark side:
+    contributions rounded to 12 dp and summed as DECIMAL (t10's
+    order-independence trick), new rank rounded to 12 dp."""
+    head = r"""
+    WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    g AS (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+          FROM w WHERE len(w) >= 2),
+    pe AS (SELECT split_part(gram, ' ', 1) AS a, split_part(gram, ' ', 2) AS b FROM g),
+    fe AS (SELECT a, b FROM pe WHERE len(a) >= 4 AND len(b) >= 4 AND a != b),
+    und AS (SELECT DISTINCT a, b FROM
+            (SELECT a, b FROM fe UNION ALL SELECT b AS a, a AS b FROM fe)),
+    deg AS (SELECT a, COUNT(*) AS outdeg FROM und GROUP BY a),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (SELECT d.a AS token, ROUND(1.0 / nn.n, 12) AS pr
+            FROM deg d CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, _TR_ITERS + 1):
+        steps.append(f"""
+    pr{i} AS (
+        SELECT e.b AS token,
+               ROUND(0.15 / MAX(nn.n) + {_TR_DAMP} * CAST(SUM(CAST(
+                   ROUND(p.pr / d.outdeg, 12) AS DECIMAL(38,12))) AS DOUBLE), 12)
+                   AS pr
+        FROM und e
+        JOIN pr{i - 1} p ON e.a = p.token
+        JOIN deg d ON e.a = d.a
+        CROSS JOIN nn
+        GROUP BY e.b
+    )""")
+    tail = f"""
+    SELECT token, pr FROM pr{_TR_ITERS} ORDER BY pr DESC, token ASC LIMIT 10
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@register(
+    "t21_textrank_keywords",
+    _t21_oracle(),
+    category="llm-text",
+    doc=(
+        "TextRank keyword extraction: undirected token co-occurrence "
+        "graph (adjacent tokens, len >= 4, the classic window-2 build) "
+        "ranked by 4 damped PageRank iterations, top-10 keywords. The "
+        "iterative-algorithm class done Spark-first AND still oracle-"
+        "checked: each iteration is one edges-join-ranks + two-phase "
+        "per-vertex sum (vertex state is O(vocab), never corpus-scale), "
+        "per-edge contributions are rounded and summed as DECIMAL so "
+        "every iteration is order/partitioning-independent and both "
+        "engines walk bit-identical trajectories — the oracle unrolls "
+        "the K iterations into generated CTEs since SQL recursion "
+        "cannot aggregate. Top-10 is TakeOrdered, no global sort. At "
+        "100 TB the graph build dominates (one explode + distinct); "
+        "iterations touch only the vocabulary-sized edge list."
+    ),
+)
+def t21_textrank_keywords(spark, sf_dir):
+    from .dedup import shingles_from_words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = w.select(F.explode(shingles_from_words(F.col("w"), 2)).alias("gram"))
+    pe = grams.select(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("a"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("b"),
+    )
+    fe = pe.filter(
+        (F.length("a") >= 4) & (F.length("b") >= 4) & (F.col("a") != F.col("b"))
+    )
+    und = fe.unionAll(
+        fe.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count("*").alias("outdeg"))
+    edges = und.join(deg, "a").persist()
+    try:
+        n = deg.count()  # vocabulary-scale scalar (bounded model state)
+        ranks = deg.select(
+            F.col("a").alias("token"), F.lit(round(1.0 / n, 12)).alias("pr")
+        )
+        base = 0.15 / n
+        for _ in range(_TR_ITERS):
+            contrib = edges.join(ranks, edges["a"] == ranks["token"]).select(
+                F.col("b"),
+                F.round(F.col("pr") / F.col("outdeg"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+            ranks = contrib.groupBy("b").agg(
+                F.round(
+                    F.lit(base) + F.lit(_TR_DAMP) * F.sum("c").cast("double"), 12
+                ).alias("pr")
+            ).select(F.col("b").alias("token"), "pr")
+        out = ranks.orderBy(F.col("pr").desc(), F.col("token").asc()).limit(10)
+        # 10-row result: eager checkpoint lets the edge cache release
+        return out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist(blocking=False)

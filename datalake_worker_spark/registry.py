@@ -78,6 +78,7 @@ _PRIORITY_NAMES = [
     "w16_mad_outliers",
     "a14_retention_cohorts",
     "io15_snapshot_diff",
+    "t21_textrank_keywords",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",
