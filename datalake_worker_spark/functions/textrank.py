@@ -280,3 +280,72 @@ def t21_textrank_keywords(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         edges.unpersist(blocking=False)
+
+
+@register(
+    "t22_pmi_collocations",
+    r"""
+    WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    g AS (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+          FROM w WHERE len(w) >= 2),
+    bg AS (SELECT gram, COUNT(*) AS nab FROM g GROUP BY gram HAVING COUNT(*) >= 5),
+    toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             FROM documents),
+    u AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    nt AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM u),
+    ng AS (SELECT CAST(SUM(nab) AS DOUBLE) AS ng FROM bg)
+    SELECT bg.gram, CAST(bg.nab AS BIGINT) AS nab,
+           ROUND(LN((bg.nab / ng.ng) / ((a.n / nt.nt) * (b.n / nt.nt))), 6) AS pmi
+    FROM bg
+    JOIN u a ON split_part(bg.gram, ' ', 1) = a.tok
+    JOIN u b ON split_part(bg.gram, ' ', 2) = b.tok
+    CROSS JOIN nt CROSS JOIN ng
+    ORDER BY pmi DESC, gram ASC LIMIT 20
+    """,
+    category="llm-text",
+    doc=(
+        "PMI collocation mining (top-20 bigrams by pointwise mutual "
+        "information, min count 5): the phrase-detection pass a "
+        "tokenizer-training / vocab-curation pipeline runs before "
+        "merging multiword units. Two map-side-combined count "
+        "aggregates (bigram + unigram) over one corpus scan each, "
+        "unigram table joined twice (broadcastable — vocab-scale), "
+        "double LN rounded to 6 dp for cross-engine exactness, "
+        "TakeOrdered top-20 (no global sort)."
+    ),
+)
+def t22_pmi_collocations(spark, sf_dir):
+    from .dedup import shingles_from_words
+    from .text import explode_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = (
+        w.select(F.explode(shingles_from_words(F.col("w"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("nab"))
+        .filter(F.col("nab") >= 5)
+    )
+    u = explode_tokens(d).groupBy("tok").agg(F.count("*").alias("n"))
+    nt = u.agg(F.sum("n").cast("double").alias("nt"))
+    ng = bg.agg(F.sum("nab").cast("double").alias("ng"))
+    ua = u.select(F.col("tok").alias("_ta"), F.col("n").alias("na"))
+    ub = u.select(F.col("tok").alias("_tb"), F.col("n").alias("nb"))
+    pmi = F.round(
+        F.log(
+            (F.col("nab") / F.col("ng"))
+            / ((F.col("na") / F.col("nt")) * (F.col("nb") / F.col("nt")))
+        ),
+        6,
+    )
+    return (
+        bg.join(ua, F.split_part(F.col("gram"), F.lit(" "), F.lit(1)) == F.col("_ta"))
+        .join(ub, F.split_part(F.col("gram"), F.lit(" "), F.lit(2)) == F.col("_tb"))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ng))
+        .select("gram", F.col("nab").cast("long").alias("nab"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("gram").asc())
+        .limit(20)
+    )

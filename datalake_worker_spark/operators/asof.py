@@ -406,3 +406,57 @@ def x06_asof_join_nearest(spark, sf_dir):
         .cast("long")
         .alias("dist_us"),
     )
+
+
+@register(
+    "x07_last_touch_attribution",
+    """
+    WITH seq AS (
+        SELECT event_id, user_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        FROM events
+    )
+    SELECT event_id, user_id, ts, last_click_ts,
+           CAST(last_click_ts IS NOT NULL
+                AND last_click_ts >= ts - INTERVAL 3 DAY AS INT) AS attributed
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    category="asof",
+    doc=(
+        "last-touch attribution (every purchase credited to the user's "
+        "most recent click within 3 days): the as-of join expressed as "
+        "a SINGLE running-MAX window when both streams share the "
+        "partition key — no join at all, one user-keyed shuffle and one "
+        "sorted pass, versus the generic two-table as-of machinery "
+        "(x01/x02) that exists for streams which don't. (ts, event_id) "
+        "ordering makes same-timestamp sequences deterministic on both "
+        "engines. The marketing/feature-store staple."
+    ),
+)
+def x07_last_touch_attribution(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        e.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_click_ts",
+            (
+                F.col("last_click_ts").isNotNull()
+                & (F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS"))
+            ).cast("int").alias("attributed"),
+        )
+    )

@@ -79,6 +79,8 @@ _PRIORITY_NAMES = [
     "a14_retention_cohorts",
     "io15_snapshot_diff",
     "t21_textrank_keywords",
+    "t22_pmi_collocations",
+    "x07_last_touch_attribution",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",
