@@ -120,6 +120,16 @@ class CatalogBackend(ABC):
         records = self.read_records()
         return records[-1]["seq"] if records else 0
 
+    def create_tag(self, name: str, seq: int) -> None:
+        """Immutable named version ref (optional backend capability)."""
+        raise NotImplementedError("this backend has no tags")
+
+    def list_tags(self) -> dict[str, int]:
+        return {}
+
+    def delete_tag(self, name: str) -> bool:
+        return False
+
     @abstractmethod
     def add_lease(self, lease_id: str, chunk_id: str) -> None: ...
 
@@ -142,8 +152,10 @@ class ParquetCatalogBackend(CatalogBackend):
         self.root = root
         self.meta_dir = os.path.join(root, "_meta")
         self.lease_dir = os.path.join(root, "_leases")
+        self.tag_dir = os.path.join(root, "_tags")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.lease_dir, exist_ok=True)
+        os.makedirs(self.tag_dir, exist_ok=True)
 
     # fold the log into one file once it exceeds this many commits (the
     # LSM-compaction analog of the reference's RocksDB backend)
@@ -498,10 +510,19 @@ class ParquetCatalogBackend(CatalogBackend):
         if not records:
             return
         cutoff = records[-1]["seq"] - retain_last
+        # tags pin versions: every fold keeps history from the oldest
+        # tagged version onward verbatim, so ``state_as_of`` stays exact
+        # at (and after) each tag regardless of auto-compaction. Tags
+        # created AFTER history already degraded cannot resurrect it —
+        # exactness is guaranteed for folds that run after the tag.
+        tags = self.list_tags()
+        if tags:
+            cutoff = min(cutoff, min(tags.values()))
         # the latest retention request wins: later auto-compactions fold
         # nothing newer than this cutoff. A full fold (retain_last=0)
         # clears the promise instead of freezing all future history
-        # verbatim (see retain_floor_seq).
+        # verbatim (see retain_floor_seq); durable tags re-clamp every
+        # subsequent fold on their own.
         self.retain_floor_seq = cutoff if retain_last > 0 else None
         tail = [r for r in records if r["seq"] > cutoff]
         latest: dict[str, dict] = {}
@@ -545,6 +566,53 @@ class ParquetCatalogBackend(CatalogBackend):
                 )
             except FileNotFoundError:
                 pass
+
+    # -- tags: immutable named refs to committed versions ------------------
+    def create_tag(self, name: str, seq: int) -> None:
+        """Record an immutable named ref to version ``seq`` (the
+        Iceberg-tag shape). Exclusive creation — re-tagging a name is a
+        conflict, not an overwrite; a tag never moves."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        tmp = os.path.join(self.tag_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "seq": int(seq), "created_at": time.time()}, fh)
+        try:
+            os.link(tmp, os.path.join(self.tag_dir, name))
+        except FileExistsError:
+            raise ChunkConflict(f"tag {name!r} already exists") from None
+        except OSError:
+            try:
+                fd = os.open(
+                    os.path.join(self.tag_dir, name),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                raise ChunkConflict(f"tag {name!r} already exists") from None
+            with open(tmp, "rb") as src, os.fdopen(fd, "wb") as out:
+                out.write(src.read())
+        finally:
+            os.remove(tmp)
+
+    def list_tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for f in os.listdir(self.tag_dir):
+            if f.startswith("."):
+                continue
+            try:
+                with open(os.path.join(self.tag_dir, f)) as fh:
+                    rec = json.load(fh)
+                out[rec["name"]] = int(rec["seq"])
+            except (OSError, ValueError, KeyError):
+                continue  # half-written racer; its create will finish or fail
+        return out
+
+    def delete_tag(self, name: str) -> bool:
+        try:
+            os.remove(os.path.join(self.tag_dir, name))
+            return True
+        except FileNotFoundError:
+            return False
 
     def add_lease(self, lease_id: str, chunk_id: str) -> None:
         tmp = os.path.join(self.lease_dir, f".tmp-{lease_id}")
@@ -776,6 +844,32 @@ class ChunkCatalog:
     def list_chunks_as_of(self, seq: int, state: str = ACTIVE) -> list[str]:
         return sorted(
             cid for cid, r in self.state_as_of(seq).items() if r["state"] == state
+        )
+
+    # -- tags (immutable named versions — the Iceberg-tag shape) -----------
+    def create_tag(self, name: str) -> int:
+        """Tag the latest version this instance has observed; returns the
+        tagged seq. Tags are immutable (re-tagging conflicts) and
+        durable; every compaction clamps its fold below the oldest tag,
+        so ``state_as_of_tag`` stays exact forever after."""
+        self._current()
+        self.backend.create_tag(name, self._snapshot_seq)
+        return self._snapshot_seq
+
+    def list_tags(self) -> dict[str, int]:
+        return self.backend.list_tags()
+
+    def state_as_of_tag(self, name: str) -> dict[str, dict]:
+        tags = self.backend.list_tags()
+        if name not in tags:
+            raise KeyError(f"unknown tag {name!r}")
+        return self.state_as_of(tags[name])
+
+    def list_chunks_as_of_tag(self, name: str, state: str = ACTIVE) -> list[str]:
+        return sorted(
+            cid
+            for cid, r in self.state_as_of_tag(name).items()
+            if r["state"] == state
         )
 
     def checkpoint(self, retain_last: int = 0) -> None:

@@ -277,3 +277,50 @@ def lk07_checkpointed_time_travel(spark, sf_dir):
     return spark.createDataFrame(
         rows, "chunk_id string, active_at_checkpoint boolean, active_now boolean"
     )
+
+
+@register(
+    "lk08_tagged_snapshots",
+    """
+    SELECT * FROM (VALUES
+        ('v1', CAST(10 AS BIGINT), CAST(10 AS BIGINT), 1),
+        ('v2', CAST(12 AS BIGINT), CAST(9  AS BIGINT), 0)
+    ) t(tag, version, n_active, events_active)
+    """,
+    category="lake-core",
+    doc=(
+        "immutable version tags (the Iceberg-tag shape over the chunk "
+        "log): register the 10 tables (versions 1-10), tag 'v1', "
+        "schedule-delete + vacuum the events chunk (11-12), tag 'v2'; "
+        "each tag is an exclusive-created durable ref, and every "
+        "compaction clamps its fold below the oldest tag so "
+        "state_as_of_tag stays EXACT under unlimited auto-compaction "
+        "(pinned in tests/test_catalog.py). Output: per tag, the "
+        "resolved version, active-chunk count, and events-chunk "
+        "visibility — the time-travel-by-name audit a reproducible "
+        "training run records in its manifest."
+    ),
+)
+def lk08_tagged_snapshots(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    cat.create_tag("v1")
+    events_id = _sha256_hex("events")
+    assert cat.schedule_delete(events_id)
+    cat.vacuum()
+    cat.refresh()
+    cat.create_tag("v2")
+    rows = []
+    for tag in ("v1", "v2"):
+        state = cat.state_as_of_tag(tag)
+        active = [cid for cid, r in state.items() if r["state"] == "ACTIVE"]
+        rows.append(
+            (
+                tag,
+                cat.list_tags()[tag],
+                len(active),
+                int(events_id in active),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "tag string, version long, n_active long, events_active int"
+    )

@@ -81,6 +81,7 @@ _PRIORITY_NAMES = [
     "t21_textrank_keywords",
     "t22_pmi_collocations",
     "x07_last_touch_attribution",
+    "lk08_tagged_snapshots",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",

@@ -257,3 +257,38 @@ def test_checkpoint_retains_recent_history(spark, tmp_path):
     cat2.vacuum()
     cat2.checkpoint(retain_last=0)
     assert "c1" not in cat2.list_chunks_as_of(v4b)
+
+
+def test_tags_survive_autocompaction(spark, tmp_path):
+    """A tag pins its version: every fold clamps below the oldest tag,
+    so state_as_of_tag stays exact under unlimited auto-compaction; tags
+    are immutable (re-tagging conflicts) and deletable."""
+    import pytest as _pytest
+
+    from datalake_worker_spark.errors import ChunkConflict
+
+    root = str(tmp_path / "cat")
+    cat = ChunkCatalog(spark, root)
+    for i in range(5):
+        assert cat.register_chunk(ChunkMeta("ds", f"c{i}", 1000 * i, 1000 * (i + 1), {}, 10))
+    assert cat.create_tag("v1") == 5
+    assert cat.schedule_delete("c4")
+    assert cat.vacuum() == ["c4"]
+    cat.refresh()
+    assert cat.create_tag("v2") == 7
+    with _pytest.raises(ChunkConflict):
+        cat.create_tag("v1")  # immutable
+    # churn far past the auto-compaction threshold
+    for i in range(5, 5 + cat.backend.AUTO_COMPACT_AT + 10):
+        assert cat.register_chunk(ChunkMeta("ds", f"c{i}", 1000 * i, 1000 * (i + 1), {}, 10))
+    cat.refresh()
+    assert cat.list_chunks_as_of_tag("v1") == [f"c{i}" for i in range(5)]
+    assert cat.list_chunks_as_of_tag("v2") == [f"c{i}" for i in range(4)]
+    # deleting the oldest tag releases its pin: the next full fold may
+    # degrade history before the remaining tags but keeps them exact
+    assert cat.backend.delete_tag("v1")
+    cat.checkpoint()
+    cat.refresh()
+    assert cat.list_chunks_as_of_tag("v2") == [f"c{i}" for i in range(4)]
+    with _pytest.raises(KeyError):
+        cat.state_as_of_tag("v1")
