@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("dataset")
     ing.add_argument("block_col")
     ing.add_argument("--blocks-per-chunk", type=int, default=1000)
+    t = sub.add_parser("tag", help="tag the current catalog version (immutable)")
+    t.add_argument("name")
+    sub.add_parser("tags", help="list tags as JSON {name: version}")
+    lt = sub.add_parser(
+        "list-chunks-at", help="active chunks as of a tag or numeric version"
+    )
+    lt.add_argument("ref", help="tag name or integer version")
     return p
 
 
@@ -101,6 +108,26 @@ def main(argv: list[str] | None = None) -> int:
             ChunkMeta(args.dataset, args.chunk_id, args.start, args.end, {"data": args.path}, args.size)
         )
         print("registered" if ok else "already present")
+    elif args.cmd == "tag":
+        try:
+            seq = cat.create_tag(args.name)
+        except Exception as exc:  # noqa: BLE001 — conflict: tag exists
+            print(str(exc))
+            return 1
+        print(json.dumps({"tag": args.name, "version": seq}))
+    elif args.cmd == "tags":
+        print(json.dumps(cat.list_tags(), sort_keys=True))
+    elif args.cmd == "list-chunks-at":
+        if args.ref.isdigit():
+            cids = cat.list_chunks_as_of(int(args.ref))
+        else:
+            try:
+                cids = cat.list_chunks_as_of_tag(args.ref)
+            except KeyError:
+                print(f"unknown tag {args.ref!r}")
+                return 1
+        for cid in cids:
+            print(cid)
     elif args.cmd == "ingest":
         # streaming ingest of a landing directory (R1/R2: the reference's
         # parallel S3 download loop as Structured Streaming)

@@ -57,3 +57,28 @@ def test_cli_lifecycle(tmp_path, sf_dir):
 
     r = run_cli("--root", root, "list-chunks")
     assert "nat01" not in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_tags(tmp_path, sf_dir):
+    """tag / tags / list-chunks-at: the time-travel-by-name CLI surface."""
+    root = str(tmp_path / "cat")
+    nation = os.path.join(sf_dir, "nation.parquet")
+    r = run_cli("--root", root, "register", "tpch", "c1", "0", "100", nation)
+    assert r.returncode == 0, r.stderr
+    r = run_cli("--root", root, "tag", "v1")
+    assert r.returncode == 0 and json.loads(r.stdout.splitlines()[-1]) == {
+        "tag": "v1", "version": 1,
+    }, r.stdout + r.stderr
+    r = run_cli("--root", root, "tag", "v1")  # immutable
+    assert r.returncode == 1
+    r = run_cli("--root", root, "register", "tpch", "c2", "100", "200", nation)
+    assert r.returncode == 0, r.stderr
+    r = run_cli("--root", root, "tags")
+    assert json.loads(r.stdout.splitlines()[-1]) == {"v1": 1}
+    r = run_cli("--root", root, "list-chunks-at", "v1")
+    assert r.stdout.splitlines()[-1:] == ["c1"], r.stdout
+    r = run_cli("--root", root, "list-chunks-at", "2")
+    assert r.stdout.splitlines()[-2:] == ["c1", "c2"], r.stdout
+    r = run_cli("--root", root, "list-chunks-at", "nope")
+    assert r.returncode == 1
