@@ -273,3 +273,136 @@ def m05_image_patchify(spark, sf_dir):
     return d.mapInPandas(
         patchify, "doc_id long, patch_row int, patch_col int, sum_px long"
     )
+
+
+PHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit hash
+PHASH_HAMMING_MAX = 6
+
+
+def perceptual_hash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """64-bit average-hash (aHash) per payload: the byte stream is
+    block-averaged into an 8x8 grid and each cell compares against the
+    grid mean — the classic perceptual-hash recipe over the stub
+    byte-grid "decode" (swap in a real resize+grayscale and nothing
+    downstream changes). Arrow-batched mapInPandas, partition-local, one
+    int64 per payload."""
+    import numpy as np
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                if len(b) == 0:
+                    b = np.zeros(1)
+                # 64 equal byte-blocks -> cell means (length-independent)
+                edges = (np.arange(65) * len(b)) // 64
+                cells = np.array([
+                    b[edges[j]:max(edges[j + 1], edges[j] + 1)].mean()
+                    for j in range(64)
+                ])
+                bits = cells > cells.mean()
+                h = 0
+                for j in range(64):
+                    if bits[j]:
+                        h |= 1 << j
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(int(doc_id))
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": pd.array(hashes, dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(ph, "doc_id long, phash long")
+
+
+def phash_near_pairs(
+    hashed: DataFrame, max_hamming: int = PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Banded near-pair generation over perceptual hashes (the SimHash
+    d08 recipe applied to the multimodal column): 4 x 16-bit bands — a
+    pair within Hamming distance <= 6 of 64 bits must agree exactly on
+    at least one band (pigeonhole over 4 bands allows up to 3 differing
+    bands only if some band is clean; distance <= PHASH_HAMMING_MAX < 4*2
+    guarantees a clean band whenever the differing bits spread over at
+    most 3 bands — candidate recall is the banding trade documented on
+    d08). Bucket equi-join, never all-pairs; exact bit_count verify."""
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("phash"), 16 * k)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_val"),
+                )
+                for k in range(PHASH_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    left = bands.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("ha"),
+    )
+    right = bands.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("hb"),
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@register(
+    "m06_perceptual_near_dup",
+    None,  # python-side hash stub is not SQL-expressible; rows-only + planted pytest
+    category="llm-multimodal",
+    doc=(
+        "perceptual-hash near-duplicate detection for binary media "
+        "columns: 64-bit aHash per payload (block-averaged 8x8 grid vs "
+        "grid mean, Arrow mapInPandas over the stub decode), banded "
+        "4x16-bit candidate join (never all-pairs), exact Hamming "
+        "verify at <= 6 bits. Output: per-Hamming-distance pair counts "
+        "plus pair extremes. The byte-identical-dedup (m01) companion "
+        "for re-encoded/perturbed media; planted near-identical and "
+        "disjoint payload tests pin recall/precision in pytest."
+    ),
+)
+def m06_perceptual_near_dup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    # corpus + a perturbed re-encode of every payload (first three bytes
+    # case-flipped — length-preserving, the analog of a few changed
+    # pixels; ids shifted). This is the "same image, different encode"
+    # case perceptual hashing exists for; byte-identical dedup (m01)
+    # misses all of these by construction
+    base = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    replay = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.upper(F.substring("text", 1, 3)),
+                F.expr("substring(text, 4)"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    pairs = phash_near_pairs(
+        perceptual_hash(base.unionByName(replay), "doc_id", "payload")
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("id_a").cast("long").alias("first_a"),
+            F.max("id_b").cast("long").alias("last_b"),
+        )
+        .orderBy("hamming")
+    )

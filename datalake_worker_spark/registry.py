@@ -82,6 +82,7 @@ _PRIORITY_NAMES = [
     "t22_pmi_collocations",
     "x07_last_touch_attribution",
     "lk08_tagged_snapshots",
+    "m06_perceptual_near_dup",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",

@@ -242,3 +242,27 @@ def test_d16_char_jaccard_planted_cjk_pair(spark, tmp_path):
     assert (1, 2) in pairs, f"planted near-dup not found: {pairs}"
     assert pairs[(1, 2)] >= 0.2
     assert set(pairs) == {(1, 2)}, f"disjoint doc paired: {pairs}"
+
+
+def test_m06_phash_planted_pairs(spark):
+    """Perceptual-hash near-dup: a length-preserving few-byte
+    perturbation of a payload must pair with its original at small
+    Hamming distance; two disjoint payloads must not pair."""
+    from datalake_worker_spark.functions.multimodal import (
+        perceptual_hash,
+        phash_near_pairs,
+    )
+
+    base = bytes(range(256)) * 8  # structured 2 KB payload
+    near = bytes([255 - base[0], 255 - base[1]]) + base[2:]  # 2 bytes flipped
+    other = bytes((i * 37 + 11) % 251 for i in range(2048))
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(near)), (3, bytearray(other))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(perceptual_hash(df, "doc_id", "payload")).collect()
+    }
+    assert (1, 2) in pairs, pairs
+    assert all(k == (1, 2) for k in pairs), pairs
