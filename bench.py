@@ -109,6 +109,22 @@ DEPTH = [
     "io09_sorted_compaction",
 ]
 
+# added in round 6 — the new analytics/curation wave; sixth suite so the
+# earlier five stay comparable round-over-round per the established
+# contract (lk08 excluded: catalog-lifecycle side effects, not a data
+# query; tracked by its oracle + pytest instead)
+WAVE6 = [
+    "t21_textrank_keywords",
+    "m06_perceptual_near_dup",
+    "w15_funnel_steps",
+    "w16_mad_outliers",
+    "a14_retention_cohorts",
+    "io15_snapshot_diff",
+    "smp13_token_budget_fill",
+    "t22_pmi_collocations",
+    "x07_last_touch_attribution",
+]
+
 RUNS = 3
 
 
@@ -152,6 +168,7 @@ def main() -> None:
     pipeline = _time(PIPELINE)
     llm_wave = _time(LLM_WAVE)
     depth = _time(DEPTH)
+    wave6 = _time(WAVE6)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -162,6 +179,7 @@ def main() -> None:
     pipe_total = round(sum(pipeline.values()), 4)
     llm_total = round(sum(llm_wave.values()), 4)
     depth_total = round(sum(depth.values()), 4)
+    wave6_total = round(sum(wave6.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -175,6 +193,8 @@ def main() -> None:
         "llm_wave_value": llm_total,
         "depth_queries": depth,  # round-5 suite (previously unmeasured heavies)
         "depth_value": depth_total,
+        "wave6_queries": wave6,  # round-6 suite (analytics/curation wave)
+        "wave6_value": wave6_total,
         "sf": sf,
     }
     if duck:
@@ -204,6 +224,8 @@ def main() -> None:
                 "llm_wave_queries": len(llm_wave),
                 "depth_value": depth_total,
                 "depth_queries": len(depth),
+                "wave6_value": wave6_total,
+                "wave6_queries": len(wave6),
             }
         )
     )

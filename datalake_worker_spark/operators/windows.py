@@ -871,7 +871,11 @@ def w15_funnel_steps(spark, sf_dir):
         "the 3 x 1.4826 consistency threshold. Two aggregate passes "
         "over the fact table plus two broadcastable group-constant "
         "joins — no window sort, identical double arithmetic on both "
-        "engines so the flag comparisons agree exactly."
+        "engines so the flag comparisons agree exactly. Exact "
+        "percentile collects a group's values on one executor (fine up "
+        "to ~10^8 rows/group); past that swap both medians for "
+        "approx_percentile — MAD tolerates sketched medians and the "
+        "flag comparison itself stays row-local."
     ),
 )
 def w16_mad_outliers(spark, sf_dir):

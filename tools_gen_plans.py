@@ -33,6 +33,10 @@ FLAGSHIP = [
     ("w13_time_weighted_average", "TWAP: lead window + aggregate share ONE user_id exchange"),
     ("w14_ohlc_bars", "OHLC bars: window endpoints + bar agg on one (user, day) exchange"),
     ("v09_ann_ivfpq_topk", "IVF+PQ: literal codebooks, ADC lookups, cell equi-join only shuffle"),
+    ("w15_funnel_steps", "funnel: 3 dependent step windows + per-user collapse on ONE user exchange, no self-joins"),
+    ("t21_textrank_keywords", "TextRank: per-iteration edges-join-ranks + two-phase vertex sum, TakeOrdered top-10"),
+    ("x07_last_touch_attribution", "attribution: as-of collapsed to one running-MAX window, no join"),
+    ("io15_snapshot_diff", "snapshot diff: ONE full-outer key join, unchanged rows filtered before output"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
