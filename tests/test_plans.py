@@ -438,3 +438,13 @@ def test_w15_funnel_single_user_exchange(spark, sf_dir):
     df = REGISTRY["w15_funnel_steps"].spark_fn(spark, sf_dir)
     assert shuffle_count(df) <= 2, formatted_plan(df)
     assert "Join" not in simple_plan(df)
+
+
+def test_w16_mad_group_constants_broadcast(spark, sf_dir):
+    """The MAD gate's two group-constant tables (median, MAD — one row
+    per event_type) must broadcast onto the fact scan, never sort-merge
+    with it."""
+    df = REGISTRY["w16_mad_outliers"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
