@@ -165,3 +165,80 @@ def a09_collect_set_sorted(spark, sf_dir):
             F.sort_array(F.collect_set(F.col("l_linenumber").cast("string"))), ","
         ).alias("linenos"),
     )
+
+
+@register(
+    "q23_copurchase_lift",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    pp AS (
+        SELECT pa, pb, COUNT(*) AS n_ab FROM pairs
+        GROUP BY pa, pb HAVING COUNT(*) >= 3
+    ),
+    op AS (
+        SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem)
+    SELECT pp.pa, pp.pb, CAST(pp.n_ab AS BIGINT) AS n_ab,
+           ROUND(pp.n_ab * tot.n / (CAST(a.n_orders AS DOUBLE) * b.n_orders), 6)
+               AS lift
+    FROM pp
+    JOIN op a ON pp.pa = a.l_partkey
+    JOIN op b ON pp.pb = b.l_partkey
+    CROSS JOIN tot
+    ORDER BY lift DESC, pa ASC, pb ASC LIMIT 20
+    """,
+    category="relational",
+    doc=(
+        "market-basket co-purchase lift (frequent 2-itemsets): distinct "
+        "part pairs within each order, support >= 3 orders, ranked by "
+        "lift = P(ab)/(P(a)P(b)). The pair expansion is ORDER-LOCAL "
+        "self-join on the order key — basket sizes are bounded (~7 "
+        "lines), so pairs grow linearly with orders, never "
+        "quadratically with parts; per-part order counts join back "
+        "broadcastable and top-20 is TakeOrdered. The retail-analytics "
+        "staple (and the d04-style blocked-pair shape applied to "
+        "transactions instead of shingles)."
+    ),
+)
+def q23_copurchase_lift(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .distinct()
+    )
+    pp = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    op = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n"))
+    lift = F.round(
+        F.col("n_ab") * F.col("n") / (F.col("na").cast("double") * F.col("nb")), 6
+    )
+    return (
+        pp.join(
+            F.broadcast(op.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("na"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(op.select(F.col("l_partkey").alias("pb"), F.col("n_orders").alias("nb"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("pa", "pb", F.col("n_ab").cast("long").alias("n_ab"), lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(20)
+    )

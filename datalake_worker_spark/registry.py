@@ -83,6 +83,8 @@ _PRIORITY_NAMES = [
     "x07_last_touch_attribution",
     "lk08_tagged_snapshots",
     "m06_perceptual_near_dup",
+    "q23_copurchase_lift",
+    "io16_ttl_partition_expiry",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",

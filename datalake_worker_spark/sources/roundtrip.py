@@ -727,3 +727,66 @@ def io15_snapshot_diff(spark, sf_dir):
             change.alias("change"),
         )
     )
+
+
+def expire_partitions(path: str, partition_col: str, keep_from: int) -> list[str]:
+    """Data-retention TTL as a METADATA operation: drop every hive
+    partition directory whose value sorts below ``keep_from`` without
+    scanning a single data row — partition pruning's destructive twin.
+    Returns the dropped partition values (sorted)."""
+    import shutil
+
+    dropped = []
+    prefix = f"{partition_col}="
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(prefix):
+            continue
+        v = d[len(prefix):]
+        if v.isdigit() and int(v) < keep_from:
+            shutil.rmtree(os.path.join(path, d))
+            dropped.append(v)
+    return dropped
+
+
+@register(
+    "io16_ttl_partition_expiry",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    WHERE year(o_orderdate) >= 1996
+    GROUP BY o_year
+    """,
+    category="io",
+    doc=(
+        "TTL data retention on a partitioned layout: orders written "
+        "partitioned by order year, then every partition older than the "
+        "retention cutoff (1996) is expired by DIRECTORY deletion — a "
+        "pure metadata operation, zero rows scanned or rewritten "
+        "(partition pruning's destructive twin; what DELETE WHERE "
+        "year < cutoff costs a full rewrite to express on unpartitioned "
+        "data). The read-back per-year counts must equal the filtered "
+        "batch aggregate. At 100 TB this is the difference between "
+        "expiry in seconds and a multi-hour compaction; the chunk "
+        "catalog's schedule_delete/vacuum is the same idea with leases."
+    ),
+)
+def io16_ttl_partition_expiry(spark, sf_dir):
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    root = tempfile.mkdtemp(prefix="dlw_ttl_")
+    path = os.path.join(root, "orders_by_year")
+    o.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    expire_partitions(path, "o_year", 1996)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("o_orderkey").cast("long").alias("first_key"),
+        )
+    )
