@@ -242,3 +242,56 @@ def q23_copurchase_lift(spark, sf_dir):
         .orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc())
         .limit(20)
     )
+
+
+@register(
+    "q24_hierarchy_rollup",
+    """
+    WITH RECURSIVE h(custkey, root, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
+        UNION ALL
+        SELECT c.c_custkey, h.root, h.depth + 1
+        FROM customer c JOIN h ON (c.c_custkey // 8) = h.custkey
+        WHERE c.c_custkey >= 8
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(MIN(custkey) AS BIGINT) AS first_key,
+           CAST(MAX(custkey) AS BIGINT) AS last_key
+    FROM h GROUP BY depth
+    """,
+    category="relational",
+    doc=(
+        "recursive-CTE hierarchy traversal (Spark 4 WITH RECURSIVE — "
+        "the org-chart/BOM/category-tree query class): a synthetic "
+        "customer tree (parent = custkey div 8, roots below 8) walked "
+        "to every node's root and depth, rolled up per level. Each "
+        "recursion step is one join of the frontier against the base "
+        "relation — O(depth) iterations of broadcast-able frontier "
+        "joins, the same shape d10's connected components uses "
+        "manually; the engine now expresses it declaratively and both "
+        "engines' recursive semantics (UNION ALL, monotone frontier) "
+        "agree exactly."
+    ),
+)
+def q24_hierarchy_rollup(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    c.createOrReplaceTempView("q24_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(custkey, root, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM q24_customer WHERE c_custkey < 8
+            UNION ALL
+            SELECT c.c_custkey, h.root, h.depth + 1
+            FROM q24_customer c JOIN h ON (c.c_custkey DIV 8) = h.custkey
+            WHERE c.c_custkey >= 8
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+               CAST(MIN(custkey) AS BIGINT) AS first_key,
+               CAST(MAX(custkey) AS BIGINT) AS last_key
+        FROM h GROUP BY depth
+        """
+    )

@@ -85,6 +85,7 @@ _PRIORITY_NAMES = [
     "m06_perceptual_near_dup",
     "q23_copurchase_lift",
     "io16_ttl_partition_expiry",
+    "q24_hierarchy_rollup",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",
