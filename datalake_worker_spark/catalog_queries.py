@@ -324,3 +324,70 @@ def lk08_tagged_snapshots(spark, sf_dir):
     return spark.createDataFrame(
         rows, "tag string, version long, n_active long, events_active int"
     )
+
+
+@register(
+    "lk09_version_diff",
+    """
+    WITH names(name) AS (VALUES ('orders'), ('lineitem'), ('events'))
+    SELECT sha256(name) AS chunk_id,
+           CASE WHEN name = 'events' THEN 'removed' ELSE 'changed' END AS change
+    FROM names
+    ORDER BY change, chunk_id
+    """,
+    category="lake-core",
+    doc=(
+        "catalog change-data-feed: the chunk-state diff between two "
+        "tagged versions (io15's snapshot-diff question answered at "
+        "METADATA scale — two bounded log folds, never a data scan). "
+        "Build the 10-table catalog, tag v1, then grow two chunks "
+        "(size update = changed), delete+vacuum events (removed), tag "
+        "v2; the diff classifies added/removed/changed between the "
+        "tags. The audit a reproducible pipeline runs before promoting "
+        "a new corpus snapshot."
+    ),
+)
+def lk09_version_diff(spark, sf_dir):
+    cat = _build_catalog(spark, sf_dir)
+    cat.create_tag("v1")
+    # "changed": re-register is idempotent-no-op, so mutate via
+    # delete+re-register at a new size (the update path the log records)
+    for name in ("orders", "lineitem"):
+        cid = _sha256_hex(name)
+        meta_rec = cat.state_as_of_tag("v1")[cid]
+        assert cat.schedule_delete(cid)
+        cat.vacuum()
+        cat.refresh()
+        import json as _json
+
+        cat.register_chunk(
+            ChunkMeta(
+                dataset_id=meta_rec["dataset_id"],
+                chunk_id=cid,
+                block_start=meta_rec["block_start"],
+                block_end=meta_rec["block_end"],
+                files=_json.loads(meta_rec["files"]),
+                size_bytes=meta_rec["size_bytes"] + 1,
+            )
+        )
+    assert cat.schedule_delete(_sha256_hex("events"))
+    cat.vacuum()
+    cat.refresh()
+    cat.create_tag("v2")
+    old = cat.state_as_of_tag("v1")
+    new = cat.state_as_of_tag("v2")
+    alive = lambda r: r is not None and r["state"] != "DELETED"  # noqa: E731
+    rows = []
+    for cid in sorted(set(old) | set(new)):
+        o, n = old.get(cid), new.get(cid)
+        if alive(o) and not alive(n):
+            rows.append((cid, "removed"))
+        elif not alive(o) and alive(n):
+            rows.append((cid, "added"))
+        elif alive(o) and alive(n) and (
+            o["size_bytes"] != n["size_bytes"] or o["files"] != n["files"]
+        ):
+            rows.append((cid, "changed"))
+    return spark.createDataFrame(rows, "chunk_id string, change string").orderBy(
+        "change", "chunk_id"
+    )

@@ -198,3 +198,61 @@ def w09_ewma_smoothing(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         ewma, "user_id bigint, event_id bigint, ewma double"
     )
+
+
+@register(
+    "p05_map_in_arrow",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 251 AS BIGINT) AS byte_mod
+    FROM documents
+    """,
+    category="pandas-udf",
+    doc=(
+        "mapInArrow: the zero-copy Arrow-batch API (the fourth Python "
+        "execution surface next to scalar/grouped pandas UDFs and "
+        "UDTFs) — the whole RecordBatch arrives as pyarrow with NO "
+        "pandas conversion, the right seam for columnar-native Python "
+        "(tokenizers binding Arrow buffers, FAISS, polars). Computes "
+        "utf-8 byte lengths per document from the Arrow buffer "
+        "directly; partition-local, zero shuffle, oracle-exact "
+        "integers."
+    ),
+)
+def p05_map_in_arrow(spark, sf_dir):
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_bytes": pa.compute.binary_length(
+                        pa.compute.cast(batch.column("text"), pa.binary())
+                    ).cast(pa.int64()),
+                }
+            )
+            tbl = tbl.append_column(
+                "byte_mod",
+                pa.compute.cast(
+                    pa.compute.subtract(
+                        tbl.column("n_bytes"),
+                        pa.compute.multiply(
+                            pa.compute.floor(
+                                pa.compute.divide(
+                                    pa.compute.cast(tbl.column("n_bytes"), pa.float64()),
+                                    251.0,
+                                )
+                            ).cast(pa.int64()),
+                            251,
+                        ),
+                    ),
+                    pa.int64(),
+                ),
+            )
+            for out in tbl.to_batches():
+                yield out
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(fn, "doc_id long, n_bytes long, byte_mod long")

@@ -86,6 +86,8 @@ _PRIORITY_NAMES = [
     "q23_copurchase_lift",
     "io16_ttl_partition_expiry",
     "q24_hierarchy_rollup",
+    "lk09_version_diff",
+    "p05_map_in_arrow",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",
