@@ -88,6 +88,7 @@ _PRIORITY_NAMES = [
     "q24_hierarchy_rollup",
     "lk09_version_diff",
     "p05_map_in_arrow",
+    "st15_temporal_dimension_join",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",

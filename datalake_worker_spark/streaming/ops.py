@@ -551,3 +551,82 @@ def st12_dedup_within_watermark(spark, sf_dir):
     )
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "st15_temporal_dimension_join",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    dedup AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM src
+    ),
+    changes AS (
+        SELECT user_id, event_type AS state, ts FROM dedup
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    scd AS (
+        SELECT user_id, state, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM changes
+    )
+    SELECT d.state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN scd d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.ts
+     AND (p.ts < d.valid_to OR d.valid_to IS NULL)
+    GROUP BY d.state
+    """,
+    category="streaming",
+    doc=(
+        "temporal dimension join (Flink's 'temporal table join', the "
+        "event-time SCD lookup): streaming purchases join the dimension "
+        "VERSION valid at each purchase's event time — not the current "
+        "one — against a w11-style SCD2 interval table (each user's "
+        "view/click state history). Broadcast stream-static join on the "
+        "user key with interval-containment residuals; totals ride "
+        "DECIMAL so stream and batch agree exactly. The correctness "
+        "property stream-static equi-joins (st05) cannot give you: "
+        "late-arriving facts still pick up the historically-correct "
+        "dimension attributes."
+    ),
+)
+def st15_temporal_dimension_join(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id", "event_type", "ts",
+            F.lag("event_type").over(w_ord).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w_iv = W.partitionBy("user_id").orderBy("ts")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_iv).alias("valid_to"),
+    )
+    s = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = s.join(
+        F.broadcast(dim),
+        (s["user_id"] == dim["d_user"])
+        & (dim["valid_from"] <= s["ts"])
+        & ((s["ts"] < dim["valid_to"]) | dim["valid_to"].isNull()),
+    )
+    agg = joined.groupBy("state").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return run_to_memory(agg, "complete")
