@@ -123,6 +123,11 @@ WAVE6 = [
     "smp13_token_budget_fill",
     "t22_pmi_collocations",
     "x07_last_touch_attribution",
+    "q23_copurchase_lift",
+    "q24_hierarchy_rollup",
+    "io16_ttl_partition_expiry",
+    "p05_map_in_arrow",
+    "st15_temporal_dimension_join",
 ]
 
 RUNS = 3
