@@ -180,6 +180,12 @@ class EpochStore:
         os.rename(tmp, dst)
         for v in vals:
             shutil.rmtree(os.path.join(self.path, f"gen={v}"), ignore_errors=True)
+        # sweep compacted generations a previous crash left superseded
+        # (readers already ignore everything below the highest cover)
+        for d in os.listdir(self.path):
+            v = d[len("gen="):] if d.startswith("gen=") else ""
+            if v.startswith("c") and v[1:].isdigit() and int(v[1:]) < top:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     # -- reads -------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame | None:
