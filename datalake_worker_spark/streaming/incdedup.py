@@ -308,14 +308,27 @@ def history_drops(
 
 
 def read_stats(spark: SparkSession, root: str) -> DataFrame:
-    """Per-epoch admission stats: (epoch, n_admitted, n_overcap_docs)."""
-    store = EpochStore(os.path.join(root, "stats"), ["epoch"])
-    out = store.read(spark)
-    if out is None:
-        return spark.createDataFrame(
-            [], "epoch long, n_admitted long, n_overcap_docs long"
-        )
-    return out.select("epoch", "n_admitted", "n_overcap_docs")
+    """Per-epoch admission stats: (epoch, n_admitted, n_overcap_docs).
+
+    Stats are driver-known scalars, so they live as one JSON sidecar per
+    epoch (atomic replace — replay-idempotent) instead of a per-epoch
+    Spark write: surfacing the no-silent-caps counters costs zero extra
+    Spark jobs beyond the two tiny counting actions."""
+    import json
+
+    stats_dir = os.path.join(root, "stats")
+    rows = []
+    if os.path.isdir(stats_dir):
+        for f in sorted(os.listdir(stats_dir)):
+            if f.startswith("epoch_") and f.endswith(".json"):
+                with open(os.path.join(stats_dir, f)) as fh:
+                    r = json.load(fh)
+                rows.append(
+                    (int(r["epoch"]), int(r["n_admitted"]), int(r["n_overcap_docs"]))
+                )
+    return spark.createDataFrame(
+        rows, "epoch long, n_admitted long, n_overcap_docs long"
+    )
 
 
 def run_incremental_near_dup(
@@ -350,7 +363,8 @@ def run_incremental_near_dup(
     sigs_store = EpochStore(
         os.path.join(root, "state_sigs"), ["doc_id"], buckets=state_buckets
     )
-    stats_store = EpochStore(os.path.join(root, "stats"), ["epoch"], buckets=1)
+    stats_dir = os.path.join(root, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
 
     def dedup_batch(df: DataFrame, epoch_id: int) -> None:
         import json
@@ -402,15 +416,21 @@ def run_incremental_near_dup(
         sigs_store.write_epoch(sig.join(sv_ids, "doc_id"), e)
         n_admitted = sv_ids.count()
         n_overcap = (overcap.collect() or [None])[0]
-        stats_store.write_epoch(
-            s.createDataFrame(
-                [(n_admitted, int(n_overcap[0]) if n_overcap else 0)],
-                "n_admitted long, n_overcap_docs long",
-            ),
-            e,
-        )
+        # driver-side JSON sidecar (atomic replace => replay-idempotent):
+        # no Spark job for the one-row stats record
+        tmp = os.path.join(stats_dir, f".tmp_epoch_{e}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "epoch": e,
+                    "n_admitted": int(n_admitted),
+                    "n_overcap_docs": int(n_overcap[0]) if n_overcap else 0,
+                },
+                fh,
+            )
+        os.replace(tmp, os.path.join(stats_dir, f"epoch_{e}.json"))
         if compact_every and e > 0 and e % compact_every == 0:
-            for store in (bands_store, sigs_store, stats_store):
+            for store in (bands_store, sigs_store):
                 store.compact(s, e)
         for c in (sv_ids, sig, bands):
             c.unpersist(blocking=False)
