@@ -40,17 +40,28 @@ _SQL_CHUNKS_CTE = """
 """
 
 
-def _build_catalog(spark, sf_dir, row_counts: dict[str, int] | None = None) -> ChunkCatalog:
+def _build_catalog(
+    spark,
+    sf_dir,
+    row_counts: dict[str, int] | None = None,
+    tables: list[str] | None = None,
+    cat: ChunkCatalog | None = None,
+) -> ChunkCatalog:
     """Register the sf_dir tables as chunks of dataset 'tpch'.
 
     size_bytes := table row count (oracle-computable across scale factors;
     the on-disk-bytes variant is exercised in the pytest lifecycle suite).
-    """
+    ``tables`` restricts registration to a subset (block indexes keep
+    their full-list positions); pass an existing ``cat`` to register
+    into it incrementally."""
     import pyarrow.parquet as pq
 
-    root = tempfile.mkdtemp(prefix="dlw_catalog_")
-    cat = ChunkCatalog(spark, root)
+    if cat is None:
+        root = tempfile.mkdtemp(prefix="dlw_catalog_")
+        cat = ChunkCatalog(spark, root)
     for i, name in enumerate(_CHUNK_TABLES):
+        if tables is not None and name not in tables:
+            continue
         path = os.path.join(sf_dir, f"{name}.parquet")
         # row count from parquet footer metadata — no Spark job needed
         n = row_counts[name] if row_counts else pq.ParquetFile(path).metadata.num_rows
@@ -390,4 +401,53 @@ def lk09_version_diff(spark, sf_dir):
             rows.append((cid, "changed"))
     return spark.createDataFrame(rows, "chunk_id string, change string").orderBy(
         "change", "chunk_id"
+    )
+
+
+@register(
+    "lk10_incremental_consumption",
+    """
+    SELECT sha256('documents') AS chunk_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows
+    UNION ALL
+    SELECT sha256('embeddings'),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+    ORDER BY chunk_id
+    """,
+    category="lake-core",
+    doc=(
+        "incremental consumption (the CDF read path lk09's diff "
+        "enables): register 8 tables, tag v1, register 2 more, tag v2; "
+        "a consumer that already processed v1 reads ONLY the chunks "
+        "added between the tags — chunk-id diff at metadata scale "
+        "selects the file set, then one Spark scan per new chunk. At "
+        "100 TB this is the difference between an incremental sync "
+        "touching new data only and a full re-scan; downstream row "
+        "counts prove the consumer saw exactly the added chunks."
+    ),
+)
+def lk10_incremental_consumption(spark, sf_dir):
+    first = [t for t in _CHUNK_TABLES if t not in ("documents", "embeddings")]
+    cat = _build_catalog(spark, sf_dir, tables=first)
+    cat.create_tag("v1")
+    _build_catalog(spark, sf_dir, tables=["documents", "embeddings"], cat=cat)
+    cat.refresh()
+    cat.create_tag("v2")
+    old = {
+        cid for cid, r in cat.state_as_of_tag("v1").items()
+        if r["state"] == "ACTIVE"
+    }
+    new = cat.state_as_of_tag("v2")
+    added = sorted(
+        cid for cid, r in new.items() if r["state"] == "ACTIVE" and cid not in old
+    )
+    import json as _json
+
+    rows = []
+    for cid in added:
+        files = _json.loads(new[cid]["files"])
+        path = next(iter(files.values()))
+        rows.append((cid, spark.read.parquet(path).count()))
+    return spark.createDataFrame(rows, "chunk_id string, n_rows long").orderBy(
+        "chunk_id"
     )

@@ -89,6 +89,8 @@ _PRIORITY_NAMES = [
     "lk09_version_diff",
     "p05_map_in_arrow",
     "st15_temporal_dimension_join",
+    "st16_trending_topk",
+    "lk10_incremental_consumption",
     "lk01_list_chunks",
     "lk02_find_chunk_containment",
     "lk03_delete_lifecycle",

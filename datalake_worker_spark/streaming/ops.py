@@ -630,3 +630,49 @@ def st15_temporal_dimension_join(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "st16_trending_topk",
+    """
+    WITH counts AS (
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT))
+                   AS TIMESTAMP) AS w_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY w_start, event_type
+    )
+    SELECT w_start, event_type, CAST(n AS BIGINT) AS n, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY w_start ORDER BY n DESC, event_type ASC) AS BIGINT) AS rn
+        FROM counts)
+    WHERE rn <= 3
+    """,
+    category="streaming",
+    doc=(
+        "streaming trending top-k: the dashboard query every event "
+        "platform serves — per tumbling day, the 3 most frequent event "
+        "types. The stream maintains only the windowed COUNT aggregate "
+        "(bounded state: open windows x types); the rank is the SERVING "
+        "query over the maintained aggregate, run per refresh on "
+        "window-count-sized rows — never inside the stream, where a "
+        "global rank would force complete-mode recomputation of "
+        "arbitrary history. Deterministic (count desc, type asc) "
+        "tie-break; stream result ≡ batch oracle exactly."
+    ),
+)
+def st16_trending_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    maintained = run_to_memory(agg, "complete").select(
+        F.col("w.start").alias("w_start"), "event_type", "n"
+    )
+    w = W.partitionBy("w_start").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        maintained.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("w_start", "event_type", F.col("n").cast("long").alias("n"), "rn")
+    )
