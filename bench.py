@@ -128,6 +128,7 @@ WAVE6 = [
     "io16_ttl_partition_expiry",
     "p05_map_in_arrow",
     "st15_temporal_dimension_join",
+    "st16_trending_topk",
 ]
 
 RUNS = 3
