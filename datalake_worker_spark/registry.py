@@ -58,75 +58,55 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: the lake-core lk01-lk05 family (r2 greens under the r4 CAS rewrite).
 #: Everything the driver confirmed in round 4 moves to the very end.
 _PRIORITY_NAMES = [
-    # ROUND-6 ROTATION (VERDICT r5 items 1 & 3): the ~50-query driver
-    # budget burns the unverified frontier first — the six round-5
-    # queries with zero driver rows (a12/w13/w14 oracle-backed, then
-    # the rows-only streaming/ANN trio), then lk01-lk05 (newest rows r3,
-    # predating the r4/r5 CAS + aborted-commit rewrites under them),
-    # then the 31 r2-stale greens (t01-t13, d01-d05/d08, io02-io05,
-    # m01-m03, smp01-smp05) and the r3-era remainder stalest-first.
-    # Everything the r5 driver re-greened moves to the very end.
-    "a12_grouped_mode",
-    "w13_time_weighted_average",
-    "w14_ohlc_bars",
-    "st13_incremental_near_dup",
-    "st14_streaming_vector_index",
-    "v09_ann_ivfpq_topk",
-    # new in round 6 — oracle-backed, no driver row yet
-    "smp13_token_budget_fill",
-    "w15_funnel_steps",
-    "w16_mad_outliers",
-    "a14_retention_cohorts",
-    "io15_snapshot_diff",
-    "t21_textrank_keywords",
-    "t22_pmi_collocations",
-    "x07_last_touch_attribution",
-    "lk08_tagged_snapshots",
-    "m06_perceptual_near_dup",
-    "q23_copurchase_lift",
-    "io16_ttl_partition_expiry",
-    "q24_hierarchy_rollup",
-    "lk09_version_diff",
-    "p05_map_in_arrow",
-    "st15_temporal_dimension_join",
-    "st16_trending_topk",
-    "lk10_incremental_consumption",
-    "lk01_list_chunks",
-    "lk02_find_chunk_containment",
-    "lk03_delete_lifecycle",
-    "lk04_total_size",
-    "lk05_query_through_chunk",
-    "t01_token_stats",
-    "t02_quality_score",
-    "t03_language_id",
-    "t04_doc_frequency",
-    "t05_fingerprint",
-    "t06_tfidf_top_terms",
-    "t07_sentiment_lexicon",
-    "t08_text_cleaning",
-    "t09_bigram_counts",
-    "t10_unigram_logprob",
-    "t11_boilerplate_ngrams",
-    "t12_repetition_ratio",
-    "t13_bpe_token_count",
-    "d01_exact_dedup_keep_first",
-    "d02_exact_dedup_hash_groups",
-    "d03_ngram_jaccard_pairs",
-    "d04_minhash_near_dups",
-    "d05_simhash_fingerprints",
-    "d08_simhash_near_dups",
-    "io02_csv_roundtrip",
-    "io03_json_roundtrip",
+    # ROUND-7 ROTATION (VERDICT r6 "Next round" item 1): burn the driver
+    # freshness debt to zero.  The ~50-query budget covers exactly the
+    # 52 queries whose newest CORRECTNESS row predates round 4 — the ten
+    # r2-dated rows (io04/io05, smp01-smp05, m01-m03: four rounds of
+    # session/reader changes under them) first, then the 42 r3-dated
+    # rows stalest-first in driver-recorded order.  Everything r4+ moves
+    # behind them, itself stalest-first, so next round's budget naturally
+    # continues the cycle.  Goal state: no registry query's newest driver
+    # row predates r4.
+    # newest driver row: round 2
     "io04_in_memory_source",
     "io05_schema_evolution_merge",
-    "m01_binary_payload_dedup",
-    "m02_decode_metadata",
-    "m03_frame_sample",
     "smp01_stratified_sample",
     "smp02_doc_packing",
     "smp03_exact_percentiles",
     "smp04_histogram",
     "smp05_temperature_resample",
+    "m01_binary_payload_dedup",
+    "m02_decode_metadata",
+    "m03_frame_sample",
+    # newest driver row: round 3
+    "s09_casts",
+    "a10_statistical_aggregates",
+    "v03_embedding_stats",
+    "v05_embedding_quantize",
+    "v01_exact_cosine_topk",
+    "v02_ann_lsh_topk",
+    "v04_ann_ivf_topk",
+    "d06_embedding_near_dups",
+    "d07_ssjoin_prefix",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_suppliers_semijoin",
+    "q21_last_shipper",
+    "p02_grouped_map_pandas",
+    "p03_grouped_agg_pandas",
+    "st03_session_window",
+    "st04_stream_dedup",
+    "st05_stream_static_join",
+    "st06_stateful_user_totals",
+    "st07_stream_stream_join",
+    "st08_continuous_rollup",
     "d10_duplicate_clusters",
     "t14_segment_dedup",
     "d09_benchmark_decontamination",
@@ -141,34 +121,7 @@ _PRIORITY_NAMES = [
     "w05_multikey_sort_limit",
     "w06_sessionization",
     "io01_parquet_roundtrip_partitioned",
-    "d06_embedding_near_dups",
-    "d07_ssjoin_prefix",
-    "v01_exact_cosine_topk",
-    "v02_ann_lsh_topk",
-    "v04_ann_ivf_topk",
-    "v05_embedding_quantize",
-    "v03_embedding_stats",
-    "p02_grouped_map_pandas",
-    "p03_grouped_agg_pandas",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_suppliers_semijoin",
-    "q21_last_shipper",
-    "st03_session_window",
-    "st04_stream_dedup",
-    "st07_stream_stream_join",
-    "st05_stream_static_join",
-    "st06_stateful_user_totals",
-    "st08_continuous_rollup",
-    "a10_statistical_aggregates",
-    "s09_casts",
+    # newest driver row: round 4
     "st01_tumbling_window",
     "st02_sliding_window",
     "t18_document_chunking",
@@ -219,6 +172,7 @@ _PRIORITY_NAMES = [
     "io07_orc_roundtrip",
     "w08_time_grid_fill",
     "d11_semantic_dedup",
+    # newest driver row: round 5
     "x04_asof_join_tolerance",
     "s01_string_funcs",
     "s02_datetime_funcs",
@@ -269,6 +223,57 @@ _PRIORITY_NAMES = [
     "q22_dormant_customers",
     "p01_scalar_pandas_udf",
     "a08_approx_aggregates",
+    # newest driver row: round 6
+    "a12_grouped_mode",
+    "w13_time_weighted_average",
+    "w14_ohlc_bars",
+    "st13_incremental_near_dup",
+    "st14_streaming_vector_index",
+    "v09_ann_ivfpq_topk",
+    "smp13_token_budget_fill",
+    "w15_funnel_steps",
+    "w16_mad_outliers",
+    "a14_retention_cohorts",
+    "io15_snapshot_diff",
+    "t21_textrank_keywords",
+    "t22_pmi_collocations",
+    "x07_last_touch_attribution",
+    "lk08_tagged_snapshots",
+    "m06_perceptual_near_dup",
+    "q23_copurchase_lift",
+    "io16_ttl_partition_expiry",
+    "q24_hierarchy_rollup",
+    "lk09_version_diff",
+    "p05_map_in_arrow",
+    "st15_temporal_dimension_join",
+    "st16_trending_topk",
+    "lk10_incremental_consumption",
+    "lk01_list_chunks",
+    "lk02_find_chunk_containment",
+    "lk03_delete_lifecycle",
+    "lk04_total_size",
+    "lk05_query_through_chunk",
+    "t01_token_stats",
+    "t02_quality_score",
+    "t03_language_id",
+    "t04_doc_frequency",
+    "t05_fingerprint",
+    "t06_tfidf_top_terms",
+    "t07_sentiment_lexicon",
+    "t08_text_cleaning",
+    "t09_bigram_counts",
+    "t10_unigram_logprob",
+    "t11_boilerplate_ngrams",
+    "t12_repetition_ratio",
+    "t13_bpe_token_count",
+    "d01_exact_dedup_keep_first",
+    "d02_exact_dedup_hash_groups",
+    "d03_ngram_jaccard_pairs",
+    "d04_minhash_near_dups",
+    "d05_simhash_fingerprints",
+    "d08_simhash_near_dups",
+    "io02_csv_roundtrip",
+    "io03_json_roundtrip",
 ]
 
 _MODULE_ORDER = [
