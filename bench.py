@@ -131,7 +131,15 @@ WAVE6 = [
     "st16_trending_topk",
 ]
 
-RUNS = 3
+# 5 runs (was 3 through round 6): the r6 extended-suite "regression"
+# (q07 0.43->1.13 s) was root-caused in round 7 to ambient run-to-run
+# variance — four same-code runs within round 6 recorded extended totals
+# of 4.00/4.37/4.61/5.98 s and q07 medians of 0.46-1.13 s with zero
+# commits touching those queries (tools_bench_isolated.py reproduces
+# 0.60-0.72 s for q07 in a fresh session). A median of 5 halves the
+# chance a single slow run drags the reported median, so a real 2.5x
+# can't hide in — nor be faked by — one noisy sample.
+RUNS = 5
 
 
 def main() -> None:

@@ -176,6 +176,30 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _train_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """Deterministic bounded training set: the ``n`` rows ranked first by
+    sha256(id) — the same deterministic-shuffle ranking the quantizer
+    inits already use, extended to the whole training input (FAISS-style
+    practice trains k-means/PQ on a ~10⁵–10⁶ vector sample, never the
+    full corpus). Top-n by sort is per-partition top-n + merge
+    (TakeOrdered), then a hash repartition on the id restores
+    parallelism for the Lloyd iterations that follow the global limit.
+    ``_h`` is kept so callers can derive their sha-ranked init from the
+    sample's own prefix instead of a second corpus scan."""
+    return (
+        corpus.select(
+            F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        .orderBy("_h", id_col)
+        .limit(n)
+        .repartition(F.col(id_col))
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -183,6 +207,7 @@ def kmeans_centroids(
     n_clusters: int,
     dim: int,
     iters: int = 2,
+    train_sample_size: int | None = 100_000,
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means, DataFrame-native.
 
@@ -193,41 +218,62 @@ def kmeans_centroids(
     centroids are bit-stable across runs and parallelism. The collected
     model state is k×dim floats (driver-side by design, like any
     trained-model broadcast); the data never leaves executors.
+
+    Training runs over a deterministic sha-ranked sample of
+    ``train_sample_size`` vectors (``None`` = full corpus), persisted
+    for the duration of the Lloyd loop — at 100 TB the per-iteration
+    cost is bounded by the sample, not the corpus, and below the bound
+    (every test SF) the sample IS the corpus, so centroids are
+    bit-identical to unbounded training. Encoding/assignment of the
+    full corpus stays with the caller.
     """
-    # deterministic shuffle-order init via TakeOrderedAndProject (top-k by
-    # sha256(id)) — no global single-partition window, no full sort
-    init = (
-        corpus.select(
-            F.sha2(F.col(id_col).cast("string"), 256).alias("_h"), id_col, vec_col
+    if train_sample_size is not None:
+        train = _train_sample(corpus, id_col, vec_col, train_sample_size).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        .orderBy("_h", id_col)
-        .limit(n_clusters)
-        .collect()
+    else:
+        train = corpus.select(
+            F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+    try:
+        # deterministic shuffle-order init via TakeOrderedAndProject
+        # (top-k by sha256(id)) — the sample's own prefix, no extra scan
+        init = train.orderBy("_h", id_col).limit(n_clusters).collect()
+        cents = [list(map(float, r[vec_col])) for r in init]
+        for _ in range(iters):
+            cents = _lloyd_step(train, vec_col, cents, dim)
+        return cents
+    finally:
+        if train_sample_size is not None:
+            train.unpersist(blocking=False)
+
+
+def _lloyd_step(
+    train: DataFrame, vec_col: str, cents: list[list[float]], dim: int
+) -> list[list[float]]:
+    # re-average per (cluster, dimension) via posexplode: tiny
+    # expression tree, map-side partial aggregation, k×dim result rows.
+    # The argmin MUST be projected in its own step before the
+    # generator: a single select(argmin, posexplode(v)) makes Spark
+    # re-evaluate the k×dim argmin expression once per exploded
+    # element (dim× redundant work — measured 5× slower at k=8,
+    # dim=64); the two-step projection evaluates it once per row.
+    assigned = train.select(
+        nearest_centroid(F.col(vec_col), cents).alias("_cid"), vec_col
+    ).select(
+        "_cid", F.posexplode(to_double_array(F.col(vec_col))).alias("_pos", "_x")
     )
-    cents = [list(map(float, r[vec_col])) for r in init]
-    for _ in range(iters):
-        # re-average per (cluster, dimension) via posexplode: tiny
-        # expression tree, map-side partial aggregation, k×dim result rows.
-        # The argmin MUST be projected in its own step before the
-        # generator: a single select(argmin, posexplode(v)) makes Spark
-        # re-evaluate the k×dim argmin expression once per exploded
-        # element (dim× redundant work — measured 5× slower at k=8,
-        # dim=64); the two-step projection evaluates it once per row.
-        assigned = corpus.select(
-            nearest_centroid(F.col(vec_col), cents).alias("_cid"), vec_col
-        ).select(
-            "_cid", F.posexplode(to_double_array(F.col(vec_col))).alias("_pos", "_x")
-        )
-        sums = assigned.groupBy("_cid", "_pos").agg(
-            F.count("*").alias("_n"),
-            F.sum(F.col("_x").cast("decimal(28,10)")).alias("_s"),
-        )
-        acc: dict[int, list[float]] = {}
-        for r in sums.collect():
-            acc.setdefault(r["_cid"], [0.0] * dim)[r["_pos"]] = float(r["_s"]) / r["_n"]
-        cents = [acc.get(c, cents[c]) for c in range(len(cents))]
-        # (empty cluster keeps its previous centroid)
-    return cents
+    sums = assigned.groupBy("_cid", "_pos").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_x").cast("decimal(28,10)")).alias("_s"),
+    )
+    acc: dict[int, list[float]] = {}
+    for r in sums.collect():
+        acc.setdefault(r["_cid"], [0.0] * dim)[r["_pos"]] = float(r["_s"]) / r["_n"]
+    # (empty cluster keeps its previous centroid)
+    return [acc.get(c, cents[c]) for c in range(len(cents))]
 
 
 def nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
@@ -259,6 +305,7 @@ def ann_topk_ivf(
     nprobe: int = 4,
     dim: int = 64,
     iters: int = 2,
+    train_sample_size: int | None = 100_000,
 ) -> DataFrame:
     """IVF (cluster-then-probe) ANN: k-means partitions the corpus; each
     query probes its ``nprobe`` nearest centroids and reranks the probed
@@ -276,7 +323,10 @@ def ann_topk_ivf(
     the loop ends."""
     corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, dim, iters)
+        cents = kmeans_centroids(
+            corpus, id_col, vec_col, n_clusters, dim, iters,
+            train_sample_size=train_sample_size,
+        )
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
@@ -462,6 +512,7 @@ def semantic_dedup(
     dim: int = 64,
     iters: int = 1,
     threshold: float = 0.97,
+    train_sample_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public paper):
     cluster the embedding space with deterministic k-means, then WITHIN
@@ -486,7 +537,10 @@ def semantic_dedup(
 
     corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, dim, iters)
+        cents = kmeans_centroids(
+            corpus, id_col, vec_col, n_clusters, dim, iters,
+            train_sample_size=train_sample_size,
+        )
         assigned = corpus.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
@@ -658,6 +712,7 @@ def pq_codebooks(
     n_sub: int = 8,
     n_codes: int = 16,
     iters: int = 2,
+    train_sample_size: int | None = 100_000,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: the vector space splits into
     ``n_sub`` contiguous subspaces, each with its own ``n_codes``-word
@@ -669,7 +724,15 @@ def pq_codebooks(
     through rounded-DECIMAL sums per (subspace, code, dimension), so the
     codebooks are bit-stable across partitionings. Model state is
     n_sub x n_codes x (dim/n_sub) floats, driver-side like any trained
-    quantizer; the corpus never leaves executors."""
+    quantizer; the corpus never leaves executors.
+
+    Like ``kmeans_centroids``, training runs over a deterministic
+    sha-ranked sample of ``train_sample_size`` vectors (``None`` = full
+    corpus), persisted across Lloyd iterations — the Lloyd scans are
+    bounded by the sample at 100 TB, and below the bound the sample IS
+    the corpus so codebooks are bit-identical to unbounded training.
+    Encoding the full corpus with the trained books stays with the
+    caller."""
     sub_dim = dim // n_sub
 
     def slices(vec):
@@ -678,58 +741,64 @@ def pq_codebooks(
             lambda m: F.slice(vec, m * sub_dim + 1, sub_dim),
         )
 
-    init = (
-        corpus.select(
+    if train_sample_size is not None:
+        train = _train_sample(corpus, id_col, vec_col, train_sample_size).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        train = corpus.select(
             F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
             F.col(id_col),
             F.col(vec_col),
         )
-        .orderBy("_h", id_col)
-        .limit(n_codes)
+    try:
+        init = train.orderBy("_h", id_col).limit(n_codes).collect()
+        books = [
+            [
+                [float(x) for x in r[vec_col][m * sub_dim : (m + 1) * sub_dim]]
+                for r in init
+            ]
+            for m in range(n_sub)
+        ]
+        subs = train.select(slices(F.col(vec_col)).alias("_subs"))
+        for _ in range(iters):
+            books = _pq_lloyd_step(subs, books)
+        return books
+    finally:
+        if train_sample_size is not None:
+            train.unpersist(blocking=False)
+
+
+def _pq_lloyd_step(
+    subs: DataFrame, books: list[list[list[float]]]
+) -> list[list[list[float]]]:
+    lit_books = F.lit(books)  # one nested [m][k][d] literal node
+    # (m, sv) rows; argmin projected BEFORE the dimension explode so
+    # the k x sub_dim distance tree evaluates once per subvector
+    assigned = (
+        subs.select(F.posexplode("_subs").alias("_m", "_sv"))
+        .select(
+            "_m",
+            F.col("_sv"),
+            _pq_argmin(F.col("_sv"), F.col("_m"), lit_books).alias("_cid"),
+        )
+        .select("_m", "_cid", F.posexplode(F.col("_sv")).alias("_pos", "_x"))
+    )
+    rows = (
+        assigned.groupBy("_m", "_cid", "_pos")
+        .agg(
+            (F.sum(F.round(F.col("_x"), 9).cast("decimal(28,9)")) / F.count("*"))
+            .cast("double")
+            .alias("_mean")
+        )
         .collect()
     )
-    books = [
-        [
-            [float(x) for x in r[vec_col][m * sub_dim : (m + 1) * sub_dim]]
-            for r in init
-        ]
-        for m in range(n_sub)
-    ]
-    subs = corpus.select(slices(F.col(vec_col)).alias("_subs"))
-    for _ in range(iters):
-        lit_books = F.lit(books)  # one nested [m][k][d] literal node
-        # (m, sv) rows; argmin projected BEFORE the dimension explode so
-        # the k x sub_dim distance tree evaluates once per subvector
-        assigned = (
-            subs.select(F.posexplode("_subs").alias("_m", "_sv"))
-            .select(
-                "_m",
-                F.col("_sv"),
-                _pq_argmin(F.col("_sv"), F.col("_m"), lit_books).alias("_cid"),
-            )
-            .select(
-                "_m", "_cid", F.posexplode(F.col("_sv")).alias("_pos", "_x")
-            )
-        )
-        rows = (
-            assigned.groupBy("_m", "_cid", "_pos")
-            .agg(
-                (
-                    F.sum(F.round(F.col("_x"), 9).cast("decimal(28,9)"))
-                    / F.count("*")
-                )
-                .cast("double")
-                .alias("_mean")
-            )
-            .collect()
-        )
-        new_books = [
-            [list(code) for code in book] for book in books
-        ]  # keep empty-cluster codes in place
-        for r in rows:
-            new_books[r["_m"]][r["_cid"]][r["_pos"]] = float(r["_mean"])
-        books = new_books
-    return books
+    new_books = [
+        [list(code) for code in book] for book in books
+    ]  # keep empty-cluster codes in place
+    for r in rows:
+        new_books[r["_m"]][r["_cid"]][r["_pos"]] = float(r["_mean"])
+    return new_books
 
 
 def _pq_argmin(sv: Column, m: Column, lit_books: Column) -> Column:
@@ -804,6 +873,7 @@ def ann_topk_ivfpq(
     n_codes: int = 16,
     iters: int = 1,
     refine: int = 48,
+    train_sample_size: int | None = 100_000,
 ) -> DataFrame:
     """IVF+PQ search with asymmetric distance (the FAISS IVFPQ shape,
     composed from this module's coarse quantizer and ``pq_codebooks``):
@@ -834,7 +904,10 @@ def ann_topk_ivfpq(
     corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     resid = None
     try:
-        cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, dim, iters)
+        cents = kmeans_centroids(
+            corpus, id_col, vec_col, n_clusters, dim, iters,
+            train_sample_size=train_sample_size,
+        )
         lit_cents = F.lit(cents)
         sub_dim = dim // n_sub
         resid = (
@@ -855,7 +928,8 @@ def ann_topk_ivfpq(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         books = pq_codebooks(
-            resid, id_col, "_res", dim=dim, n_sub=n_sub, n_codes=n_codes, iters=iters
+            resid, id_col, "_res", dim=dim, n_sub=n_sub, n_codes=n_codes,
+            iters=iters, train_sample_size=train_sample_size,
         )
         lit_books = F.lit(books)
         subs = F.transform(
