@@ -208,14 +208,24 @@ class ParquetCatalogBackend(CatalogBackend):
                 f"seq {record['seq']} already committed by another writer"
             ) from None
         except OSError:  # link unsupported here -> O_EXCL fallback
+            with open(tmp, "rb") as src:
+                payload = src.read()
             try:
                 fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 raise ChunkConflict(
                     f"seq {record['seq']} already committed by another writer"
                 ) from None
-            with open(tmp, "rb") as src, os.fdopen(fd, "wb") as out:
-                out.write(src.read())
+            # the bytes were read BEFORE the exclusive create (above), so
+            # the claimed file's size-0 window is one syscall wide — and
+            # the copy flushes in chunks so a slow large copy keeps its
+            # size/mtime moving, never sitting "stable" long enough for
+            # _probe_commit's grace heuristic to misread a LIVE writer
+            # as crashed (ADVICE r6)
+            with os.fdopen(fd, "wb") as out:
+                for i in range(0, len(payload), 1 << 16):
+                    out.write(payload[i : i + (1 << 16)])
+                    out.flush()
             # the O_EXCL path makes the commit file visible BEFORE its
             # bytes finish copying; this sidecar marker is the "copy
             # complete" signal that lets readers distinguish an in-flight
@@ -296,7 +306,13 @@ class ParquetCatalogBackend(CatalogBackend):
             if sig != last_sig:
                 last_sig = sig
                 stable_since = now
-            if now - stable_since >= self.ABORTED_GRACE_SECONDS:
+            # a size-0 claimed file is the narrowest live-writer state
+            # (fd created, first chunk not yet written — one syscall
+            # wide since the payload is pre-read); it gets a 5x longer
+            # grace before being declared crashed, because unlike a
+            # partial copy there are no moving bytes to prove liveness
+            grace = self.ABORTED_GRACE_SECONDS * (5.0 if sig[0] == 0 else 1.0)
+            if now - stable_since >= grace:
                 return "aborted"
             if now - start >= 10 * self.ABORTED_GRACE_SECONDS:
                 return "inflight"  # pathological flapping: don't adopt
@@ -543,6 +559,28 @@ class ParquetCatalogBackend(CatalogBackend):
         # exclusive-create lands — with the tail retained, that create
         # still collides. Their duplicate content (also in the compacted
         # file) is collapsed by the same-seq dedupe on read.
+        # -- tag/fold handshake (ADVICE r6) -------------------------------
+        # A create_tag racing this fold could land between the tag
+        # snapshot above and the deletes below, silently losing the
+        # exact history its docs promise. Closing the race needs both
+        # sides ordered through a shared monotone marker:
+        #   fold:       publish floor(cutoff)  ->  re-read tags  ->  delete
+        #   create_tag: create tag file        ->  read floor    ->  fail if below
+        # Any tag the re-read misses was created after the floor was
+        # published, so its own post-create floor check sees
+        # seq < cutoff and fails-and-deletes it; any tag the re-read
+        # sees aborts the deletions here. Either way no committed tag
+        # ever points below a destructive fold.
+        self._publish_fold_floor(cutoff)
+        late_tags = self.list_tags()
+        if late_tags and min(late_tags.values()) < cutoff:
+            # a tag landed under the fold: keep every source file (the
+            # compacted file is a benign duplicate — same-(seq,chunk)
+            # dedupe on read collapses it); the next fold re-clamps to
+            # the new tag. The floor stays published: the racing
+            # create_tag that triggered this abort self-fails, which is
+            # the honest outcome ("may have been folded — retry").
+            return
         canon = sorted(
             (f for f in files if f.split(".")[0].isdigit()),
             key=lambda f: int(f.split(".")[0]),
@@ -567,32 +605,124 @@ class ParquetCatalogBackend(CatalogBackend):
             except FileNotFoundError:
                 pass
 
+    # -- fold floor: the tag/fold handshake marker --------------------------
+    def _publish_fold_floor(self, cutoff: int) -> None:
+        """Record 'a fold collapsing history below ``cutoff`` is
+        committing' as a monotone marker set: one O_EXCL ``.floor-<n>``
+        file per distinct cutoff, read as the max over the listing.
+        Append-only-then-prune is deliberately NOT read-modify-write —
+        two racing compactors can never regress the visible max (the
+        higher file exists before any lower one is pruned)."""
+        path = os.path.join(self.meta_dir, f".floor-{cutoff:020d}")
+        try:
+            os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            pass
+        for f in os.listdir(self.meta_dir):
+            if f.startswith(".floor-") and f < f".floor-{cutoff:020d}":
+                try:
+                    os.remove(os.path.join(self.meta_dir, f))
+                except FileNotFoundError:
+                    pass
+
+    def fold_floor(self) -> int:
+        """Highest cutoff any committed/committing destructive fold has
+        published; tags must point at-or-above it to be exact."""
+        best = 0
+        for f in os.listdir(self.meta_dir):
+            if f.startswith(".floor-"):
+                try:
+                    best = max(best, int(f[len(".floor-"):]))
+                except ValueError:
+                    continue
+        return best
+
     # -- tags: immutable named refs to committed versions ------------------
+    #: A claimed tag file that is empty/unparseable (a crashed O_EXCL
+    #: fallback writer) is reclaimable once this old — a LIVE fallback
+    #: writer finishes its single small write in microseconds.
+    TAG_RECLAIM_GRACE_SECONDS = 2.0
+
     def create_tag(self, name: str, seq: int) -> None:
         """Record an immutable named ref to version ``seq`` (the
         Iceberg-tag shape). Exclusive creation — re-tagging a name is a
-        conflict, not an overwrite; a tag never moves."""
+        conflict, not an overwrite; a tag never moves.
+
+        Two failure modes are handled beyond the happy path (ADVICE r6):
+        a crashed fallback writer's empty/corrupt tag file is reclaimed
+        after a grace window instead of poisoning the name forever, and
+        a create racing a compaction fold re-checks the published fold
+        floor AFTER the tag lands — if the fold already collapsed
+        history below ``seq``, the tag is deleted and the create fails
+        loudly rather than silently losing its exactness guarantee
+        (see the handshake comment in ``compact``)."""
         if "/" in name or name.startswith("."):
             raise ValueError(f"invalid tag name {name!r}")
+        dst = os.path.join(self.tag_dir, name)
         tmp = os.path.join(self.tag_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump({"name": name, "seq": int(seq), "created_at": time.time()}, fh)
         try:
-            os.link(tmp, os.path.join(self.tag_dir, name))
-        except FileExistsError:
-            raise ChunkConflict(f"tag {name!r} already exists") from None
-        except OSError:
-            try:
-                fd = os.open(
-                    os.path.join(self.tag_dir, name),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
-                raise ChunkConflict(f"tag {name!r} already exists") from None
-            with open(tmp, "rb") as src, os.fdopen(fd, "wb") as out:
-                out.write(src.read())
+            for attempt in (0, 1):
+                try:
+                    self._create_tag_file(tmp, dst)
+                    break
+                except ChunkConflict:
+                    if attempt or not self._reclaim_dead_tag(dst):
+                        raise
         finally:
             os.remove(tmp)
+        floor = self.fold_floor()
+        if int(seq) < floor:
+            # the fold's tag re-read cannot have seen this tag (it was
+            # created after the floor was published), so its history may
+            # already be collapsed — fail the create instead of leaving
+            # a tag whose state_as_of_tag is silently inexact
+            self.delete_tag(name)
+            raise ChunkConflict(
+                f"tag {name!r} at seq {seq} raced a compaction fold "
+                f"(floor {floor}): history below the floor may be "
+                "collapsed — re-read the frontier and retag"
+            )
+
+    def _create_tag_file(self, tmp: str, dst: str) -> None:
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            raise ChunkConflict(f"tag already exists: {dst}") from None
+        except OSError:
+            try:
+                fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ChunkConflict(f"tag already exists: {dst}") from None
+            # single small write on the O_EXCL-claimed fd; a crash
+            # before it completes leaves the empty/partial file that
+            # _reclaim_dead_tag garbage-collects after the grace window
+            with open(tmp, "rb") as src, os.fdopen(fd, "wb") as out:
+                out.write(src.read())
+
+    def _reclaim_dead_tag(self, dst: str) -> bool:
+        """True if ``dst`` was a crashed writer's unreadable tag file and
+        was removed (caller may retry its exclusive create once). A
+        healthy tag file never matches: it parses. A LIVE in-flight
+        fallback writer is protected by the grace window on mtime."""
+        try:
+            st = os.stat(dst)
+        except FileNotFoundError:
+            return True  # racing reclaimer already removed it
+        try:
+            with open(dst) as fh:
+                json.load(fh)
+            return False  # parseable: a real committed tag
+        except (OSError, ValueError):
+            pass
+        if time.time() - st.st_mtime < self.TAG_RECLAIM_GRACE_SECONDS:
+            return False  # possibly a live writer mid-copy: wait it out
+        try:
+            os.remove(dst)
+        except FileNotFoundError:
+            pass
+        return True
 
     def list_tags(self) -> dict[str, int]:
         out: dict[str, int] = {}

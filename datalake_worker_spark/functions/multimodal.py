@@ -275,8 +275,20 @@ def m05_image_patchify(spark, sf_dir):
     )
 
 
-PHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit hash
+#: Band count for the banded candidate join. Pigeonhole: a pair whose
+#: Hamming distance is <= PHASH_BANDS - 1 differs in fewer bits than
+#: there are bands, so at least one band is clean (agrees exactly) and
+#: the equi-join is GUARANTEED to surface the pair. With the verify
+#: threshold at 6 bits, 7 bands make the guarantee cover the whole
+#: accepted range — 4 x 16-bit bands (the SimHash d08 default) only
+#: guarantee <= 3 bits, since 4-6 differing bits can spread 2+2+1+1
+#: over all four bands (ADVICE r6). Narrower bands mean more candidate
+#: collisions; that is the documented recall-vs-candidates trade, and
+#: the exact bit_count verify keeps precision unaffected.
+PHASH_BANDS = 7  # six 9-bit bands + one 10-bit band over the 64 bits
 PHASH_HAMMING_MAX = 6
+_PHASH_BAND_OFFSETS = [0, 10, 19, 28, 37, 46, 55]
+_PHASH_BAND_WIDTHS = [10, 9, 9, 9, 9, 9, 9]
 
 
 def perceptual_hash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -321,13 +333,14 @@ def phash_near_pairs(
     hashed: DataFrame, max_hamming: int = PHASH_HAMMING_MAX
 ) -> DataFrame:
     """Banded near-pair generation over perceptual hashes (the SimHash
-    d08 recipe applied to the multimodal column): 4 x 16-bit bands — a
-    pair within Hamming distance <= 6 of 64 bits must agree exactly on
-    at least one band (pigeonhole over 4 bands allows up to 3 differing
-    bands only if some band is clean; distance <= PHASH_HAMMING_MAX < 4*2
-    guarantees a clean band whenever the differing bits spread over at
-    most 3 bands — candidate recall is the banding trade documented on
-    d08). Bucket equi-join, never all-pairs; exact bit_count verify."""
+    d08 recipe applied to the multimodal column): 7 uneven bands over
+    the 64 bits. Pigeonhole guarantee: a pair within Hamming distance
+    <= PHASH_BANDS - 1 = 6 differs in fewer bits than there are bands,
+    so some band agrees exactly and the candidate equi-join surfaces
+    the pair — guaranteed recall across the whole accepted range
+    (<= PHASH_HAMMING_MAX), not just for favourable bit spreads (the
+    4 x 16-bit layout's <= 3 guarantee, corrected per ADVICE r6).
+    Bucket equi-join, never all-pairs; exact bit_count verify."""
     bands = hashed.select(
         "doc_id",
         "phash",
@@ -335,8 +348,10 @@ def phash_near_pairs(
             F.array(*[
                 F.struct(
                     F.lit(k).alias("band_idx"),
-                    F.shiftrightunsigned(F.col("phash"), 16 * k)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(
+                        F.col("phash"), _PHASH_BAND_OFFSETS[k]
+                    )
+                    .bitwiseAND(F.lit((1 << _PHASH_BAND_WIDTHS[k]) - 1))
                     .alias("band_val"),
                 )
                 for k in range(PHASH_BANDS)

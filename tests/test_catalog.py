@@ -292,3 +292,76 @@ def test_tags_survive_autocompaction(spark, tmp_path):
     assert cat.list_chunks_as_of_tag("v2") == [f"c{i}" for i in range(4)]
     with _pytest.raises(KeyError):
         cat.state_as_of_tag("v1")
+
+
+def test_tag_below_fold_floor_fails_loudly(cat):
+    """The tag/fold handshake (ADVICE r6): after a destructive fold
+    publishes its floor, tagging a seq below it must fail with a
+    conflict and leave no tag behind — never a silently-inexact tag —
+    while tagging at/above the floor still succeeds."""
+    from datalake_worker_spark.errors import ChunkConflict
+
+    for i in range(6):
+        assert cat.register_chunk(_meta(i, 1000 * i, 1000 * (i + 1)))
+    cat.checkpoint()  # full fold: floor = latest seq
+    floor = cat.backend.fold_floor()
+    assert floor == 6
+    with pytest.raises(ChunkConflict, match="raced a compaction fold"):
+        cat.backend.create_tag("stale", floor - 1)
+    assert "stale" not in cat.list_tags()  # failed create left nothing
+    cat.backend.create_tag("at-floor", floor)  # boundary stays exact
+    assert cat.list_tags()["at-floor"] == floor
+    assert cat.create_tag("head") == cat.version  # the normal path
+
+
+def test_compact_aborts_deletes_for_late_tag(cat, monkeypatch):
+    """A tag that lands between compact's tag snapshot and its deletes
+    (simulated by injecting the create into the post-floor re-read)
+    must keep every source log file — state_as_of_tag stays exact."""
+    for i in range(6):
+        assert cat.register_chunk(_meta(i, 1000 * i, 1000 * (i + 1)))
+    backend = cat.backend
+    real_list_tags = backend.list_tags
+    injected = {}
+
+    def racy_list_tags():
+        tags = real_list_tags()
+        if not injected:
+            # first call inside compact = the pre-fold snapshot; plant
+            # the racing tag so the post-floor re-read discovers it
+            injected["done"] = True
+            with open(os.path.join(backend.tag_dir, "late"), "w") as fh:
+                import json as _json
+
+                _json.dump({"name": "late", "seq": 3, "created_at": 0}, fh)
+        return tags
+
+    monkeypatch.setattr(backend, "list_tags", racy_list_tags)
+    before = sorted(
+        f for f in os.listdir(backend.meta_dir) if f.endswith(".parquet")
+    )
+    backend.compact()  # must abort its deletes on seeing the late tag
+    after = sorted(
+        f for f in os.listdir(backend.meta_dir) if f.endswith(".parquet")
+    )
+    assert set(before) <= set(after), "source log files were deleted"
+    monkeypatch.undo()
+    cat.refresh()
+    assert cat.list_chunks_as_of_tag("late") == [f"chunk{i:02d}" for i in range(3)]
+
+
+def test_crashed_tag_writer_is_reclaimed(cat):
+    """A crashed O_EXCL-fallback tag writer's empty file must not poison
+    the name forever: after the grace window, create_tag reclaims it;
+    inside the window it still conflicts (could be a live writer)."""
+    from datalake_worker_spark.errors import ChunkConflict
+
+    assert cat.register_chunk(_meta(0, 0, 1000))
+    dead = os.path.join(cat.backend.tag_dir, "wedged")
+    open(dead, "w").close()  # the crash artifact: claimed, zero bytes
+    with pytest.raises(ChunkConflict):
+        cat.create_tag("wedged")  # too fresh: could be live
+    past = __import__("time").time() - 10
+    os.utime(dead, (past, past))
+    assert cat.create_tag("wedged") == cat.version  # reclaimed
+    assert cat.list_tags()["wedged"] == cat.version

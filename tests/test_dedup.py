@@ -266,3 +266,27 @@ def test_m06_phash_planted_pairs(spark):
     }
     assert (1, 2) in pairs, pairs
     assert all(k == (1, 2) for k in pairs), pairs
+
+
+def test_m06_phash_worst_case_bit_spread(spark):
+    """Pigeonhole guarantee at the verify threshold: a pair at Hamming
+    distance exactly 6 with the differing bits spread 2+2+1+1 across
+    the four 16-bit quarters (the spread the old 4-band layout missed,
+    ADVICE r6) must be surfaced by the 7-band candidate join."""
+    from datalake_worker_spark.functions.multimodal import phash_near_pairs
+
+    base = 0x0123_4567_89AB_CDEF
+    # flip bits 0,1 (quarter 0), 17,18 (quarter 1), 35 (quarter 2), 50 (q3)
+    near = base ^ ((1 << 0) | (1 << 1) | (1 << 17) | (1 << 18) | (1 << 35) | (1 << 50))
+    far = base ^ ((1 << 63) - 1)  # ~32+ bits away from both
+
+    def signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    df = spark.createDataFrame(
+        [(1, signed(base)), (2, signed(near)), (3, signed(far))],
+        "doc_id long, phash long",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_near_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 6, pairs
+    assert set(pairs) == {(1, 2)}, pairs
