@@ -37,6 +37,11 @@ FLAGSHIP = [
     ("t21_textrank_keywords", "TextRank: per-iteration edges-join-ranks + two-phase vertex sum, TakeOrdered top-10"),
     ("x07_last_touch_attribution", "attribution: as-of collapsed to one running-MAX window, no join"),
     ("io15_snapshot_diff", "snapshot diff: ONE full-outer key join, unchanged rows filtered before output"),
+    # the r6 extended-suite "regression" set: recorded so any future
+    # slowdown can be mechanically diffed against the committed plan
+    ("q07_volume_shipping", "nation-pair OR join: dims broadcast, one fact exchange into the 3-key agg"),
+    ("q13_customer_order_distribution", "left-outer count distribution: one join exchange, two-phase count agg"),
+    ("a08_approx_aggregates", "approx aggregates: map-side sketch partials, one tiny merge exchange"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
