@@ -67,6 +67,8 @@ _PRIORITY_NAMES = [
     # behind them, itself stalest-first, so next round's budget naturally
     # continues the cycle.  Goal state: no registry query's newest driver
     # row predates r4.
+    # never verified by the driver (new in round 7)
+    "io17_jdbc_roundtrip",
     # newest driver row: round 2
     "io04_in_memory_source",
     "io05_schema_evolution_merge",

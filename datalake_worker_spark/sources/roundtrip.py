@@ -790,3 +790,53 @@ def io16_ttl_partition_expiry(spark, sf_dir):
             F.min("o_orderkey").cast("long").alias("first_key"),
         )
     )
+
+
+@register(
+    "io17_jdbc_roundtrip",
+    """
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    category="sources",
+    doc=(
+        "REAL JDBC roundtrip — not a classpath stub: nation is written "
+        "to an embedded Apache Derby database through the JDBC sink "
+        "(Derby's driver ships inside the Spark distribution itself) "
+        "and read back as a PARTITIONED JDBC scan (partitionColumn + "
+        "bounds -> 4 parallel range queries, the only JDBC read shape "
+        "that scales past one connection), then aggregated per region. "
+        "Embedded Derby lives in the driver JVM — exactly the local[*] "
+        "topology; on a cluster the identical code points at a network "
+        "JDBC URL. Covers sources/connectors.py read_jdbc/write_jdbc "
+        "(the reference's external-source ingest surface, "
+        "src/lib.rs:17-28, re-expressed as a Spark connector)."
+    ),
+)
+def io17_jdbc_roundtrip(spark, sf_dir):
+    from .connectors import DERBY_EMBEDDED_DRIVER, read_jdbc, write_jdbc
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    dbdir = os.path.join(tempfile.mkdtemp(prefix="dlw_jdbc_"), "db")
+    url = f"jdbc:derby:{dbdir};create=true"
+    write_jdbc(n, url, "NATION_RT", DERBY_EMBEDDED_DRIVER)
+    back = read_jdbc(
+        spark,
+        url,
+        "NATION_RT",
+        DERBY_EMBEDDED_DRIVER,
+        partitionColumn="n_nationkey",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+    )
+    back = back.select([F.col(c).alias(c.lower()) for c in back.columns])
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
