@@ -235,9 +235,18 @@ def near_dup_pairs_minhash(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+    # verify on the SAME set the minhash estimates: distinct word
+    # 3-gram shingles. (Until r7 this verified distinct-TOKEN jaccard,
+    # which is a different — and far more permissive — measure: on the
+    # test corpus 65k of 125k doc pairs clear 0.6 token overlap while
+    # only ~28 share 60% of their shingles. The estimator and the
+    # verifier must speak the same language or the threshold is
+    # meaningless; APPROX_CHECKS d04 pins the agreement.)
     toks = docs.select(
         F.col(id_col),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        F.array_distinct(
+            shingles_from_words(F.split(F.col(text_col), " "))
+        ).alias("toks"),
     )
     verified = (
         cand.join(toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("ta")), "id_a")
@@ -546,7 +555,7 @@ def near_dup_pairs_simhash(
     "d08_simhash_near_dups",
     None,  # xxhash64-based fingerprints — property-tested in pytest
     category="llm-dedup",
-    doc="SimHash banded near-dup pairs (4×16-bit blocks, Hamming ≤ 8, exact verify).",
+    doc="SimHash banded near-dup pairs (4×16-bit blocks; pigeonhole-guaranteed candidate recall at Hamming <= 3, probabilistic 4-8; exact popcount verify at <= 8).",
 )
 def d08_simhash_near_dups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")

@@ -67,24 +67,26 @@ def test_minhash_recall_on_planted_dups(spark):
 
 
 def test_minhash_verification_is_exact(spark, oracle):
-    """Candidate verification (exact jaccard) hash-matches DuckDB on the
-    same pair set."""
+    """Candidate verification recomputes the exact jaccard of the SAME
+    set family the minhash estimates — distinct word-3-gram shingles
+    (r7: the pre-r7 token-set verify was a different, far more
+    permissive measure than the estimator's)."""
+
+    def shingles(text: str, n: int = 3) -> set[str]:
+        w = text.split(" ")
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
     df, _ = _corpus(spark, n_base=30, n_dups=10)
-    pdf = df.toPandas()
-    con = oracle
-    con.execute("CREATE OR REPLACE TABLE _dd AS SELECT * FROM pdf")
+    texts = {r.doc_id: r.text for r in df.collect()}
     pairs = near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.3).collect()
+    assert pairs, "no candidate pairs to verify"
     for r in pairs:
-        (dj,) = con.execute(
-            """
-            SELECT ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-                   / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
-            FROM (SELECT list_distinct(string_split(text,' ')) t FROM _dd WHERE doc_id = ?) a,
-                 (SELECT list_distinct(string_split(text,' ')) t FROM _dd WHERE doc_id = ?) b
-            """,
-            [r.id_a, r.id_b],
-        ).fetchone()
-        assert abs(r.jaccard - dj) < 1e-9
+        sa, sb = shingles(texts[r.id_a]), shingles(texts[r.id_b])
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(r.jaccard - round(exact, 6)) < 1e-9
+        assert r.jaccard >= 0.3
 
 
 def test_simhash_locality(spark):

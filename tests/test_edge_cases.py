@@ -169,8 +169,11 @@ def test_minhash_identical_texts_are_collapsed_not_paired(spark):
 
 
 def test_minhash_distinct_texts_same_tokens_still_pair(spark):
-    """Near-identical but not byte-equal texts still pair (token-set
-    jaccard 1.0) — the collapse only removes exact duplicates."""
+    """Near-identical but not byte-equal texts still pair — the collapse
+    only removes exact duplicates. The verified jaccard is the SHINGLE
+    jaccard the minhash estimates (r7): one duplicated word leaves 4 of
+    5 word-3-grams shared -> 0.8, not the token-set 1.0 the pre-r7
+    verify reported (word order and repetition matter to near-dup-ness)."""
     df = spark.createDataFrame(
         [
             (1, "alpha beta gamma delta epsilon zeta"),
@@ -178,8 +181,17 @@ def test_minhash_distinct_texts_same_tokens_still_pair(spark):
         ],
         "doc_id long, text string",
     )
-    pairs = near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.99).collect()
-    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+    pairs = near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.7).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard == 0.8
+    # and word-scramble is NOT a 1.0 near-dup under the shingle measure
+    df2 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "zeta epsilon delta gamma beta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    assert near_dup_pairs_minhash(df2, "doc_id", "text", threshold=0.7).collect() == []
 
 
 def test_simhash_empty_vs_nonempty(spark):
