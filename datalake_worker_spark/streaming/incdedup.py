@@ -388,12 +388,33 @@ def run_incremental_near_dup(
         # into a single array<long> column immediately — the 64-column
         # layout bloats every downstream join plan (measured ~1 MB task
         # binaries and analysis-dominated batches at test scale)
+        # stage attribution (VERDICT r6 item 4): DLW_ST13_PROFILE=1 forces
+        # each lazy stage with a count and logs per-stage seconds into the
+        # batch trace. Off by default — forcing breaks the single-job
+        # fusion the production path relies on, so profiling is a mode,
+        # not a side effect.
+        profile = os.environ.get("DLW_ST13_PROFILE") == "1"
+        stages: dict[str, float] = {}
+
+        def _mark(name: str, start: float) -> float:
+            now = _time.perf_counter()
+            if profile:
+                stages[name] = round(now - start, 3)
+            return now
+
         wide = minhash_signatures(live, "doc_id", "text", k=K)
         sig = wide.select(
             "doc_id", F.array(*[F.col(f"h{i}") for i in range(K)]).alias("sig")
         ).persist()
         bands = bands_from_signatures(wide, "doc_id", K, BANDS).persist()
+        t = t0
+        if profile:
+            sig.count(), bands.count()
+            t = _mark("signatures", t)
         near_drop, overcap = within_batch_drops(bands, sig, bucket_cap)
+        if profile:
+            near_drop.count()
+            t = _mark("within_batch", t)
         survivors = live.join(near_drop, "doc_id", "left_anti")
         hist_b = bands_store.read(s)
         if hist_b is not None:
@@ -407,6 +428,9 @@ def run_incremental_near_dup(
                 hist_b.filter(F.col("epoch") < e),
                 sigs_store.read(s).filter(F.col("epoch") < e),
             )
+            if profile:
+                hist_drop.count()
+                t = _mark("history_probe", t)
             survivors = survivors.join(hist_drop, "doc_id", "left_anti")
         sv_ids = survivors.select("doc_id").persist()
         # generation-keyed overwrites: an at-least-once replay of this
@@ -438,9 +462,11 @@ def run_incremental_near_dup(
         # the scale probe reads it to assert per-batch cost stays flat
         # as history grows — the last-per-epoch line wins on replay)
         with open(os.path.join(root, "_batch_seconds.jsonl"), "a") as fh:
-            fh.write(json.dumps(
-                {"epoch": e, "seconds": round(_time.perf_counter() - t0, 3)}
-            ) + "\n")
+            rec = {"epoch": e, "seconds": round(_time.perf_counter() - t0, 3)}
+            if profile:
+                stages["writes_and_admin"] = round(_time.perf_counter() - t, 3)
+                rec["stages"] = stages
+            fh.write(json.dumps(rec) + "\n")
 
     schema = spark.read.parquet(landing).schema
     q = (
