@@ -1,0 +1,412 @@
+"""Round-7 operator wave: corpus statistics, exact weighted/rolling
+order statistics, a binned range join, and an embedding-truncation
+audit — each DuckDB-oracle-backed with identical aliases/casts.
+
+Scale notes are inline per operator; the shared rules: DECIMAL for
+order-independent float sums, ROUND(_, 6) where libm is involved,
+BIGINT casts for counts, unique-key tie-breaks on every ranking.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.similarity import exact_topk, to_double_array
+from ..functions.text import whitespace_tokens
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "t23_zipf_token_curve",
+    r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+    counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    top AS (
+        SELECT tok, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS BIGINT)
+                 AS rank
+        FROM counts ORDER BY n DESC, tok ASC LIMIT 20
+    )
+    SELECT rank, tok, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(SUM(n) OVER (ORDER BY rank) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS cum_share
+    FROM top
+    """,
+    category="llm-text",
+    doc=(
+        "Zipf curve head: the 20 most frequent tokens with rank and "
+        "cumulative corpus share — the vocabulary-concentration "
+        "diagnostic run before choosing tokenizer/stopword policy. "
+        "Counts come from one map-side-combined groupBy; the head is a "
+        "TakeOrdered top-20 (no global sort), and only those 20 rows "
+        "enter the cumulative window, so nothing here grows with corpus "
+        "size except the token count aggregation itself."
+    ),
+)
+def t23_zipf_token_curve(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(whitespace_tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = toks.agg(F.count("*").cast("double").alias("total"))
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), F.asc("tok")))
+            .cast("long"),
+        )
+    )
+    return (
+        top.crossJoin(total)  # 20 x 1 — a literal-sized broadcast
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n").over(W.orderBy("rank")).cast("double")
+                / F.col("total"),
+                6,
+            ),
+        )
+        .select("rank", "tok", F.col("n").cast("long").alias("n"), "cum_share")
+    )
+
+
+@register(
+    "t24_sentence_stats",
+    r"""
+    WITH s AS (
+        SELECT lang,
+               GREATEST(length(text)
+                        - length(regexp_replace(text, '[.!?]', '', 'g')), 1)
+                 AS n_sentences,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(n_words) AS DOUBLE) / SUM(n_sentences), 6)
+             AS words_per_sentence,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_words), 6)
+             AS chars_per_word
+    FROM s GROUP BY lang
+    """,
+    category="llm-text",
+    doc=(
+        "readability profile per language (the Flesch-style length "
+        "ratios quality pipelines gate on): sentences counted by "
+        "terminator characters, words by the shared whitespace "
+        "tokenizer, ratios from integer sums so they are exact and "
+        "order-independent. Pure per-row JVM expressions into one "
+        "map-side-combined aggregation — zero extra shuffles at any "
+        "scale."
+    ),
+)
+def t24_sentence_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "lang",
+        F.greatest(
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[.!?]", "")),
+            F.lit(1),
+        ).alias("n_sentences"),
+        F.size(whitespace_tokens("text")).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum("n_words").cast("double") / F.sum("n_sentences"), 6
+        ).alias("words_per_sentence"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_words"), 6).alias(
+            "chars_per_word"
+        ),
+    )
+
+
+@register(
+    "a15_weighted_median",
+    """
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DOUBLE) AS price,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag) AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(price) AS weighted_median,
+           CAST(MIN(tot) AS DOUBLE) AS total_weight
+    FROM w WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+    category="aggregation",
+    doc=(
+        "exact weighted median (price weighted by quantity) per return "
+        "flag — the order statistic approx sketches cannot give you "
+        "exactly. One hash exchange on the group key serves both the "
+        "running and total weight windows (same partitioning); the "
+        "qualifying-row scan is a filter, not a second shuffle. DECIMAL "
+        "cumulative weights make the boundary row partition-order-"
+        "independent; ties on price break on the unique line key."
+    ),
+)
+def a15_weighted_median(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    cum_w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    )
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.sum(qty).over(cum_w).alias("cum"),
+        F.sum(qty).over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        w.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("tot").cast("double").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "w17_rolling_median",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(median(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_median
+    FROM events
+    """,
+    category="window",
+    doc=(
+        "exact rolling median of each user's last 5 event values — the "
+        "robust smoother (rolling mean is outlier-dominated; w16's MAD "
+        "is its global cousin). No engine exposes median as a native "
+        "sliding frame aggregate over arbitrary input, but a CONSTANT "
+        "frame of k rows makes exactness cheap: collect_list over the "
+        "5-row frame, sort_array, interpolate — per-row state is k "
+        "values, one exchange on user_id, nothing grows with history. "
+        "Interpolated even-count median matches DuckDB's quantile_cont."
+    ),
+)
+def w17_rolling_median(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(
+        F.collect_list(F.col("value").cast("double")).over(fr)
+    )
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.when(n % 2 == 1, odd).otherwise(even), 6).alias(
+            "rolling_median"
+        ),
+    )
+
+
+@register(
+    "j12_binned_range_join",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+    SELECT a.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(b.us - a.us AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*) / 1e6, 6) AS avg_gap_seconds
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.us > a.us AND b.us <= a.us + 600000000
+    GROUP BY a.user_id
+    """,
+    category="join",
+    doc=(
+        "range self-join made shuffle-shaped: pairs of same-user events "
+        "within 10 minutes. The naive form is a non-equi theta join — "
+        "O(n_u^2) comparisons per user and a BroadcastNestedLoop plan. "
+        "Binning event times to the window width turns it into an "
+        "EQUI-join: a row in (user, bin) can only pair forward with "
+        "rows in bin or bin+1, so the probe side expands to exactly two "
+        "bin keys and the exact range predicate filters the equi-join "
+        "output. Cost drops from per-user-quadratic scans to hash-join "
+        "work linear in true candidates — the standard interval-join "
+        "recipe (Flink's interval join runs the same shape). "
+        "test_plans.py gates the no-nested-loop property."
+    ),
+)
+def j12_binned_range_join(spark, sf_dir):
+    width_us = 600_000_000  # 10 minutes
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    binned = e.withColumn("bin", F.floor(F.col("us") / width_us))
+    left = binned.select(
+        "user_id",
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array(F.col("bin"), F.col("bin") + 1)
+        ).alias("probe_bin"),
+    )
+    right = binned.select(
+        "user_id", F.col("us").alias("b_us"), F.col("bin").alias("probe_bin")
+    )
+    pairs = left.join(right, ["user_id", "probe_bin"]).filter(
+        (F.col("b_us") > F.col("a_us"))
+        & (F.col("b_us") <= F.col("a_us") + width_us)
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum((F.col("b_us") - F.col("a_us")).cast("decimal(18,0)"))
+            .cast("double")
+            / F.count("*")
+            / 1e6,
+            6,
+        ).alias("avg_gap_seconds"),
+    )
+
+
+@register(
+    "v10_matryoshka_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    s64 AS (
+        SELECT query_id, neighbor_id, rn FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qv, e.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                       e.vec_id ASC) AS BIGINT) AS rn
+            FROM q JOIN e ON q.query_id <> e.vec_id)
+        WHERE rn <= 5
+    ),
+    s16 AS (
+        SELECT query_id, neighbor_id, rn FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qv[1:16], e.v[1:16])
+                             / (sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))
+                                * sqrt(list_dot_product(e.v[1:16], e.v[1:16]))), 6) DESC,
+                       e.vec_id ASC) AS BIGINT) AS rn
+            FROM q JOIN e ON q.query_id <> e.vec_id)
+        WHERE rn <= 5
+    )
+    SELECT s64.query_id,
+           CAST(COUNT(s16.neighbor_id) AS BIGINT) AS preserved_at_5
+    FROM s64 LEFT JOIN s16
+      ON s64.query_id = s16.query_id AND s64.neighbor_id = s16.neighbor_id
+    GROUP BY s64.query_id
+    """,
+    category="llm-similarity",
+    doc=(
+        "matryoshka truncation audit (Kusupati et al. 2022, public): "
+        "how many of each query's exact top-5 at full 64 dims survive "
+        "when vectors are truncated to the 16-dim prefix — the "
+        "measurement behind serving embeddings at reduced dimension. "
+        "Two exact_topk passes (the 16-dim one over F.slice'd vectors, "
+        "projected before the ranking shuffle like v01) and a top-5 x "
+        "top-5 key join; at 100 TB both passes are the v01 broadcast "
+        "shape and the audit join is 5 rows per query."
+    ),
+)
+def v10_matryoshka_audit(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    full = exact_topk(e, q, "vec_id", "v", k=5)
+    e16 = e.select("vec_id", F.slice("v", 1, 16).alias("v"))
+    q16 = e16.filter(F.col("vec_id") < 20)
+    trunc = exact_topk(e16, q16, "vec_id", "v", k=5).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor")
+    )
+    return (
+        full.select("query_id", "neighbor_id")
+        .join(
+            trunc,
+            (full.query_id == trunc.query_id)
+            & (full.neighbor_id == trunc.t_neighbor),
+            "left",
+        )
+        .drop(trunc.query_id)
+        .groupBy("query_id")
+        .agg(F.count("t_neighbor").cast("long").alias("preserved_at_5"))
+    )
+
+
+@register(
+    "io18_parquet_codec_roundtrip",
+    """
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT codec, n_rows, total_price
+    FROM (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec), agg
+    """,
+    category="sources",
+    doc=(
+        "compression-codec roundtrip: the same orders slice written as "
+        "snappy, gzip and zstd parquet, each read back and aggregated — "
+        "identical results prove codec choice is a pure "
+        "storage/CPU trade with zero semantic surface (the decision "
+        "100 TB lakes tune constantly: zstd for cold data, snappy for "
+        "hot). Write parallelism is the DataFrame's partitioning; reads "
+        "split by row group exactly like any parquet scan."
+    ),
+)
+def io18_parquet_codec_roundtrip(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    root = tempfile.mkdtemp(prefix="dlw_codec_")
+    outs = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path = os.path.join(root, codec)
+        o.write.mode("overwrite").option("compression", codec).parquet(path)
+        outs.append(
+            spark.read.parquet(path).agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            ).select(F.lit(codec).alias("codec"), "n_rows", "total_price")
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

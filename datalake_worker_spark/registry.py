@@ -80,6 +80,14 @@ _PRIORITY_NAMES = [
     "m01_binary_payload_dedup",
     "m02_decode_metadata",
     "m03_frame_sample",
+    # never verified by the driver (new in round 7, wave 7)
+    "t23_zipf_token_curve",
+    "t24_sentence_stats",
+    "a15_weighted_median",
+    "w17_rolling_median",
+    "j12_binned_range_join",
+    "v10_matryoshka_audit",
+    "io18_parquet_codec_roundtrip",
     # newest driver row: round 3
     "s09_casts",
     "a10_statistical_aggregates",
@@ -359,6 +367,7 @@ def _load_all():
     from .operators import udfs  # noqa: F401  (warms the Arrow/Python worker path for streaming's applyInPandasWithState)
     from .operators import tpch_full  # noqa: F401
     from .streaming import incdedup, ops, rollup, stateful, vecindex  # noqa: F401
+    from .operators import wave7  # noqa: F401  (round-7 additions)
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

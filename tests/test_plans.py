@@ -448,3 +448,28 @@ def test_w16_mad_group_constants_broadcast(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_j12_range_join_is_equi_shaped(spark, sf_dir):
+    """The binned range self-join must plan as a hash/sort-merge
+    EQUI-join on (user_id, probe_bin) — never the per-user-quadratic
+    BroadcastNestedLoop a raw BETWEEN self-join produces."""
+    df = REGISTRY["j12_binned_range_join"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_w17_rolling_median_single_exchange(spark, sf_dir):
+    """The constant-frame exact median is one window pass: exactly one
+    exchange (hashpartitioning on user_id), no joins."""
+    df = REGISTRY["w17_rolling_median"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # detail sections repeat node names — count operator-tree lines only
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
