@@ -451,3 +451,87 @@ def lk10_incremental_consumption(spark, sf_dir):
     return spark.createDataFrame(rows, "chunk_id string, n_rows long").orderBy(
         "chunk_id"
     )
+
+
+@register(
+    "lk11_storage_integrity_scan",
+    """
+    WITH names(name) AS (VALUES
+        ('region'), ('nation'), ('customer'), ('supplier'), ('part'),
+        ('orders'), ('lineitem'), ('events'), ('documents'), ('embeddings')),
+    expected AS (SELECT name || '.parquet' AS file_name FROM names),
+    on_disk AS (
+        SELECT name || '.parquet' AS file_name FROM names
+        WHERE name <> 'lineitem'
+        UNION ALL SELECT '_stray_1.parquet'
+        UNION ALL SELECT '_stray_2.tmp'
+    )
+    SELECT COALESCE(e.file_name, d.file_name) AS file_name,
+           CASE WHEN d.file_name IS NULL THEN 'missing'
+                WHEN e.file_name IS NULL THEN 'orphan'
+                ELSE 'ok' END AS status
+    FROM expected e FULL OUTER JOIN on_disk d ON e.file_name = d.file_name
+    """,
+    category="lake-core",
+    doc=(
+        "storage integrity scan (Delta FSCK + VACUUM dry-run in one "
+        "pass): the catalog's referenced-file set full-outer-joins the "
+        "storage listing — 'missing' = referenced but gone from disk "
+        "(a corrupted table: reads will fail), 'orphan' = on disk but "
+        "unreferenced (crashed-writer leftovers; reclaimable bytes). "
+        "The referenced set comes from the distributed chunks_df fold "
+        "(files JSON exploded relationally), so at 10^6 chunks this is "
+        "two metadata scans and one key join — no driver-side state. "
+        "Extends the reference's R7/R8 delete machinery "
+        "(src/lib.rs:52-63) with the audit that makes running it safe."
+    ),
+)
+def lk11_storage_integrity_scan(spark, sf_dir):
+    store = tempfile.mkdtemp(prefix="dlw_lk11_store_")
+    for name in _CHUNK_TABLES:
+        open(os.path.join(store, f"{name}.parquet"), "w").close()
+    root = tempfile.mkdtemp(prefix="dlw_lk11_cat_")
+    cat = ChunkCatalog(spark, root)
+    for i, name in enumerate(_CHUNK_TABLES):
+        cat.register_chunk(
+            ChunkMeta(
+                dataset_id="tpch",
+                chunk_id=_sha256_hex(name),
+                block_start=1000 * i,
+                block_end=1000 * (i + 1),
+                files={f"{name}.parquet": os.path.join(store, f"{name}.parquet")},
+                size_bytes=10,
+            )
+        )
+    # plant the two failure classes: a referenced file vanishes, two
+    # unreferenced files appear (the crashed-writer / failed-copy case)
+    os.remove(os.path.join(store, "lineitem.parquet"))
+    for orphan in ("_stray_1.parquet", "_stray_2.tmp"):
+        open(os.path.join(store, orphan), "w").close()
+    expected = (
+        cat.chunks_df()
+        .select(
+            F.explode(
+                F.from_json("files", "map<string,string>")
+            ).alias("file_name", "_path")
+        )
+        .select("file_name")
+    )
+    # directory listing is a metadata op (one RPC per storage prefix at
+    # scale — the same listing VACUUM itself performs); it enters the
+    # plan as a tiny local relation and the comparison is relational
+    on_disk = spark.createDataFrame(
+        [(f,) for f in sorted(os.listdir(store))], "file_name string"
+    )
+    e = expected.withColumn("_e", F.lit(1))
+    d = on_disk.withColumn("_d", F.lit(1))
+    return (
+        e.join(d, "file_name", "full_outer")
+        .select(
+            "file_name",
+            F.when(F.col("_d").isNull(), F.lit("missing"))
+            .when(F.col("_e").isNull(), F.lit("orphan"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+    )

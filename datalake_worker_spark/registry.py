@@ -88,6 +88,7 @@ _PRIORITY_NAMES = [
     "j12_binned_range_join",
     "v10_matryoshka_audit",
     "io18_parquet_codec_roundtrip",
+    "lk11_storage_integrity_scan",
     # newest driver row: round 3
     "s09_casts",
     "a10_statistical_aggregates",
