@@ -131,6 +131,20 @@ WAVE6 = [
     "st16_trending_topk",
 ]
 
+# added in round 7 — seventh suite per the same contract (lk11 excluded:
+# catalog side effects; io17/io18 roundtrips included — the JDBC and
+# codec writes ARE the measured work)
+WAVE7 = [
+    "t23_zipf_token_curve",
+    "t24_sentence_stats",
+    "a15_weighted_median",
+    "w17_rolling_median",
+    "j12_binned_range_join",
+    "v10_matryoshka_audit",
+    "io17_jdbc_roundtrip",
+    "io18_parquet_codec_roundtrip",
+]
+
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"
 # (q07 0.43->1.13 s) was root-caused in round 7 to ambient run-to-run
 # variance — four same-code runs within round 6 recorded extended totals
@@ -183,6 +197,7 @@ def main() -> None:
     llm_wave = _time(LLM_WAVE)
     depth = _time(DEPTH)
     wave6 = _time(WAVE6)
+    wave7 = _time(WAVE7)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -194,6 +209,7 @@ def main() -> None:
     llm_total = round(sum(llm_wave.values()), 4)
     depth_total = round(sum(depth.values()), 4)
     wave6_total = round(sum(wave6.values()), 4)
+    wave7_total = round(sum(wave7.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -209,6 +225,8 @@ def main() -> None:
         "depth_value": depth_total,
         "wave6_queries": wave6,  # round-6 suite (analytics/curation wave)
         "wave6_value": wave6_total,
+        "wave7_queries": wave7,  # round-7 suite (stats/order-statistics wave)
+        "wave7_value": wave7_total,
         "sf": sf,
     }
     if duck:
@@ -240,6 +258,8 @@ def main() -> None:
                 "depth_queries": len(depth),
                 "wave6_value": wave6_total,
                 "wave6_queries": len(wave6),
+                "wave7_value": wave7_total,
+                "wave7_queries": len(wave7),
             }
         )
     )
