@@ -242,8 +242,8 @@ def w17_rolling_median(spark, sf_dir):
     WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
     SELECT a.user_id,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(CAST(SUM(CAST(b.us - a.us AS DECIMAL(18,0))) AS DOUBLE)
-                 / COUNT(*) / 1e6, 6) AS avg_gap_seconds
+           CAST(CAST(SUM(b.us - a.us) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS avg_gap_us
     FROM e a JOIN e b
       ON a.user_id = b.user_id
      AND b.us > a.us AND b.us <= a.us + 600000000
@@ -284,15 +284,21 @@ def j12_binned_range_join(spark, sf_dir):
         (F.col("b_us") > F.col("a_us"))
         & (F.col("b_us") <= F.col("a_us") + width_us)
     )
-    return pairs.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.round(
-            F.sum((F.col("b_us") - F.col("a_us")).cast("decimal(18,0)"))
-            .cast("double")
-            / F.count("*")
-            / 1e6,
-            6,
-        ).alias("avg_gap_seconds"),
+    # average gap as FLOOR µs via integer division: gaps are exact
+    # integers, so no float rounding tie can ever split engines (a
+    # DOUBLE avg rounded to 6 dp hash-mismatched at sf0.01 on an exact
+    # .5e-6 boundary — found by the driver contract, not pytest)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("b_us") - F.col("a_us")).cast("long").alias("_sum_us"),
+        )
+        .select(
+            "user_id",
+            "n_pairs",
+            F.expr("CAST(_sum_us div n_pairs AS BIGINT)").alias("avg_gap_us"),
+        )
     )
 
 
