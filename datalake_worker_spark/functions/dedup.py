@@ -242,6 +242,14 @@ def near_dup_pairs_minhash(
     # only ~28 share 60% of their shingles. The estimator and the
     # verifier must speak the same language or the threshold is
     # meaningless; APPROX_CHECKS d04 pins the agreement.)
+    #
+    # The shingle projection runs corpus-wide ON PURPOSE: it fuses into
+    # the verify-side scan (map-only, linear, no shuffle). The tempting
+    # alternative — semi-join-pruning this side to candidate ids first —
+    # re-executes the band-bucket aggregation (the operator's heaviest
+    # shuffle) a second time to derive the id set, which is the worse
+    # trade at every scale; measured equal at sf0.1 (2.8 vs 2.9 s) and
+    # strictly worse at 100 TB where the doubled shuffle dominates.
     toks = docs.select(
         F.col(id_col),
         F.array_distinct(
