@@ -516,45 +516,87 @@ def d05_simhash_fingerprints(spark, sf_dir):
     return simhash_fingerprints(d, "doc_id", "text")
 
 
+def capped_fingerprint_band_pairs(
+    banded: DataFrame,
+    fp_col: str,
+    id_col: str,
+    bucket_cap: int,
+) -> DataFrame:
+    """Candidate pairs from (band_idx, band_val, id, fingerprint) rows via
+    capped in-bucket expansion — the d04 bucket-cap recipe applied to
+    single-long fingerprint families (SimHash, perceptual hash).
+
+    Each (band, value) bucket keeps its ``bucket_cap`` smallest members
+    (deterministic sorted slice), so pair expansion is bounded by cap²
+    per bucket REGARDLESS of skew — the hot-fingerprint case (mass
+    near-identical pages, all-zero hashes from empty payloads) degrades
+    to bounded recall instead of an O(bucket²) executor blow-up. One
+    aggregation replaces the band self-join; pairs colliding in several
+    bands collapse with a distinct over four scalar columns.
+
+    Returns (id_a, id_b, fp_a, fp_b) with id_a < id_b; callers verify
+    with the exact popcount.
+    """
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(fp_col).alias("f")))
+            ).alias("all")
+        )
+        .filter(F.size("all") > 1)
+        .select(F.slice("all", 1, bucket_cap).alias("mem"))
+    )
+    return (
+        buckets.select(F.explode("mem").alias("a"), "mem")
+        .select("a", F.explode("mem").alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
+            F.col("a.f").alias("fp_a"),
+            F.col("b.f").alias("fp_b"),
+        )
+        .distinct()
+    )
+
+
 def near_dup_pairs_simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     blocks — two fingerprints within Hamming distance ≤ 3 must agree on
     at least one block (pigeonhole); wider radii trade recall. Candidates
-    from the block-bucket join are verified with the exact popcount.
-    """
+    come from capped bucket expansion (r7: the raw band self-join had no
+    skew guard — a hot fingerprint bucket expanded O(bucket²); now each
+    bucket pairs at most its ``bucket_cap`` smallest members, the same
+    guard d04 ships) and are verified with the exact popcount."""
     sh = simhash_fingerprints(docs, id_col, text_col).select(
         F.col(id_col), F.col("simhash").alias("_sh")
     )
     blocks = F.array(
         *[
             F.struct(
-                F.lit(b).alias("blk"),
+                F.lit(b).alias("band_idx"),
                 F.shiftrightunsigned(F.col("_sh"), 16 * b)
                 .bitwiseAND(F.lit(0xFFFF))
-                .alias("val"),
+                .alias("band_val"),
             )
             for b in range(4)
         ]
     )
     banded = sh.select(id_col, "_sh", F.explode(blocks).alias("b")).select(
-        id_col, "_sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+        id_col, "_sh", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "blk", "val"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "blk", "val"
-    )
+    pairs = capped_fingerprint_band_pairs(banded, "_sh", id_col, bucket_cap)
     return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .distinct()
+        pairs.select(
+            "id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming")
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 

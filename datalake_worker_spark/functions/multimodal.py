@@ -330,7 +330,9 @@ def perceptual_hash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 
 def phash_near_pairs(
-    hashed: DataFrame, max_hamming: int = PHASH_HAMMING_MAX
+    hashed: DataFrame,
+    max_hamming: int = PHASH_HAMMING_MAX,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """Banded near-pair generation over perceptual hashes (the SimHash
     d08 recipe applied to the multimodal column): 7 uneven bands over
@@ -341,6 +343,8 @@ def phash_near_pairs(
     (<= PHASH_HAMMING_MAX), not just for favourable bit spreads (the
     4 x 16-bit layout's <= 3 guarantee, corrected per ADVICE r6).
     Bucket equi-join, never all-pairs; exact bit_count verify."""
+    from .dedup import capped_fingerprint_band_pairs
+
     bands = hashed.select(
         "doc_id",
         "phash",
@@ -358,20 +362,15 @@ def phash_near_pairs(
             ])
         ).alias("b"),
     ).select("doc_id", "phash", "b.band_idx", "b.band_val")
-    left = bands.select(
-        "band_idx", "band_val",
-        F.col("doc_id").alias("id_a"), F.col("phash").alias("ha"),
-    )
-    right = bands.select(
-        "band_idx", "band_val",
-        F.col("doc_id").alias("id_b"), F.col("phash").alias("hb"),
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # capped in-bucket expansion (r7): 9-10-bit bands are narrow, so at
+    # corpus scale a band bucket holds ~n/512 members — without the cap
+    # a hot bucket (monochrome images hashing identically) expands
+    # O(bucket²). Bounded-recall-under-skew is the documented trade,
+    # same as d04/d08.
+    pairs = capped_fingerprint_band_pairs(bands, "phash", "doc_id", bucket_cap)
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .distinct()
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -292,3 +292,22 @@ def test_m06_phash_worst_case_bit_spread(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in phash_near_pairs(df).collect()}
     assert pairs.get((1, 2)) == 6, pairs
     assert set(pairs) == {(1, 2)}, pairs
+
+
+def test_simhash_hot_bucket_capped(spark):
+    """A mass-duplicate fingerprint bucket (every doc identical) must
+    expand at most cap² pairs, not n² — the d04 skew guard applied to
+    the fingerprint families (r7). The slice is visible in the plan."""
+    from datalake_worker_spark.functions.dedup import near_dup_pairs_simhash
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(300)],
+        "doc_id long, text string",
+    )
+    from datalake_worker_spark.plans.inspect import formatted_plan
+
+    pairs = near_dup_pairs_simhash(df, "doc_id", "text", bucket_cap=16)
+    plan = formatted_plan(pairs)
+    assert "slice" in plan, plan
+    n = pairs.count()
+    assert 0 < n <= 16 * 15 // 2, n  # cap members -> at most C(16,2) pairs
