@@ -55,6 +55,11 @@ PROBE = [
     "w14_ohlc_bars",             # windowed endpoints + bar agg
     "d16_char_jaccard_pairs",    # blocked pair join (CJK dedup path)
     "smp10_dsir_importance",     # distributed exact rank selection
+    "d08_simhash_near_dups",     # capped fingerprint-band expansion (r7)
+    "m06_perceptual_near_dup",   # 7-band phash + cap (r7)
+    "v02_ann_lsh_topk",          # multi-probe LSH (r7)
+    "j12_binned_range_join",     # binned equi-shaped range join (r7)
+    "w17_rolling_median",        # constant-frame exact median (r7)
 ]
 
 
