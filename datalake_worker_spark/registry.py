@@ -89,6 +89,7 @@ _PRIORITY_NAMES = [
     "v10_matryoshka_audit",
     "io18_parquet_codec_roundtrip",
     "lk11_storage_integrity_scan",
+    "st17_watermark_late_drop",
     # newest driver row: round 3
     "s09_casts",
     "a10_statistical_aggregates",

@@ -676,3 +676,108 @@ def st16_trending_topk(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("w_start", "event_type", F.col("n").cast("long").alias("n"), "rn")
     )
+
+
+@register(
+    "st17_watermark_late_drop",
+    """
+    WITH wm AS (
+        SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM events
+    ),
+    counted AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1
+    )
+    SELECT window_start, n_events, total_value
+    FROM counted, wm
+    WHERE window_start + INTERVAL 1 DAY <= wm.w
+    """,
+    category="streaming",
+    doc=(
+        "watermark late-data discipline, hash-verified: the event feed "
+        "streams as three files — the on-time corpus, a single "
+        "heartbeat event at max(ts) (its last-day window never closes, "
+        "so it is invisible in append output), then a full replay "
+        "shifted 40 days INTO THE PAST (ids offset). The heartbeat "
+        "batch absorbs Spark's one-batch watermark-propagation lag "
+        "(the state operator filters batch N with the watermark from "
+        "data through batch N-2 — measured, not documented), so by the "
+        "replay batch the watermark sits at max(ts) - 1 day and the "
+        "append-mode windowed aggregation must DROP every replayed "
+        "row: the output equals the on-time day windows closed by the "
+        "final watermark, which is exactly what the SQL oracle "
+        "computes. Had the engine leaked late rows, the 40-day-old "
+        "windows would emit (they sit below the watermark and close "
+        "immediately) and the hash would diverge. The bounded-state "
+        "contract every production streaming agg relies on, made a "
+        "correctness assertion."
+    ),
+)
+def st17_watermark_late_drop(spark, sf_dir):
+    import tempfile
+    import time as _t
+
+    from ..sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="dlw_late_")
+    on_time = os.path.join(tmp, "a_on_time")
+    heartbeat = os.path.join(tmp, "b_heartbeat")
+    late = os.path.join(tmp, "c_late")
+    e.coalesce(1).write.mode("overwrite").parquet(on_time)
+    (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select(
+            F.lit(20_000_000).cast("long").alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(heartbeat)
+    )
+    (
+        e.select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            (F.col("ts") - F.expr("INTERVAL 40 DAYS")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(late)
+    )
+    # one landing dir, modification times force on-time-first replay
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    now = _t.time()
+    for i, src in enumerate((on_time, heartbeat, late)):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                dst = os.path.join(landing, f"{i}_{f}")
+                os.rename(os.path.join(src, f), dst)
+                os.utime(dst, (now - 100 + i, now - 100 + i))
+    schema = spark.read.parquet(landing).schema
+    s = _stream_parquet(spark, landing, schema, maxFilesPerTrigger=1)
+    agg = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+    return run_to_memory(agg, "append")
