@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .text import explode_tokens
+from .text import explode_tokens, whitespace_tokens
 
 # tiny deterministic sentiment lexicon over the synthetic vocabulary
 LEXICON = [
@@ -348,4 +348,94 @@ def t22_pmi_collocations(spark, sf_dir):
         .select("gram", F.col("nab").cast("long").alias("nab"), pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), F.col("gram").asc())
         .limit(20)
+    )
+
+
+@register(
+    "t25_bigram_logprob",
+    r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM words, LATERAL (
+            SELECT unnest(generate_series(1, len(w) - 1)) AS i
+        )
+        WHERE len(w) >= 2
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM (
+            SELECT unnest(w) AS tok FROM words)
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n2 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS n1 FROM big GROUP BY w1),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(ROUND(-LN((c2.n2 + 1) / (c1.n1 + vocab.v)), 6)
+                    AS DECIMAL(18,6)) AS nll
+        FROM big b
+        JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll) AS DOUBLE) AS total_nll,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+    category="llm-text",
+    doc=(
+        "bigram LM scoring with add-one smoothing: corpus bigram "
+        "probabilities P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) -> per-doc "
+        "negative log-likelihood — the sharper perplexity-style quality "
+        "filter (t10's unigram model scores word choice; this scores "
+        "word ORDER, so shuffled/templated text stands out). Bigrams "
+        "build map-side from the token array (transform over sequence — "
+        "no self-join, no extra shuffle); the count tables join back on "
+        "bigram keys and the per-pair -ln p is rounded to 6 dp and "
+        "summed as DECIMAL, so aggregates are order-independent and "
+        "cross-engine exact (the t10 recipe)."
+    ),
+)
+def t25_bigram_logprob(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", whitespace_tokens("text").alias("w")
+    ).filter(F.size("w") >= 2)
+    big = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    vocab = (
+        words.select(F.explode("w").alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("v"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count("*").cast("double").alias("n1"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log((F.col("n2") + 1) / (F.col("n1") + F.col("v"))), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("nll").cast("double").alias("total_nll"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_nll"),
     )

@@ -90,6 +90,7 @@ _PRIORITY_NAMES = [
     "io18_parquet_codec_roundtrip",
     "lk11_storage_integrity_scan",
     "st17_watermark_late_drop",
+    "t25_bigram_logprob",
     # newest driver row: round 3
     "s09_casts",
     "a10_statistical_aggregates",
