@@ -82,6 +82,13 @@ def main() -> None:
     # 6. semantic dedup survivors
     sd = registry.REGISTRY["d11_semantic_dedup"].spark_fn(spark, sf_dir)
     print(f"semantic survivors{sd.count():>6}")
+
+    # 7. multi-probe LSH recall + matryoshka truncation audit (r7)
+    lsh = registry.REGISTRY["v02_ann_lsh_topk"].spark_fn(spark, sf_dir)
+    print(f"lsh hits          {lsh.count():>6}  (Hamming-1 multi-probe)")
+    mat = registry.REGISTRY["v10_matryoshka_audit"].spark_fn(spark, sf_dir)
+    kept = mat.agg(F.avg("preserved_at_5")).first()[0]
+    print(f"top-5 kept @16dim {kept:>9.2f}  of 5 (truncation audit)")
     print(f"wall              {time.time() - t0:>8.1f}s")
 
 
