@@ -134,3 +134,31 @@ def test_temperature_resample_scalable_boundary_only_window(spark):
     )
     out = temperature_resample_scalable(df, "lang", "doc_id", total=1000)
     assert out.count() == 1000
+
+
+def test_jdbc_partitioned_read_splits_tasks(spark, sf_dir):
+    """The io17 JDBC scan must actually split into numPartitions range
+    queries — a single-connection read is the JDBC scale failure mode."""
+    from datalake_worker_spark.sources.connectors import (
+        DERBY_EMBEDDED_DRIVER,
+        read_jdbc,
+        write_jdbc,
+    )
+    import os as _os
+    import tempfile as _tf
+
+    from datalake_worker_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    url = f"jdbc:derby:{_os.path.join(_tf.mkdtemp(prefix='dlw_jdbcp_'), 'db')};create=true"
+    write_jdbc(n, url, "NATION_P", DERBY_EMBEDDED_DRIVER)
+    back = read_jdbc(
+        spark, url, "NATION_P", DERBY_EMBEDDED_DRIVER,
+        partitionColumn="n_nationkey", lowerBound=0, upperBound=25,
+        numPartitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == n.count()
