@@ -559,67 +559,142 @@ class ParquetCatalogBackend(CatalogBackend):
         # exclusive-create lands — with the tail retained, that create
         # still collides. Their duplicate content (also in the compacted
         # file) is collapsed by the same-seq dedupe on read.
-        # -- tag/fold handshake (ADVICE r6) -------------------------------
+        # -- tag/fold handshake (ADVICE r6, tightened r7) -----------------
         # A create_tag racing this fold could land between the tag
         # snapshot above and the deletes below, silently losing the
-        # exact history its docs promise. Closing the race needs both
-        # sides ordered through a shared monotone marker:
-        #   fold:       publish floor(cutoff)  ->  re-read tags  ->  delete
-        #   create_tag: create tag file        ->  read floor    ->  fail if below
-        # Any tag the re-read misses was created after the floor was
-        # published, so its own post-create floor check sees
-        # seq < cutoff and fails-and-deletes it; any tag the re-read
-        # sees aborts the deletions here. Either way no committed tag
-        # ever points below a destructive fold.
-        self._publish_fold_floor(cutoff)
-        late_tags = self.list_tags()
-        if late_tags and min(late_tags.values()) < cutoff:
-            # a tag landed under the fold: keep every source file (the
-            # compacted file is a benign duplicate — same-(seq,chunk)
-            # dedupe on read collapses it); the next fold re-clamps to
-            # the new tag. The floor stays published: the racing
-            # create_tag that triggered this abort self-fails, which is
-            # the honest outcome ("may have been folded — retry").
-            return
-        canon = sorted(
-            (f for f in files if f.split(".")[0].isdigit()),
-            key=lambda f: int(f.split(".")[0]),
-        )
-        # half the log up to 8 files: enough that the race needs more
-        # concurrent commits than ever plausible inside the window, while
-        # small explicit compactions still shrink the file count
-        keep = set(canon[-max(1, min(8, len(canon) // 2)):])
-        for f in files:  # exactly the snapshot that was folded
-            if f in keep:
-                continue
+        # exact history its docs promise. Both sides order through
+        # shared markers, two-phase on the fold side:
+        #   fold:  create INTENT(cutoff)  ->  re-read tags
+        #          -> conflict: remove intent, abort (nothing deleted)
+        #          -> clean:    publish committed floor(cutoff) -> delete
+        #                       (intent mtime refreshed during the loop,
+        #                        removed when done)
+        #   tag:   create tag file -> read max(committed, live intents)
+        #          -> fail-and-delete if seq below it
+        # Any tag the re-read misses was created after the intent, so
+        # its own post-create check sees the intent (or the committed
+        # floor) and fails; any tag the re-read sees aborts the deletes.
+        # The ABORT path leaves no committed floor behind — a tag at a
+        # below-cutoff seq whose history was never actually collapsed
+        # succeeds on retry instead of being rejected forever (the r7
+        # review finding on the one-phase design). A crashed fold's
+        # stale intent (no mtime refresh past INTENT_STALE_SECONDS) is
+        # ignored: deletes only ever start after the committed floor is
+        # published, so a pre-floor crash destroyed nothing.
+        intent = self._create_fold_intent(cutoff)
+        try:
+            late_tags = self.list_tags()
+            if late_tags and min(late_tags.values()) < cutoff:
+                # a tag landed under the fold: keep every source file
+                # (the compacted file is a benign duplicate —
+                # same-(seq,chunk) dedupe on read collapses it); the
+                # next fold re-clamps to the new tag
+                return
+            self._publish_fold_floor(cutoff)
+            canon = sorted(
+                (f for f in files if f.split(".")[0].isdigit()),
+                key=lambda f: int(f.split(".")[0]),
+            )
+            # half the log up to 8 files: enough that the race needs more
+            # concurrent commits than ever plausible inside the window,
+            # while small explicit compactions still shrink the file count
+            keep = set(canon[-max(1, min(8, len(canon) // 2)):])
+            for i, f in enumerate(files):  # exactly the snapshot folded
+                if f in keep:
+                    continue
+                if i % 64 == 0:
+                    # liveness: a slow delete loop keeps its intent fresh
+                    # so create_tag never mistakes it for a crashed fold
+                    try:
+                        os.utime(intent)
+                    except FileNotFoundError:
+                        pass
+                try:
+                    os.remove(os.path.join(self.meta_dir, f))
+                except FileNotFoundError:
+                    pass  # a racing compactor already removed it
+                # drop the folded commit's copy-complete marker too
+                # (markers are only consulted while their commit file
+                # exists)
+                try:
+                    os.remove(
+                        os.path.join(
+                            self.meta_dir, f[: -len(".parquet")] + ".done"
+                        )
+                    )
+                except FileNotFoundError:
+                    pass
+        finally:
             try:
-                os.remove(os.path.join(self.meta_dir, f))
-            except FileNotFoundError:
-                pass  # a racing compactor already removed it
-            # drop the folded commit's copy-complete marker too (markers
-            # are only consulted while their commit file exists)
-            try:
-                os.remove(
-                    os.path.join(self.meta_dir, f[: -len(".parquet")] + ".done")
-                )
+                os.remove(intent)
             except FileNotFoundError:
                 pass
 
-    # -- fold floor: the tag/fold handshake marker --------------------------
+    # -- fold floor: the tag/fold handshake markers -------------------------
+    #: A fold intent whose mtime is older than this is a crashed fold:
+    #: live folds refresh the intent during the delete loop, and deletes
+    #: only start AFTER the committed floor is published, so ignoring a
+    #: stale intent can never hide a destructive fold.
+    INTENT_STALE_SECONDS = 30.0
+
+    def _create_fold_intent(self, cutoff: int) -> str:
+        """Phase-1 marker: 'a fold with this cutoff is deciding whether
+        to delete'. Per-fold unique file so an abort retracts ONLY its
+        own claim; stale intents from crashed folds are pruned here."""
+        for f in os.listdir(self.meta_dir):
+            if f.startswith(".floor-intent-"):
+                p = os.path.join(self.meta_dir, f)
+                try:
+                    if time.time() - os.stat(p).st_mtime > self.INTENT_STALE_SECONDS:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
+        path = os.path.join(
+            self.meta_dir, f".floor-intent-{cutoff:020d}-{uuid.uuid4().hex}"
+        )
+        os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        return path
+
+    def active_fold_intents(self) -> int:
+        """Highest cutoff among LIVE fold intents (mtime within the
+        staleness window); 0 if none."""
+        best = 0
+        now = time.time()
+        for f in os.listdir(self.meta_dir):
+            if not f.startswith(".floor-intent-"):
+                continue
+            try:
+                st = os.stat(os.path.join(self.meta_dir, f))
+            except FileNotFoundError:
+                continue
+            if now - st.st_mtime > self.INTENT_STALE_SECONDS:
+                continue
+            try:
+                best = max(best, int(f[len(".floor-intent-"):].split("-")[0]))
+            except ValueError:
+                continue
+        return best
+
     def _publish_fold_floor(self, cutoff: int) -> None:
-        """Record 'a fold collapsing history below ``cutoff`` is
-        committing' as a monotone marker set: one O_EXCL ``.floor-<n>``
-        file per distinct cutoff, read as the max over the listing.
-        Append-only-then-prune is deliberately NOT read-modify-write —
-        two racing compactors can never regress the visible max (the
-        higher file exists before any lower one is pruned)."""
+        """Phase-2 marker: 'a fold collapsing history below ``cutoff``
+        IS deleting / has deleted'. A monotone set: one O_EXCL
+        ``.floor-<n>`` file per distinct cutoff, read as the max over
+        the listing. Append-only-then-prune is deliberately NOT
+        read-modify-write — two racing compactors can never regress the
+        visible max (the higher file exists before any lower one is
+        pruned). Published only after the post-intent tag re-read comes
+        back clean, so it never over-states an aborted fold."""
         path = os.path.join(self.meta_dir, f".floor-{cutoff:020d}")
         try:
             os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
         except FileExistsError:
             pass
         for f in os.listdir(self.meta_dir):
-            if f.startswith(".floor-") and f < f".floor-{cutoff:020d}":
+            if (
+                f.startswith(".floor-")
+                and not f.startswith(".floor-intent-")
+                and f < f".floor-{cutoff:020d}"
+            ):
                 try:
                     os.remove(os.path.join(self.meta_dir, f))
                 except FileNotFoundError:
@@ -672,12 +747,13 @@ class ParquetCatalogBackend(CatalogBackend):
                         raise
         finally:
             os.remove(tmp)
-        floor = self.fold_floor()
+        # committed floors mean history below them IS collapsed; a live
+        # intent means a fold is deciding RIGHT NOW (its tag re-read may
+        # already have run) — both must fail the create. The intent case
+        # is transient: an aborted fold removes its intent without ever
+        # publishing a floor, so the caller's retry succeeds.
+        floor = max(self.fold_floor(), self.active_fold_intents())
         if int(seq) < floor:
-            # the fold's tag re-read cannot have seen this tag (it was
-            # created after the floor was published), so its history may
-            # already be collapsed — fail the create instead of leaving
-            # a tag whose state_as_of_tag is silently inexact
             self.delete_tag(name)
             raise ChunkConflict(
                 f"tag {name!r} at seq {seq} raced a compaction fold "
@@ -699,7 +775,26 @@ class ParquetCatalogBackend(CatalogBackend):
             # before it completes leaves the empty/partial file that
             # _reclaim_dead_tag garbage-collects after the grace window
             with open(tmp, "rb") as src, os.fdopen(fd, "wb") as out:
-                out.write(src.read())
+                payload = src.read()
+                out.write(payload)
+            # read-back verify (review r7): if this writer stalled past
+            # the reclaim grace, a racing create_tag may have unlinked
+            # the claimed inode and retaken the name — the write above
+            # then landed in an orphaned inode and MUST NOT report
+            # success (silent loss of an "immutable" tag binding). A
+            # completed tag parses, so no reclaimer removes it after
+            # this check passes; the residual window (removal between
+            # our write and this read) converts to a loud conflict.
+            try:
+                with open(dst, "rb") as back:
+                    if back.read() != payload:
+                        raise ChunkConflict(
+                            f"tag write raced a reclaim and lost: {dst}"
+                        )
+            except FileNotFoundError:
+                raise ChunkConflict(
+                    f"tag write raced a reclaim and lost: {dst}"
+                ) from None
 
     def _reclaim_dead_tag(self, dst: str) -> bool:
         """True if ``dst`` was a crashed writer's unreadable tag file and

@@ -382,9 +382,10 @@ def phash_near_pairs(
     doc=(
         "perceptual-hash near-duplicate detection for binary media "
         "columns: 64-bit aHash per payload (block-averaged 8x8 grid vs "
-        "grid mean, Arrow mapInPandas over the stub decode), banded "
-        "4x16-bit candidate join (never all-pairs), exact Hamming "
-        "verify at <= 6 bits. Output: per-Hamming-distance pair counts "
+        "grid mean, Arrow mapInPandas over the stub decode), 7-band "
+        "capped bucket expansion (pigeonhole-guaranteed candidate "
+        "recall across the whole <= 6-bit range, never all-pairs, "
+        "hot buckets bounded), exact Hamming verify at <= 6 bits. Output: per-Hamming-distance pair counts "
         "plus pair extremes. The byte-identical-dedup (m01) companion "
         "for re-encoded/perturbed media; planted near-identical and "
         "disjoint payload tests pin recall/precision in pytest."

@@ -403,18 +403,24 @@ def t22_pmi_collocations(spark, sf_dir):
 )
 def t25_bigram_logprob(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", whitespace_tokens("text").alias("w")
-    ).filter(F.size("w") >= 2)
-    big = words.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    words = d.select("doc_id", whitespace_tokens("text").alias("w"))
+    big = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    # vocabulary over ALL docs — the oracle's vocab CTE has no >=2-token
+    # filter, and a one-word doc's token belongs in V even though it
+    # forms no bigram (review r7: filtering here diverged the smoothing
+    # denominator on corpora with short docs)
     vocab = (
         words.select(F.explode("w").alias("tok"))
         .agg(F.count_distinct("tok").cast("double").alias("v"))

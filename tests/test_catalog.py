@@ -348,6 +348,12 @@ def test_compact_aborts_deletes_for_late_tag(cat, monkeypatch):
     monkeypatch.undo()
     cat.refresh()
     assert cat.list_chunks_as_of_tag("late") == [f"chunk{i:02d}" for i in range(3)]
+    # the aborted fold must NOT leave a committed floor behind (r7
+    # review): history below its cutoff is intact, so tagging an old
+    # seq afterwards succeeds instead of failing forever
+    assert backend.fold_floor() == 0
+    backend.create_tag("post-abort", 2)
+    assert cat.list_tags()["post-abort"] == 2
 
 
 def test_crashed_tag_writer_is_reclaimed(cat):

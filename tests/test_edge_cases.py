@@ -216,3 +216,38 @@ def test_range_boundary_filters(spark):
         for r in df.filter((F.lit(100) <= F.col("n")) & (F.col("n") < 101)).collect()
     )
     assert kept == [100]
+
+
+def test_t25_vocab_counts_short_docs(spark, tmp_path):
+    """Add-one smoothing's V must count tokens from ALL docs — a
+    one-word doc forms no bigram but its token is vocabulary (review
+    r7: a >=2-token filter on the vocab side silently diverged the
+    denominator from the SQL oracle on corpora with short docs)."""
+    import duckdb
+
+    from datalake_worker_spark.canonical import result_hash
+    from datalake_worker_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en", "web", 27),
+        (2, "xyzzy", "en", "web", 5),  # 1 word: no bigrams, 1 vocab entry
+        (3, "beta gamma delta", "en", "web", 16),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    spec = REGISTRY["t25_bigram_logprob"]
+    out = spec.spark_fn(spark, sf)
+    scols, srows = out.columns, [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ores = con.execute(spec.oracle_sql).fetchall()
+    ocols = [d[0] for d in con.description]
+    assert len(srows) == len(ores) == 2  # doc 2 emits no bigram rows
+    assert result_hash(scols, srows) == result_hash(ocols, ores)

@@ -20,11 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 5
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, runs = [], 5
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
+        elif a == "--runs":
+            i += 1
+            runs = int(argv[i])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from datalake_worker_spark.session import get_spark
     from datalake_worker_spark import registry
