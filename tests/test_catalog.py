@@ -371,3 +371,19 @@ def test_crashed_tag_writer_is_reclaimed(cat):
     os.utime(dead, (past, past))
     assert cat.create_tag("wedged") == cat.version  # reclaimed
     assert cat.list_tags()["wedged"] == cat.version
+
+
+def test_live_fold_intent_blocks_tag_transiently(cat):
+    """A live fold intent (phase 1 of the handshake) must block tags
+    below its cutoff — and only until it is retracted: the abort path
+    removes the intent without publishing a floor, so the retry wins."""
+    from datalake_worker_spark.errors import ChunkConflict
+
+    for i in range(4):
+        assert cat.register_chunk(_meta(i, 1000 * i, 1000 * (i + 1)))
+    intent = cat.backend._create_fold_intent(cat.backend.frontier_seq())
+    with pytest.raises(ChunkConflict, match="raced a compaction fold"):
+        cat.backend.create_tag("early", 1)
+    os.remove(intent)  # the fold aborted: its claim is gone
+    cat.backend.create_tag("early", 1)
+    assert cat.list_tags()["early"] == 1
