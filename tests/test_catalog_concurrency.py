@@ -517,3 +517,90 @@ def test_registered_chunks_includes_pending_delete(spark, tmp_path):
     cat.vacuum()
     cat.refresh()
     assert cat.registered_chunks() == {"keep"}
+
+
+def test_concurrent_tags_vs_compaction_exactness(spark, tmp_path):
+    """The r7 two-phase tag/fold handshake under real interleaving:
+    taggers race a writer that registers, flips deletes, compacts, and
+    drops old tags. Invariant: every create_tag that REPORTED success
+    must be exact — state_as_of_tag equals the ground-truth fold of the
+    writer's own operation log at that seq. Rejections (ChunkConflict)
+    are legitimate; silent inexactness is the bug the handshake closes."""
+    import random as _rnd
+
+    from datalake_worker_spark.errors import ChunkConflict
+
+    root = str(tmp_path)
+    writer = ChunkCatalog(spark, root)
+    stop = threading.Event()
+    lock = threading.Lock()
+    tagged: list[tuple[str, int]] = []
+    errors: list[str] = []
+
+    def tagger(idx: int) -> None:
+        cat = ChunkCatalog(spark, root)
+        k = 0
+        while not stop.is_set():
+            name = f"t{idx}-{k}"
+            k += 1
+            try:
+                seq = cat.create_tag(name)
+                with lock:
+                    tagged.append((name, seq))
+            except ChunkConflict:
+                pass  # raced a fold or a name: honest, loud rejection
+            except Exception as exc:  # noqa: BLE001
+                errors.append(f"tagger{idx}: {exc!r}")
+                return
+            time.sleep(0.001)
+
+    threads = [threading.Thread(target=tagger, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+
+    # ground truth: (seq, chunk_id, state) in writer commit order
+    truth_log: list[tuple[int, str, str]] = []
+    rng = _rnd.Random(11)
+    try:
+        for i in range(120):
+            writer.register_chunk(_mk_chunk(root, i))
+            truth_log.append((writer.version, f"c{i:03d}", "ACTIVE"))
+            if i >= 8 and i % 3 == 0:
+                victim = f"c{i - 8:03d}"
+                if writer.schedule_delete(victim):
+                    truth_log.append((writer.version, victim, "PENDING_DELETE"))
+            if i % 10 == 5:
+                writer.backend.compact()
+            if i % 7 == 6:
+                # drop an old tag so later folds can advance their cutoff
+                tags = writer.list_tags()
+                if tags:
+                    writer.backend.delete_tag(min(tags, key=tags.get))
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors
+
+    def truth_at(seq: int) -> dict[str, str]:
+        state: dict[str, str] = {}
+        for s, cid, st in truth_log:
+            if s <= seq:
+                state[cid] = st
+        return state
+
+    writer.refresh()
+    surviving = writer.list_tags()
+    checked = 0
+    for name, seq in tagged:
+        if name not in surviving:
+            continue  # dropped by the churn loop
+        assert surviving[name] == seq, (name, seq, surviving[name])
+        got = {cid: r["state"] for cid, r in writer.state_as_of_tag(name).items()}
+        assert got == truth_at(seq), (
+            f"tag {name}@{seq} is INEXACT: "
+            f"missing={set(truth_at(seq)) - set(got)} "
+            f"extra={set(got) - set(truth_at(seq))}"
+        )
+        checked += 1
+    assert checked >= 10, f"only {checked} surviving tags verified — churn too high?"
