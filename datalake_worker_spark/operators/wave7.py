@@ -416,3 +416,130 @@ def io18_parquet_codec_roundtrip(spark, sf_dir):
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "io19_schema_drift_audit",
+    """
+    SELECT * FROM (VALUES
+        ('o_orderdate',     'added',        CAST(NULL AS VARCHAR), 'timestamp'),
+        ('o_orderpriority', 'removed',      'string',              CAST(NULL AS VARCHAR)),
+        ('o_totalprice',    'type_changed', 'double',              'decimal(18,2)')
+    ) t(column_name, change, old_type, new_type)
+    """,
+    category="sources",
+    doc=(
+        "schema drift audit between two table snapshots (the evolution "
+        "governance check run before enabling mergeSchema or a CDC "
+        "apply): column sets and types from both parquet footers are "
+        "diffed relationally into added / removed / type_changed rows. "
+        "Schema extraction is footer metadata — no data scanned at any "
+        "table size; the planted drift (one add, one drop, one type "
+        "change against an orders projection) makes the diff "
+        "deterministic and oracle-checkable."
+    ),
+)
+def io19_schema_drift_audit(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="dlw_drift_")
+    v1, v2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+    o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).limit(100).write.parquet(v1)
+    o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderdate",
+    ).limit(100).write.parquet(v2)
+    old = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v1).schema}
+    new = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v2).schema}
+    a = spark.createDataFrame(
+        [(k, v) for k, v in old.items()], "column_name string, old_type string"
+    )
+    b = spark.createDataFrame(
+        [(k, v) for k, v in new.items()], "column_name string, new_type string"
+    )
+    return (
+        a.join(b, "column_name", "full_outer")
+        .select(
+            "column_name",
+            F.when(F.col("old_type").isNull(), F.lit("added"))
+            .when(F.col("new_type").isNull(), F.lit("removed"))
+            .when(F.col("old_type") != F.col("new_type"), F.lit("type_changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change"),
+            "old_type",
+            "new_type",
+        )
+        .filter(F.col("change") != "unchanged")
+    )
+
+
+@register(
+    "t26_dedup_aware_token_count",
+    r"""
+    WITH per_doc AS (
+        SELECT lang, text,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n
+        FROM documents
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM per_doc GROUP BY lang
+    ),
+    ded AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS dedup_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_docs
+        FROM (SELECT lang, text, MAX(n) AS n FROM per_doc GROUP BY lang, text)
+        GROUP BY lang
+    )
+    SELECT tot.lang, total_tokens, dedup_tokens, n_docs, n_unique_docs,
+           ROUND(CAST(dedup_tokens AS DOUBLE) / total_tokens, 6)
+             AS effective_ratio
+    FROM tot JOIN ded ON tot.lang = ded.lang
+    """,
+    category="llm-text",
+    doc=(
+        "effective-token accounting (the first number a training-mix "
+        "plan needs): per language, raw token count vs tokens surviving "
+        "exact dedup — byte-identical copies contribute once. Grouping "
+        "on (lang, text) collapses duplicates in ONE map-side-combined "
+        "aggregation keyed by the text (at 100 TB swap the key for "
+        "sha2(text) — same plan, 64-byte keys); the ratio quantifies "
+        "how much of the corpus is duplicated mass before any near-dup "
+        "work is spent."
+    ),
+)
+def t26_dedup_aware_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        "text",
+        F.size(whitespace_tokens("text")).cast("long").alias("n"),
+    )
+    tot = per_doc.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    ded = (
+        per_doc.groupBy("lang", "text")
+        .agg(F.max("n").alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("dedup_tokens"),
+            F.count("*").cast("long").alias("n_unique_docs"),
+        )
+    )
+    return tot.join(ded, "lang").select(
+        "lang",
+        "total_tokens",
+        "dedup_tokens",
+        "n_docs",
+        "n_unique_docs",
+        F.round(
+            F.col("dedup_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("effective_ratio"),
+    )

@@ -91,6 +91,8 @@ _PRIORITY_NAMES = [
     "lk11_storage_integrity_scan",
     "st17_watermark_late_drop",
     "t25_bigram_logprob",
+    "io19_schema_drift_audit",
+    "t26_dedup_aware_token_count",
     # newest driver row: round 3
     "s09_casts",
     "a10_statistical_aggregates",
