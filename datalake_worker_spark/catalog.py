@@ -590,7 +590,29 @@ class ParquetCatalogBackend(CatalogBackend):
                 # same-(seq,chunk) dedupe on read collapses it); the
                 # next fold re-clamps to the new tag
                 return
+            # liveness proof before the destructive phase (review r7b):
+            # if this fold stalled past INTENT_STALE_SECONDS, a racer may
+            # have judged the intent crashed, pruned it, and let a
+            # below-cutoff tag commit — refresh the claim and abort if it
+            # is gone; a fresh mtime means no tagger can ignore it from
+            # here to the floor publish
+            try:
+                os.utime(intent)
+            except FileNotFoundError:
+                return  # judged crashed while stalled: retry next round
             self._publish_fold_floor(cutoff)
+            # second tag re-read, post-floor: a tag whose floor check ran
+            # in the stale-intent gap (before the refresh above) could
+            # have committed — it is visible by now (its file landed
+            # before its check, which ran before the floor publish), so
+            # aborting the deletes here keeps it exact. The floor stays
+            # published in that corner — future below-cutoff tags are
+            # rejected although this abort kept their history; a loud
+            # spurious conflict in a doubly-raced corner beats a
+            # silently-inexact committed tag.
+            late_tags = self.list_tags()
+            if late_tags and min(late_tags.values()) < cutoff:
+                return
             canon = sorted(
                 (f for f in files if f.split(".")[0].isdigit()),
                 key=lambda f: int(f.split(".")[0]),
@@ -712,6 +734,27 @@ class ParquetCatalogBackend(CatalogBackend):
                     continue
         return best
 
+    def _floor_and_intents(self) -> int:
+        """max(committed floor, live intents) from ONE directory listing
+        (create_tag's hot-path check)."""
+        best = 0
+        now = time.time()
+        for f in os.listdir(self.meta_dir):
+            if f.startswith(".floor-intent-"):
+                p = os.path.join(self.meta_dir, f)
+                try:
+                    if now - os.stat(p).st_mtime > self.INTENT_STALE_SECONDS:
+                        continue
+                    best = max(best, int(f[len(".floor-intent-"):].split("-")[0]))
+                except (FileNotFoundError, ValueError):
+                    continue
+            elif f.startswith(".floor-"):
+                try:
+                    best = max(best, int(f[len(".floor-"):]))
+                except ValueError:
+                    continue
+        return best
+
     # -- tags: immutable named refs to committed versions ------------------
     #: A claimed tag file that is empty/unparseable (a crashed O_EXCL
     #: fallback writer) is reclaimable once this old — a LIVE fallback
@@ -751,8 +794,9 @@ class ParquetCatalogBackend(CatalogBackend):
         # intent means a fold is deciding RIGHT NOW (its tag re-read may
         # already have run) — both must fail the create. The intent case
         # is transient: an aborted fold removes its intent without ever
-        # publishing a floor, so the caller's retry succeeds.
-        floor = max(self.fold_floor(), self.active_fold_intents())
+        # publishing a floor, so the caller's retry succeeds. One listdir
+        # serves both marker families.
+        floor = self._floor_and_intents()
         if int(seq) < floor:
             self.delete_tag(name)
             raise ChunkConflict(

@@ -719,8 +719,6 @@ def st17_watermark_late_drop(spark, sf_dir):
     import tempfile
     import time as _t
 
-    from ..sources.readers import load_table
-
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -29,6 +29,8 @@ def main() -> None:
             runs = int(a.split("=", 1)[1])
         elif a == "--runs":
             i += 1
+            if i >= len(argv):
+                sys.exit("usage: --runs N")
             runs = int(argv[i])
         elif not a.startswith("--"):
             args.append(a)
