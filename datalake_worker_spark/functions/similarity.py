@@ -204,28 +204,68 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def _train_sample(
+def _collect_train_sample(
     corpus: DataFrame, id_col: str, vec_col: str, n: int
-) -> DataFrame:
-    """Deterministic bounded training set: the ``n`` rows ranked first by
-    sha256(id) — the same deterministic-shuffle ranking the quantizer
-    inits already use, extended to the whole training input (FAISS-style
-    practice trains k-means/PQ on a ~10⁵–10⁶ vector sample, never the
-    full corpus). Top-n by sort is per-partition top-n + merge
-    (TakeOrdered), then a hash repartition on the id restores
-    parallelism for the Lloyd iterations that follow the global limit.
-    ``_h`` is kept so callers can derive their sha-ranked init from the
-    sample's own prefix instead of a second corpus scan."""
-    return (
+) -> list[list[float]]:
+    """Deterministic bounded training set, collected: the ``n`` vectors
+    ranked first by sha256(id) — the same deterministic-shuffle ranking
+    the quantizer inits use, extended to the whole training input
+    (FAISS-style practice trains k-means/PQ on a ~10⁵–10⁶ vector sample,
+    never the full corpus). Top-n by sort is per-partition top-n + merge
+    (TakeOrdered) — ONE distributed job over the corpus; the result is
+    model-training state bounded by the caller's ``n`` regardless of
+    corpus size (n × dim float64 — 100k × 64 ≈ 51 MB), returned in rank
+    order so every downstream summation has a fixed, deterministic
+    order."""
+    rows = (
         corpus.select(
             F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
-            F.col(id_col),
-            F.col(vec_col),
+            F.col(id_col).alias("_id"),
+            to_double_array(F.col(vec_col)).alias("_v"),
         )
-        .orderBy("_h", id_col)
+        .orderBy("_h", "_id")
         .limit(n)
-        .repartition(F.col(id_col))
+        .collect()
     )
+    return [r["_v"] for r in rows]
+
+
+def _np_assign(X, C, budget_floats: int = 4_000_000):
+    """Blocked nearest-centroid assignment: argmin over the expanded
+    ||x||² − 2x·c + ||c||² distance matrix, computed in row blocks so the
+    n×k scratch stays ~32 MB whatever k is. np.argmin breaks ties on the
+    first minimal index — the same tie-break as the JVM path's
+    array_position(array_min)."""
+    import numpy as np
+
+    out = np.empty(len(X), dtype=np.int64)
+    c2 = (C * C).sum(axis=1)[None, :]
+    block = max(256, budget_floats // max(1, len(C)))
+    for s in range(0, len(X), block):
+        xb = X[s : s + block]
+        d = (xb * xb).sum(axis=1)[:, None] - 2.0 * (xb @ C.T) + c2
+        out[s : s + block] = d.argmin(axis=1)
+    return out
+
+
+def _numpy_lloyd(vecs: list[list[float]], k: int, iters: int) -> list[list[float]]:
+    """Driver-side Lloyd over the collected bounded sample. Init = the
+    first ``k`` vectors of the sha-rank-ordered sample (identical to the
+    distributed path's TakeOrdered init). Deterministic: sample content
+    and order are sha-fixed, numpy reductions run in that fixed order,
+    argmin ties take the first index. Empty clusters keep their previous
+    centroid, matching the distributed step."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    C = X[:k].copy()
+    for _ in range(iters):
+        cid = _np_assign(X, C)
+        for c in range(len(C)):
+            m = cid == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return [[float(x) for x in row] for row in C]
 
 
 def kmeans_centroids(
@@ -240,42 +280,40 @@ def kmeans_centroids(
     """Deterministic Lloyd k-means, DataFrame-native.
 
     Init = the ``n_clusters`` vectors ranked first by sha256(id) (a
-    deterministic shuffle, no rand()). Each iteration assigns points to
-    the nearest centroid (argmin over broadcast literals) and re-averages
-    per dimension through DECIMAL sums — order-independent, so the
-    centroids are bit-stable across runs and parallelism. The collected
-    model state is k×dim floats (driver-side by design, like any
-    trained-model broadcast); the data never leaves executors.
+    deterministic shuffle, no rand()).
 
-    Training runs over a deterministic sha-ranked sample of
-    ``train_sample_size`` vectors (``None`` = full corpus), persisted
-    for the duration of the Lloyd loop — at 100 TB the per-iteration
-    cost is bounded by the sample, not the corpus, and below the bound
-    (every test SF) the sample IS the corpus, so centroids are
-    bit-identical to unbounded training. Encoding/assignment of the
-    full corpus stays with the caller.
+    With ``train_sample_size`` set (the default, FAISS practice:
+    quantizers train on a bounded ~10⁵–10⁶ vector sample, never the full
+    corpus), ONE distributed TakeOrdered job collects the sha-ranked
+    sample and the Lloyd loop runs driver-side in numpy — no
+    per-iteration cluster jobs at all, and the driver footprint is
+    bounded by the caller's sample size (n × dim float64), not the
+    corpus. Deterministic: sample content/order are sha-fixed and the
+    numpy reductions run in that order.
+
+    With ``train_sample_size=None`` the full corpus trains distributed:
+    each iteration assigns points to the nearest centroid (argmin over
+    broadcast literals) and re-averages per dimension through DECIMAL
+    sums — order-independent, bit-stable across runs and parallelism.
+    Either way the model state is k×dim floats driver-side (like any
+    trained-model broadcast) and encoding/assignment of the full corpus
+    stays with the caller.
     """
     if train_sample_size is not None:
-        train = _train_sample(corpus, id_col, vec_col, train_sample_size).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-    else:
-        train = corpus.select(
-            F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
-            F.col(id_col),
-            F.col(vec_col),
-        )
-    try:
-        # deterministic shuffle-order init via TakeOrderedAndProject
-        # (top-k by sha256(id)) — the sample's own prefix, no extra scan
-        init = train.orderBy("_h", id_col).limit(n_clusters).collect()
-        cents = [list(map(float, r[vec_col])) for r in init]
-        for _ in range(iters):
-            cents = _lloyd_step(train, vec_col, cents, dim)
-        return cents
-    finally:
-        if train_sample_size is not None:
-            train.unpersist(blocking=False)
+        vecs = _collect_train_sample(corpus, id_col, vec_col, train_sample_size)
+        return _numpy_lloyd(vecs, n_clusters, iters)
+    train = corpus.select(
+        F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+    # deterministic shuffle-order init via TakeOrderedAndProject
+    # (top-k by sha256(id))
+    init = train.orderBy("_h", id_col).limit(n_clusters).collect()
+    cents = [list(map(float, r[vec_col])) for r in init]
+    for _ in range(iters):
+        cents = _lloyd_step(train, vec_col, cents, dim)
+    return cents
 
 
 def _lloyd_step(
@@ -342,13 +380,11 @@ def ann_topk_ivf(
     ~nprobe/n_clusters of the corpus per query; centroids are broadcast
     literals, so the cell join is the only shuffle.
 
-    The training phase is iterative-eager (init collect + one assignment
-    job per iteration), each job re-scanning the source and recomputing
-    the vector projection — so the projected corpus is persisted
-    (memory-with-disk-spill) for the duration of training and released
-    before the lazy result plan is returned. At cluster scale the same
-    pattern holds: cache what an iterative phase re-reads, unpersist when
-    the loop ends."""
+    The corpus is persisted (memory-with-disk-spill) across the eager
+    phases that each re-scan it — the training-sample TakeOrdered job
+    plus the encode/search scans of the returned plan — and released by
+    the caller's lifecycle. At cluster scale the same pattern holds:
+    cache what multiple phases re-read, unpersist when done."""
     corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         cents = kmeans_centroids(
@@ -754,13 +790,14 @@ def pq_codebooks(
     n_sub x n_codes x (dim/n_sub) floats, driver-side like any trained
     quantizer; the corpus never leaves executors.
 
-    Like ``kmeans_centroids``, training runs over a deterministic
-    sha-ranked sample of ``train_sample_size`` vectors (``None`` = full
-    corpus), persisted across Lloyd iterations — the Lloyd scans are
-    bounded by the sample at 100 TB, and below the bound the sample IS
-    the corpus so codebooks are bit-identical to unbounded training.
-    Encoding the full corpus with the trained books stays with the
-    caller."""
+    Like ``kmeans_centroids``, training with ``train_sample_size`` set
+    (the default) collects the deterministic sha-ranked sample in ONE
+    TakeOrdered job and runs the per-subspace Lloyd loops driver-side in
+    numpy — subspace assignments depend only on that subspace's own
+    codebook, so sequential per-subspace training is exactly the joint
+    update. ``train_sample_size=None`` keeps the distributed
+    all-subspaces-together DECIMAL path. Encoding the full corpus with
+    the trained books stays with the caller."""
     sub_dim = dim // n_sub
 
     def slices(vec):
@@ -770,31 +807,50 @@ def pq_codebooks(
         )
 
     if train_sample_size is not None:
-        train = _train_sample(corpus, id_col, vec_col, train_sample_size).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-    else:
-        train = corpus.select(
-            F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
-            F.col(id_col),
-            F.col(vec_col),
-        )
-    try:
-        init = train.orderBy("_h", id_col).limit(n_codes).collect()
-        books = [
-            [
-                [float(x) for x in r[vec_col][m * sub_dim : (m + 1) * sub_dim]]
-                for r in init
-            ]
-            for m in range(n_sub)
+        vecs = _collect_train_sample(corpus, id_col, vec_col, train_sample_size)
+        return _numpy_pq(vecs, n_sub, sub_dim, n_codes, iters)
+    train = corpus.select(
+        F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+    init = train.orderBy("_h", id_col).limit(n_codes).collect()
+    books = [
+        [
+            [float(x) for x in r[vec_col][m * sub_dim : (m + 1) * sub_dim]]
+            for r in init
         ]
-        subs = train.select(slices(F.col(vec_col)).alias("_subs"))
+        for m in range(n_sub)
+    ]
+    subs = train.select(slices(F.col(vec_col)).alias("_subs"))
+    for _ in range(iters):
+        books = _pq_lloyd_step(subs, books)
+    return books
+
+
+def _numpy_pq(
+    vecs: list[list[float]], n_sub: int, sub_dim: int, n_codes: int, iters: int
+) -> list[list[list[float]]]:
+    """Driver-side PQ Lloyd over the collected bounded sample. Init =
+    the first ``n_codes`` sample vectors' slices (shared across
+    subspaces, matching the distributed init); empty codes keep their
+    previous word. Deterministic for the same reasons as
+    ``_numpy_lloyd``."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    books = []
+    for m in range(n_sub):
+        Xm = np.ascontiguousarray(X[:, m * sub_dim : (m + 1) * sub_dim])
+        B = Xm[:n_codes].copy()
         for _ in range(iters):
-            books = _pq_lloyd_step(subs, books)
-        return books
-    finally:
-        if train_sample_size is not None:
-            train.unpersist(blocking=False)
+            cid = _np_assign(Xm, B)
+            for c in range(len(B)):
+                msk = cid == c
+                if msk.any():
+                    B[c] = Xm[msk].mean(axis=0)
+        books.append([[float(x) for x in row] for row in B])
+    return books
 
 
 def _pq_lloyd_step(

@@ -162,8 +162,9 @@ def test_semantic_dedup_deterministic(spark):
 
 
 def test_pq_codebooks_deterministic_and_better_than_mean(spark, sf_dir):
-    """PQ contract: (1) codebooks are bit-stable across runs (no RNG,
-    decimal-summed updates); (2) nearest-codeword reconstruction beats
+    """PQ contract: (1) codebooks are bit-stable across runs (no RNG —
+    sha-ranked sample in fixed order, fixed-order summation); (2)
+    nearest-codeword reconstruction beats
     the trivial 1-code (global mean) quantizer in every subspace."""
     from datalake_worker_spark.functions.similarity import (
         pq_codebooks,
