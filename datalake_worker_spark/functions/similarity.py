@@ -28,6 +28,22 @@ def to_double_array(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def lit_matrix(rows) -> Column:
+    """A nested array<double> literal built through ONE parsed SQL
+    expression. ``F.lit`` on a nested Python list issues a Py4J call per
+    element (~0.8 s to build an 8×64 or 8×16×8 literal — measured), which
+    dominated ANN plan construction; ``repr(float)`` is the shortest
+    exact round-trip so the parsed literal is bit-identical to the
+    ``F.lit`` one (verified EQUAL on gaussian matrices)."""
+
+    def fmt(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(fmt(v) for v in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(fmt(rows))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -348,14 +364,14 @@ def nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
     The centroid matrix is ONE constant-folded literal node; distances are
     a transform over it — not per-centroid literal-array sub-trees, which
     made Catalyst time quadratic in k×dim."""
-    dists = F.transform(F.lit(cents), lambda c: l2sq(vec, c))
+    dists = F.transform(lit_matrix(cents), lambda c: l2sq(vec, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def nearest_centroids(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
     """The nprobe nearest centroid ids (array), for query-side probing."""
     scored = F.transform(
-        F.lit(cents),
+        lit_matrix(cents),
         lambda c, i: F.struct(l2sq(vec, c).alias("d"), i.cast("int").alias("cid")),
     )
     return F.slice(F.array_sort(scored), 1, nprobe).getField("cid")
@@ -856,7 +872,7 @@ def _numpy_pq(
 def _pq_lloyd_step(
     subs: DataFrame, books: list[list[list[float]]]
 ) -> list[list[list[float]]]:
-    lit_books = F.lit(books)  # one nested [m][k][d] literal node
+    lit_books = lit_matrix(books)  # one nested [m][k][d] literal node
     # (m, sv) rows; argmin projected BEFORE the dimension explode so
     # the k x sub_dim distance tree evaluates once per subvector
     assigned = (
@@ -918,7 +934,7 @@ def v08_pq_quantization_audit(spark, sf_dir):
     # final RMSE pass — persist for the duration (the v04 lesson)
     e = e.persist()
     books = pq_codebooks(e, "vec_id", "v", dim=64, n_sub=n_sub, n_codes=16)
-    lit_books = F.lit(books)
+    lit_books = lit_matrix(books)
     subs = e.select(
         F.posexplode(
             F.transform(
@@ -992,7 +1008,7 @@ def ann_topk_ivfpq(
             corpus, id_col, vec_col, n_clusters, dim, iters,
             train_sample_size=train_sample_size,
         )
-        lit_cents = F.lit(cents)
+        lit_cents = lit_matrix(cents)
         sub_dim = dim // n_sub
         resid = (
             corpus.select(
@@ -1015,7 +1031,7 @@ def ann_topk_ivfpq(
             resid, id_col, "_res", dim=dim, n_sub=n_sub, n_codes=n_codes,
             iters=iters, train_sample_size=train_sample_size,
         )
-        lit_books = F.lit(books)
+        lit_books = lit_matrix(books)
         subs = F.transform(
             F.sequence(F.lit(0), F.lit(n_sub - 1)),
             lambda m: F.slice(F.col("_res"), m * sub_dim + 1, sub_dim),
