@@ -143,6 +143,8 @@ WAVE7 = [
     "v10_matryoshka_audit",
     "io17_jdbc_roundtrip",
     "io18_parquet_codec_roundtrip",
+    "w18_max_concurrent_intervals",
+    "x08_interval_overlap_join",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

@@ -543,3 +543,219 @@ def t26_dedup_aware_token_count(spark, sf_dir):
             F.col("dedup_tokens").cast("double") / F.col("total_tokens"), 6
         ).alias("effective_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late round-7 additions: interval analytics (sweep-line concurrency and
+# interval-overlap join). Transit intervals are DERIVED deterministically
+# from real columns (duration = 1 + quantity % 14 days) because this
+# table trim carries no receipt date; the derivation is mirrored
+# verbatim in the oracles.
+
+_W18_EPOCH = "1995-01-01"
+
+# 28 audit windows, 21 days each, every 90 days from 1995-02-10 —
+# deliberately NOT aligned to the 32-day join bins so the bin join
+# cannot degenerate into pure equality.
+_X08_WINDOWS = [
+    (i, f"DATE '1995-02-10' + INTERVAL {90 * i} DAY") for i in range(28)
+]
+
+
+@register(
+    "w18_max_concurrent_intervals",
+    """
+    WITH li AS (
+        SELECT l_suppkey,
+               CAST(l_shipdate AS DATE) AS lo,
+               CAST(l_shipdate AS DATE)
+                 + (1 + CAST(l_quantity AS INT) % 14) * INTERVAL 1 DAY AS hi
+        FROM lineitem
+    ),
+    pts AS (
+        SELECT l_suppkey, lo AS d, 1 AS delta FROM li
+        UNION ALL
+        SELECT l_suppkey, hi AS d, -1 AS delta FROM li
+    ),
+    run AS (
+        SELECT l_suppkey,
+               SUM(delta) OVER (PARTITION BY l_suppkey ORDER BY d, delta) AS conc
+        FROM pts
+    )
+    SELECT l_suppkey, CAST(MAX(conc) AS BIGINT) AS max_in_transit
+    FROM run GROUP BY l_suppkey
+    """,
+    category="window",
+    doc=(
+        "sweep-line maximum concurrency: how many of a supplier's "
+        "shipments are in transit at once (transit = [shipdate, "
+        "shipdate + 1 + quantity % 14 days), half-open). Each interval "
+        "contributes a +1 point at its start and a -1 at its end; the "
+        "running sum over (date, delta) is the live-interval count and "
+        "its max is the peak. Ordering deltas ascending puts same-day "
+        "ends BEFORE same-day starts (half-open semantics), and the "
+        "default RANGE frame makes every tie-group row carry the "
+        "group-total prefix sum, so per-row values are fully "
+        "deterministic under any shuffle order. One shuffle on the "
+        "partition key; state per group is O(1) — the classic "
+        "interval-scheduling shape that survives any scale. Same sweep "
+        "as the reference would need for concurrent-lease accounting "
+        "(src/lib.rs pin/lease lifecycle)."
+    ),
+)
+def w18_max_concurrent_intervals(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("lo"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            1 + F.col("l_quantity").cast("int") % 14,
+        ).alias("hi"),
+    )
+    return max_concurrent_intervals(li, "l_suppkey", "lo", "hi").select(
+        "l_suppkey", F.col("max_concurrent").alias("max_in_transit")
+    )
+
+
+def max_concurrent_intervals(
+    df: "DataFrame", key: str, lo: str, hi: str
+) -> "DataFrame":
+    """(key, max_concurrent): peak count of simultaneously-live
+    half-open [lo, hi) intervals per key — the w18 sweep line, reusable
+    over any interval set."""
+    pts = df.select(
+        key, F.col(lo).alias("d"), F.lit(1).alias("delta")
+    ).unionAll(df.select(key, F.col(hi).alias("d"), F.lit(-1).alias("delta")))
+    run = pts.select(
+        key,
+        F.sum("delta").over(W.partitionBy(key).orderBy("d", "delta")).alias(
+            "conc"
+        ),
+    )
+    return run.groupBy(key).agg(
+        F.max("conc").cast("long").alias("max_concurrent")
+    )
+
+
+@register(
+    "x08_interval_overlap_join",
+    f"""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               CAST(l_shipdate AS DATE) AS lo,
+               CAST(l_shipdate AS DATE)
+                 + (1 + CAST(l_quantity AS INT) % 14) * INTERVAL 1 DAY AS hi
+        FROM lineitem
+    ),
+    win(window_id, w_lo) AS (
+        VALUES {", ".join(f"({i}, {expr})" for i, expr in _X08_WINDOWS)}
+    ),
+    w2 AS (SELECT window_id, w_lo, w_lo + INTERVAL 21 DAY AS w_hi FROM win)
+    SELECT window_id, CAST(w_lo AS DATE) AS w_start,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM li JOIN w2 ON li.lo < w2.w_hi AND w2.w_lo < li.hi
+    GROUP BY window_id, w_lo
+    """,
+    category="asof-range",
+    doc=(
+        "interval x interval OVERLAP join (audit windows vs in-transit "
+        "spans), executed as a BINNED EQUI-JOIN: both sides explode "
+        "into the 32-day bins they span (every interval here is shorter "
+        "than one bin, so at most 2 bins each), candidates meet on the "
+        "bin key, the exact half-open overlap predicate filters, and a "
+        "pair is COUNTED ONLY in the bin of max(lo_a, lo_w) — the first "
+        "bin of the overlap region — which dedupes multi-bin matches "
+        "with pure arithmetic instead of a distinct. x05 is the "
+        "point-in-interval broadcast shape; this is the both-sides-"
+        "large recipe (Flink/SparkSQL interval-join style): shuffle "
+        "bounded by bins-spanned x rows, no BroadcastNestedLoop, no "
+        "quadratic corner. The window dim is tiny here so Spark still "
+        "broadcasts it — same plan, zero fact-side shuffle before the "
+        "aggregate."
+    ),
+)
+def x08_interval_overlap_join(spark, sf_dir):
+    import datetime
+
+    bin_days = 32
+    epoch = F.lit(_W18_EPOCH).cast("date")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.col("l_shipdate").cast("date").alias("lo"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            1 + F.col("l_quantity").cast("int") % 14,
+        ).alias("hi"),
+    )
+    base = datetime.date(1995, 2, 10)
+    wins = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(days=90 * i))
+            for i in range(len(_X08_WINDOWS))
+        ],
+        "window_id int, w_lo date",
+    ).select("window_id", "w_lo", F.date_add("w_lo", 21).alias("w_hi"))
+
+    pairs = interval_overlap_join(
+        li, wins.select("window_id", F.col("w_lo").alias("lo"),
+                        F.col("w_hi").alias("hi")),
+        bin_days=bin_days, epoch=_W18_EPOCH, broadcast_right=True,
+    )
+    return pairs.groupBy("window_id", F.col("r_lo").alias("w_start")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def interval_overlap_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    bin_days: int = 32,
+    epoch: str = _W18_EPOCH,
+    broadcast_right: bool = False,
+) -> "DataFrame":
+    """Binned interval x interval overlap equi-join (the x08 recipe,
+    reusable). Both inputs carry half-open [lo, hi) DATE columns named
+    lo/hi; every other column passes through (right's lo/hi surface as
+    r_lo/r_hi). Each side explodes into the ``bin_days``-day bins it
+    spans, candidates meet on the bin key, the exact overlap predicate
+    filters, and a pair survives ONLY in the bin of max(lo, r_lo) — the
+    first bin of the overlap region — so multi-bin matches dedupe by
+    arithmetic, not a distinct. Shuffle volume is rows x bins-spanned;
+    no BroadcastNestedLoop, no quadratic corner, both sides may be
+    arbitrarily large (set ``broadcast_right`` when the right side is a
+    small dim)."""
+    ep = F.lit(epoch).cast("date")
+
+    def days(c):
+        return F.datediff(c, ep)
+
+    def bins(lo, hi):
+        # half-open [lo, hi): the last covered day is hi-1
+        return F.sequence(
+            F.floor(days(lo) / bin_days), F.floor((days(hi) - 1) / bin_days)
+        )
+
+    lb = left.select(
+        "*", F.explode(bins(F.col("lo"), F.col("hi"))).alias("bin")
+    )
+    rb = right.select(
+        *[F.col(c).alias(f"r_{c}" if c in ("lo", "hi") else c)
+          for c in right.columns],
+        F.explode(bins(F.col("lo"), F.col("hi"))).alias("bin"),
+    )
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    return (
+        lb.join(rb, "bin")
+        .filter((F.col("lo") < F.col("r_hi")) & (F.col("r_lo") < F.col("hi")))
+        .filter(
+            F.col("bin")
+            == F.floor(days(F.greatest(F.col("lo"), F.col("r_lo"))) / bin_days)
+        )
+        .drop("bin")
+    )

@@ -473,3 +473,31 @@ def test_w17_rolling_median_single_exchange(spark, sf_dir):
 
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_x08_overlap_join_is_equi_shaped(spark, sf_dir):
+    """The interval-overlap join must meet on the bin equi-key (hash
+    join), never BroadcastNestedLoop/cartesian — the whole point of the
+    bin recipe is surviving two large sides."""
+    df = REGISTRY["x08_interval_overlap_join"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or (
+        "SortMergeJoin" in plan
+    ), plan
+
+
+def test_w18_sweep_line_single_exchange(spark, sf_dir):
+    """The sweep-line concurrency op is one window pass over the
+    unioned point stream: exactly one hashpartitioning exchange on the
+    partition key (union is exchange-free), no joins."""
+    df = REGISTRY["w18_max_concurrent_intervals"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    # exactly one exchange node in the tree; the aggregate reuses the
+    # window's partitioning rather than reshuffling
+    import re
+
+    ex_nodes = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(ex_nodes) == 1, plan
