@@ -145,6 +145,7 @@ WAVE7 = [
     "io18_parquet_codec_roundtrip",
     "w18_max_concurrent_intervals",
     "x08_interval_overlap_join",
+    "io20_data_quality_audit",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

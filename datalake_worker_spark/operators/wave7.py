@@ -759,3 +759,113 @@ def interval_overlap_join(
         )
         .drop("bin")
     )
+
+
+@register(
+    "io20_data_quality_audit",
+    """
+    WITH pk AS (
+        SELECT 'pk_unique_o_orderkey' AS check_name, 'orders' AS tbl,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_bad,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+    ),
+    fk AS (
+        SELECT 'fk_orders_customer' AS check_name, 'orders' AS tbl,
+               CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+                 AS n_bad,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    nn AS (
+        SELECT 'not_null_l_shipdate' AS check_name, 'lineitem' AS tbl,
+               CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+                 AS n_bad,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    ),
+    rng AS (
+        SELECT 'range_l_quantity_1_50' AS check_name, 'lineitem' AS tbl,
+               CAST(COUNT(*) FILTER (
+                   WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+                 AS n_bad,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    ),
+    enm AS (
+        SELECT 'enum_l_returnflag' AS check_name, 'lineitem' AS tbl,
+               CAST(COUNT(*) FILTER (
+                   WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT)
+                 AS n_bad,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    )
+    SELECT check_name, tbl, n_bad, n_rows, n_bad = 0 AS ok FROM (
+        SELECT * FROM pk UNION ALL SELECT * FROM fk UNION ALL
+        SELECT * FROM nn UNION ALL SELECT * FROM rng UNION ALL
+        SELECT * FROM enm)
+    """,
+    category="io-lake",
+    doc=(
+        "declarative data-quality audit (the Deequ/Great-Expectations "
+        "constraint-suite shape): PK uniqueness, FK referential "
+        "integrity, not-null, numeric range, and enum membership, each "
+        "reduced to a violation COUNT so every check is one map-side-"
+        "combined aggregate — conditional sums, no row-level "
+        "materialization. The FK check is the only join: orders LEFT "
+        "JOIN customer on the key, unmatched rows counted; Spark "
+        "broadcasts the dim side. Output is one row per check, so the "
+        "audit costs a handful of scans regardless of table size — at "
+        "100 TB each check is a single pass that AQE can run off the "
+        "same shuffle-free plan."
+    ),
+)
+def io20_data_quality_audit(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(check, tbl, df, bad):
+        return df.agg(
+            F.lit(check).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+
+    pk = o.agg(
+        F.lit("pk_unique_o_orderkey").alias("check_name"),
+        F.lit("orders").alias("tbl"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("n_bad"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    fk = one(
+        "fk_orders_customer",
+        "orders",
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left"),
+        F.col("c_custkey").isNull(),
+    )
+    nn = one(
+        "not_null_l_shipdate", "lineitem", li, F.col("l_shipdate").isNull()
+    )
+    rng = one(
+        "range_l_quantity_1_50",
+        "lineitem",
+        li,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    enm = one(
+        "enum_l_returnflag",
+        "lineitem",
+        li,
+        ~F.col("l_returnflag").isin("A", "N", "R"),
+    )
+    return (
+        pk.unionAll(fk)
+        .unionAll(nn)
+        .unionAll(rng)
+        .unionAll(enm)
+        .withColumn("ok", F.col("n_bad") == 0)
+    )

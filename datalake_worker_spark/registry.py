@@ -93,6 +93,9 @@ _PRIORITY_NAMES = [
     "t25_bigram_logprob",
     "io19_schema_drift_audit",
     "t26_dedup_aware_token_count",
+    "w18_max_concurrent_intervals",
+    "x08_interval_overlap_join",
+    "io20_data_quality_audit",
     # newest driver row: round 3
     "s09_casts",
     "a10_statistical_aggregates",

@@ -60,6 +60,10 @@ PROBE = [
     "v02_ann_lsh_topk",          # multi-probe LSH (r7)
     "j12_binned_range_join",     # binned equi-shaped range join (r7)
     "w17_rolling_median",        # constant-frame exact median (r7)
+    "v04_ann_ivf_topk",          # IVF ANN — numpy-trained quantizer (r7)
+    "v09_ann_ivfpq_topk",        # IVF+PQ ADC — numpy-trained quantizer (r7)
+    "w18_max_concurrent_intervals",  # sweep-line concurrency (r7 late)
+    "x08_interval_overlap_join",     # binned overlap equi-join (r7 late)
 ]
 
 
