@@ -42,6 +42,10 @@ FLAGSHIP = [
     ("q07_volume_shipping", "nation-pair OR join: dims broadcast, one fact exchange into the 3-key agg"),
     ("q13_customer_order_distribution", "left-outer count distribution: one join exchange, two-phase count agg"),
     ("a08_approx_aggregates", "approx aggregates: map-side sketch partials, one tiny merge exchange"),
+    # round-7 late additions
+    ("w18_max_concurrent_intervals", "sweep line: ONE exchange, window + agg share the partitioning"),
+    ("x08_interval_overlap_join", "interval overlap: binned equi-join, first-overlap-bin dedup, no BNLJ"),
+    ("io20_data_quality_audit", "constraint audit: conditional-sum aggregates, FK dim broadcast"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
