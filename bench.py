@@ -133,7 +133,10 @@ WAVE6 = [
 
 # added in round 7 — seventh suite per the same contract (lk11 excluded:
 # catalog side effects; io17/io18 roundtrips included — the JDBC and
-# codec writes ARE the measured work)
+# codec writes ARE the measured work). Grew 8 -> 11 queries WITHIN
+# round 7 (w18/x08/io20 landed late); the suite's round-over-round
+# baseline is the round-7 FINAL number at 11 queries — earlier intra-
+# round wave7 totals are not comparable.
 WAVE7 = [
     "t23_zipf_token_curve",
     "t24_sentence_stats",
