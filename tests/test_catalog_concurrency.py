@@ -540,7 +540,13 @@ def test_concurrent_tags_vs_compaction_exactness(spark, tmp_path):
     def tagger(idx: int) -> None:
         cat = ChunkCatalog(spark, root)
         k = 0
-        while not stop.is_set():
+        # BOUNDED churn: an unbounded 1 ms loop created tags faster than
+        # the writer's Spark-paced iterations consumed wall-clock, and
+        # every tag makes list_tags/create_tag's directory work dearer —
+        # a feedback loop that once grew the tag dir to ~18k files and
+        # the test to >30 min. 200 tags x 20 ms keeps the interleaving
+        # pressure while bounding the race surface.
+        while not stop.is_set() and k < 200:
             name = f"t{idx}-{k}"
             k += 1
             try:
@@ -552,7 +558,7 @@ def test_concurrent_tags_vs_compaction_exactness(spark, tmp_path):
             except Exception as exc:  # noqa: BLE001
                 errors.append(f"tagger{idx}: {exc!r}")
                 return
-            time.sleep(0.001)
+            time.sleep(0.02)
 
     threads = [threading.Thread(target=tagger, args=(i,)) for i in range(3)]
     for t in threads:
@@ -591,10 +597,14 @@ def test_concurrent_tags_vs_compaction_exactness(spark, tmp_path):
 
     writer.refresh()
     surviving = writer.list_tags()
+    alive = [(n, s) for n, s in tagged if n in surviving]
+    # exactness is per-tag independent — verify a deterministic spread
+    # of at most 40 survivors (each check is a full fold read) instead
+    # of every one
+    alive.sort(key=lambda ns: ns[1])
+    step = max(1, len(alive) // 40)
     checked = 0
-    for name, seq in tagged:
-        if name not in surviving:
-            continue  # dropped by the churn loop
+    for name, seq in alive[::step]:
         assert surviving[name] == seq, (name, seq, surviving[name])
         got = {cid: r["state"] for cid, r in writer.state_as_of_tag(name).items()}
         assert got == truth_at(seq), (
