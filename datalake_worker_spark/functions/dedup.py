@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, spread_scan
 from .text import whitespace_tokens
 
 # ---------------------------------------------------------------------------
@@ -66,6 +66,9 @@ def minhash_signatures(
     than k independent xxhash64 calls, same minhash quality in the
     recall tests).
     """
+    # (spread_scan deliberately NOT applied here: the k-MIN aggregate
+    # collapses map-side, so the single-task pass is already ~0.5 s and
+    # a repartition costs more than it saves — A/B-measured)
     sh = (
         df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
         .select(F.col(id_col), F.explode(shingles_from_words(F.col("_w"))).alias("_sh"))
@@ -335,6 +338,8 @@ def simhash_fingerprints(
     measured ~4× slower on the documents table and its codegen grows
     with 64 nested array passes.
     """
+    # (spread_scan deliberately NOT applied: the 64 bit-vote SUMs
+    # collapse map-side — same A/B result as minhash_signatures)
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
     ).select(id_col, F.xxhash64("_t").alias("_h"))
@@ -438,8 +443,11 @@ def d03_ngram_jaccard_pairs(spark, sf_dir):
     # leaving the Jaccard value bit-identical to the string-gram oracle
     # (hashing is injective on a corpus's distinct grams up to 2^-64
     # collisions; the distinct-set SIZES are what the formula uses)
+    # spread_scan: gram hashing is CPU-bound per row — parallelize the
+    # sub-core-count single-file scan; no-op at scale
     t = (
-        d.withColumn("w", F.split("text", " "))
+        spread_scan(d, "doc_id")
+        .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 2)
         .select(
             "doc_id",
@@ -962,8 +970,11 @@ def char_shingles(text: Column, n: int = 5, stride: int | None = None) -> Column
 )
 def d16_char_jaccard_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
+    # spread_scan: 5-char shingling is CPU-bound per row — parallelize
+    # the sub-core-count single-file scan; no-op at scale
     t = (
-        d.select(
+        spread_scan(d, "doc_id")
+        .select(
             "doc_id",
             "lang",
             "n_chars",

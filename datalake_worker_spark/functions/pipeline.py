@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, spread_scan
 from .text import whitespace_tokens
 
 # ---------------------------------------------------------------------------
@@ -131,8 +131,11 @@ def ngram_decontaminate(
     def grams(df: DataFrame) -> DataFrame:
         # grams as xxhash64 longs: the (doc, gram) explode is the widest
         # stage — 8-byte join keys instead of n-word strings; match
-        # counts are unchanged (injective up to 2^-64 collisions)
-        return df.select(
+        # counts are unchanged (injective up to 2^-64 collisions).
+        # spread_scan: the explode is CPU-bound per row — parallelize a
+        # sub-core-count (unsplittable single-file) scan first; no-op at
+        # scale where file count provides parallelism
+        return spread_scan(df, id_col).select(
             F.col(id_col),
             F.explode(
                 shingles_from_words(whitespace_tokens(text_col), n)
@@ -611,8 +614,10 @@ def ngram_overlap_score(
     from .dedup import shingles_from_words
 
     def grams(df: DataFrame) -> DataFrame:
+        # spread_scan: parallelize the CPU-bound explode when the scan
+        # is sub-core-count (unsplittable test fixture); no-op at scale
         return (
-            df.select(
+            spread_scan(df, id_col).select(
                 F.col(id_col),
                 F.explode(
                     shingles_from_words(whitespace_tokens(text_col), n)
@@ -736,8 +741,10 @@ def bloom_decontaminate(
     from .dedup import shingles_from_words
 
     def grams(df: DataFrame) -> DataFrame:
-        # raw (id, gram) stream — deliberately NOT distinct, see above
-        return df.select(
+        # raw (id, gram) stream — deliberately NOT distinct, see above.
+        # spread_scan: parallelize the CPU-bound explode when the scan
+        # is sub-core-count (unsplittable test fixture); no-op at scale
+        return spread_scan(df, id_col).select(
             F.col(id_col),
             F.explode(
                 shingles_from_words(whitespace_tokens(text_col), n)

@@ -87,7 +87,7 @@ def jaccard_pairs_prefix(
 
 
 from ..registry import register  # noqa: E402
-from ..sources import load_table  # noqa: E402
+from ..sources import load_table, spread_scan  # noqa: E402
 
 
 @register(
@@ -123,8 +123,11 @@ def d07_ssjoin_prefix(spark, sf_dir):
     # prefix filter only needs SOME consistent total order (df, then
     # hash), and the Jaccard value is bit-identical to the string-gram
     # oracle (set sizes are preserved up to 2^-64 collisions)
+    # spread_scan: gram hashing is CPU-bound per row — parallelize the
+    # sub-core-count single-file scan; no-op at scale
     t = (
-        d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        spread_scan(d, "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .filter(F.size("w") >= 2)
         .select(
             "doc_id",

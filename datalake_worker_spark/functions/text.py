@@ -33,8 +33,13 @@ def whitespace_tokens(text_col: str | Column = "text") -> Column:
 
 
 def explode_tokens(df, id_col: str = "doc_id", text_col: str = "text"):
-    """(id, tok) rows — the shared tokenize→explode front of t04/t06/t10."""
-    return df.select(
+    """(id, tok) rows — the shared tokenize→explode front of t04/t06/t10.
+
+    spread_scan first: the explode is CPU-bound per row and the test
+    fixtures are unsplittable single-file scans; no-op at scale."""
+    from ..sources import spread_scan
+
+    return spread_scan(df, id_col).select(
         id_col, F.explode(whitespace_tokens(text_col)).alias("tok")
     )
 

@@ -9,7 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, spread_scan
 from .text import explode_tokens, whitespace_tokens
 
 # tiny deterministic sentiment lexicon over the synthetic vocabulary
@@ -241,9 +241,11 @@ def t21_textrank_keywords(spark, sf_dir):
     from .dedup import shingles_from_words
 
     d = load_table(spark, sf_dir, "documents")
-    w = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("w")).filter(
-        F.size("w") >= 2
-    )
+    # spread_scan: bigram explode is CPU-bound — parallelize the
+    # sub-core-count single-file scan; no-op at scale
+    w = spread_scan(d, "doc_id").select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 2)
     grams = w.select(F.explode(shingles_from_words(F.col("w"), 2)).alias("gram"))
     pe = grams.select(
         F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("a"),
@@ -319,9 +321,11 @@ def t22_pmi_collocations(spark, sf_dir):
     from .text import explode_tokens
 
     d = load_table(spark, sf_dir, "documents")
-    w = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("w")).filter(
-        F.size("w") >= 2
-    )
+    # spread_scan: bigram explode is CPU-bound — parallelize the
+    # sub-core-count single-file scan; no-op at scale
+    w = spread_scan(d, "doc_id").select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 2)
     bg = (
         w.select(F.explode(shingles_from_words(F.col("w"), 2)).alias("gram"))
         .groupBy("gram")

