@@ -501,3 +501,21 @@ def test_w18_sweep_line_single_exchange(spark, sf_dir):
 
     ex_nodes = set(re.findall(r"\((\d+)\) Exchange", plan))
     assert len(ex_nodes) == 1, plan
+
+
+def test_spread_scan_adaptive(spark, sf_dir):
+    """spread_scan parallelizes ONLY sub-core-count inputs: a single-file
+    scan gains partitions; an input already at/above the session default
+    comes back unchanged (same plan object — no shuffle inserted)."""
+    from datalake_worker_spark.sources import load_table, spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert d.rdd.getNumPartitions() < target  # single unsplittable file
+    spread = spread_scan(d, "doc_id")
+    assert spread.rdd.getNumPartitions() == target
+    # deterministic hash layout, not round-robin
+    assert "RoundRobin" not in spread._jdf.queryExecution().toString()
+
+    wide = d.repartition(target, "doc_id")
+    assert spread_scan(wide, "doc_id") is wide  # no-op above the bound
