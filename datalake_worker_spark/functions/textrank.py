@@ -387,7 +387,8 @@ def t22_pmi_collocations(spark, sf_dir):
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(nll) AS DOUBLE) AS total_nll,
-           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+           CAST(CAST(SUM(nll) * 1000000 AS BIGINT) // COUNT(*) AS DOUBLE)
+             / 1000000.0 AS avg_nll
     FROM scored
     GROUP BY doc_id
     """,
@@ -444,8 +445,26 @@ def t25_bigram_logprob(spark, sf_dir):
             .alias("nll"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        F.sum("nll").cast("double").alias("total_nll"),
-        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_nll"),
+    # avg_nll via exact integer micro-division (the j12 recipe): the
+    # 6-dp DECIMAL total is an exact integer count of micro-nats, so
+    # floor-dividing by n and scaling back is bit-identical on both
+    # engines — ROUND(total/n, 6) hash-mismatched at sf0.1 on two docs
+    # whose mean hit an exact .5 at the 6th decimal (34.078655/10)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("nll").alias("_tot"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("_tot").cast("double").alias("total_nll"),
+            (
+                F.expr("CAST(_tot * 1000000 AS BIGINT) div n_bigrams").cast(
+                    "double"
+                )
+                / F.lit(1000000.0)
+            ).alias("avg_nll"),
+        )
     )
