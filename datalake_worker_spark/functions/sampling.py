@@ -109,19 +109,59 @@ def smp02_doc_packing(spark, sf_dir):
     GROUP BY l_returnflag
     """,
     category="llm-sampling",
-    doc="exact interpolated percentiles (quality-threshold selection at scale).",
+    doc=(
+        "exact interpolated percentiles (quality-threshold selection at "
+        "scale), computed SORT-BASED: Spark's native percentile() "
+        "aggregate buffers EVERY group value in the agg buffer — memory "
+        "grows linearly with rows-per-group, which is fine at 2M values "
+        "(~50 MB, measured) and fatal at 100 TB group sizes (billions "
+        "of values per flag). It was also the straw in a cumulative-"
+        "session OOM on the 10x sweep. The window form sorts per group "
+        "(external, disk-spillable) and interpolates between the two "
+        "rank-adjacent rows per requested p — bounded memory at any "
+        "group size, same quantile_cont semantics (rank = 1+(n-1)p)."
+    ),
 )
 def smp03_exact_percentiles(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    pct = F.expr(
-        "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D, 0.99D))"
+    return exact_group_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99},
     )
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.element_at(pct, 1), 6).alias("p25"),
-        F.round(F.element_at(pct, 2), 6).alias("p50"),
-        F.round(F.element_at(pct, 3), 6).alias("p75"),
-        F.round(F.element_at(pct, 4), 6).alias("p99"),
+
+
+def exact_group_percentiles(
+    df, key: str, val: str, ps: dict[str, float]
+):
+    """Exact interpolated per-group percentiles, sort-based (scale-safe).
+
+    One window sort per group (external sort — spills, never OOMs, in
+    contrast to percentile()'s value-buffering agg) assigns row_number;
+    for each requested p the continuous rank r = 1 + (n-1)p picks the
+    two adjacent rows floor(r)/ceil(r) and the final aggregate
+    interpolates. Output: (key, <name> for each p), ROUND 6."""
+    wsort = W.partitionBy(key).orderBy(val)
+    wall = W.partitionBy(key)
+    ranked = df.select(
+        key,
+        F.col(val).cast("double").alias("_v"),
+        F.row_number().over(wsort).alias("_rn"),
+        F.count("*").over(wall).alias("_n"),
     )
+    aggs = []
+    for name, p in ps.items():
+        r = F.lit(1.0) + (F.col("_n") - 1) * F.lit(p)  # continuous rank
+        lo = F.floor(r).cast("long")
+        hi = F.least(lo + 1, F.col("_n"))
+        frac = r - lo.cast("double")
+        v_lo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
+        v_hi = F.max(F.when(F.col("_rn") == hi, F.col("_v")))
+        aggs.append(
+            F.round(v_lo + F.max(frac) * (v_hi - v_lo), 6).alias(name)
+        )
+    return ranked.groupBy(key).agg(*aggs)
 
 
 @register(

@@ -45,7 +45,10 @@ def main() -> None:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        pat = f"{sf}/{t}.parquet"
+        if os.path.isdir(pat):  # Spark-written multi-file table (10x corpus)
+            pat += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     bad = []
     t_all = time.perf_counter()
