@@ -67,3 +67,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_cached_state(spark: SparkSession) -> int:
+    """Long-session cache janitor: unpersist every persistent RDD and
+    clear the SQL cache. Several operators legitimately return plans
+    whose persisted/localCheckpoint blocks must outlive the call (the
+    caller reads them) — the blocks are reclaimed lazily by GC +
+    ContextCleaner, which is fine for short sessions but accumulates
+    across hundreds of corpus-scale queries in one long-lived JVM (the
+    full-surface 10x sweep OOMed a 64 g heap on exactly this). A query
+    runner that is DONE consuming each result calls this between
+    queries; returns the number of RDDs released."""
+    jsc = spark.sparkContext._jsc
+    m = jsc.getPersistentRDDs()
+    n = 0
+    for rdd in list(m.values()):
+        rdd.unpersist(False)
+        n += 1
+    spark.catalog.clearCache()
+    return n

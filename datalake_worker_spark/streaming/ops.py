@@ -61,7 +61,16 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{table}.parquet")
     if path not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="dlw_stream_")
-        os.symlink(path, os.path.join(d, f"{table}.parquet"))
+        if os.path.isdir(path):
+            # Spark-written multi-file table (e.g. the 10x corpus):
+            # symlink each data file — the stream source globs the dir
+            for i, f in enumerate(sorted(os.listdir(path))):
+                if f.endswith(".parquet"):
+                    os.symlink(
+                        os.path.join(path, f), os.path.join(d, f"part{i}.parquet")
+                    )
+        else:
+            os.symlink(path, os.path.join(d, f"{table}.parquet"))
         _STREAM_DIRS[path] = d
     if nanos_timestamp_columns(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -207,6 +216,24 @@ def st03_session_window(spark, sf_dir):
     )
 
 
+def _stage_replay_copies(src: str, tmp: str, tags) -> None:
+    """Copy the table once per tag into a streaming staging dir —
+    handles both a single parquet file and a Spark-written multi-file
+    directory (the 10x corpus)."""
+    import shutil
+
+    if os.path.isdir(src):
+        files = [f for f in sorted(os.listdir(src)) if f.endswith(".parquet")]
+        for tag in tags:
+            for i, f in enumerate(files):
+                shutil.copy(
+                    os.path.join(src, f), os.path.join(tmp, f"{tag}{i}.parquet")
+                )
+    else:
+        for tag in tags:
+            shutil.copy(src, os.path.join(tmp, f"{tag}.parquet"))
+
+
 @register(
     "st04_stream_dedup",
     """
@@ -227,8 +254,7 @@ def st04_stream_dedup(spark, sf_dir):
     ensure_session_confs(spark)
     tmp = tempfile.mkdtemp(prefix="dlw_replay_")
     src = os.path.join(sf_dir, "events.parquet")
-    shutil.copy(src, os.path.join(tmp, "a.parquet"))
-    shutil.copy(src, os.path.join(tmp, "b.parquet"))
+    _stage_replay_copies(src, tmp, ("a", "b"))
     if nanos_timestamp_columns(src):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(src).schema
@@ -528,8 +554,7 @@ def st12_dedup_within_watermark(spark, sf_dir):
     ensure_session_confs(spark)
     tmp = tempfile.mkdtemp(prefix="dlw_replay_")
     src = os.path.join(sf_dir, "events.parquet")
-    shutil.copy(src, os.path.join(tmp, "a.parquet"))
-    shutil.copy(src, os.path.join(tmp, "b.parquet"))
+    _stage_replay_copies(src, tmp, ("a", "b"))
     if nanos_timestamp_columns(src):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(src).schema

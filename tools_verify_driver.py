@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
 from datalake_worker_spark.canonical import duckdb_result, result_hash, spark_result
+from datalake_worker_spark.session import release_cached_state
 
 
 def main() -> None:
@@ -30,6 +31,14 @@ def main() -> None:
         SparkSession.builder.master("local[32]")
         .appName("verify-driver")
         .config("spark.ui.showConsoleProgress", "false")
+        # hand-built sessions default to a 1 g driver heap — enough for
+        # the sf0.01 contract scale but the silent cause of OOMs when
+        # this tool sweeps the 10x corpus (SPARK_GRAFT_DRIVER_MEM was
+        # read by get_spark, not by this builder)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -84,6 +93,10 @@ def main() -> None:
         dt = time.perf_counter() - t0
         flag = "" if name not in bad else "  <<<<"
         print(f"{name:35s} {dt:6.2f}s  {status}{flag}", flush=True)
+        # long-session hygiene: each result is fully consumed above, so
+        # lingering persisted/checkpoint blocks are dead weight — without
+        # this the full sweep at the 10x corpus OOMed a 64 g heap
+        release_cached_state(spark)
     print(f"TOTAL {time.perf_counter() - t_all:.1f}s  failures: {bad}")
     sys.exit(1 if bad else 0)
 
