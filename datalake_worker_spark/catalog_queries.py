@@ -63,8 +63,18 @@ def _build_catalog(
         if tables is not None and name not in tables:
             continue
         path = os.path.join(sf_dir, f"{name}.parquet")
-        # row count from parquet footer metadata — no Spark job needed
-        n = row_counts[name] if row_counts else pq.ParquetFile(path).metadata.num_rows
+        # row count from parquet footer metadata — no Spark job needed;
+        # a Spark-written table is a DIRECTORY of part files (10x corpus)
+        if row_counts:
+            n = row_counts[name]
+        elif os.path.isdir(path):
+            n = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
         cid = _sha256_hex(name)
         cat.register_chunk(
             ChunkMeta(

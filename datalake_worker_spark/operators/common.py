@@ -47,9 +47,19 @@ SQL_REVENUE = (
 )
 
 
+def sql_cast_double(expr: str) -> str:
+    """DECIMAL -> DOUBLE via VARCHAR in the oracle: DuckDB's direct
+    decimal->double cast is not always correctly rounded (measured 1 ulp
+    off nearest on a 2.7e10-magnitude DECIMAL(38,6) sum at the 10x
+    corpus, while the JVM's BigDecimal.doubleValue was exact) — the
+    string round-trip goes through strtod, which rounds to nearest on
+    both engines."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(col: str, typ: str = "DECIMAL(18,2)") -> str:
-    return f"CAST(SUM(CAST({col} AS {typ})) AS DOUBLE)"
+    return sql_cast_double(f"SUM(CAST({col} AS {typ}))")
 
 
 def sql_davg(col: str, typ: str = "DECIMAL(18,2)") -> str:
-    return f"CAST(SUM(CAST({col} AS {typ})) AS DOUBLE) / COUNT({col})"
+    return f"{sql_cast_double(f'SUM(CAST({col} AS {typ}))')} / COUNT({col})"

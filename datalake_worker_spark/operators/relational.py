@@ -23,6 +23,7 @@ from .common import (
     dec,
     dsum,
     revenue_expr,
+    sql_cast_double,
     sql_davg,
     sql_dsum,
 )
@@ -37,8 +38,8 @@ from .common import (
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({SQL_REVENUE} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           {sql_cast_double(f'SUM({SQL_REVENUE})')} AS sum_disc_price,
+           {sql_cast_double(f'SUM({SQL_REVENUE} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))')} AS sum_charge,
            {sql_davg('l_quantity')} AS avg_qty,
            {sql_davg('l_extendedprice')} AS avg_price,
            {sql_davg('l_discount', 'DECIMAL(4,2)')} AS avg_disc,
