@@ -51,76 +51,17 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: The external driver runs queries in dict order and its correctness
 #: budget truncates the run at ~50 queries per round.  The list below is
 #: therefore a rotation schedule: the ~50-query prefix is this round's
-#: verification budget, and it is rewritten each round to burn the
-#: largest verification debt first (VERDICT r4 "Next round" item 1).
-#: Round-5 ordering: x04 (the one query with zero driver rows ever),
-#: then the 48 queries whose newest green row is round 1, then a08 and
-#: the lake-core lk01-lk05 family (r2 greens under the r4 CAS rewrite).
-#: Everything the driver confirmed in round 4 moves to the very end.
+#: verification budget, rewritten each round to burn the largest
+#: verification debt first (VERDICT r7 "Next round" item 1).
+#: Round-8 ordering: every query sorted by the round of its newest green
+#: driver CORRECTNESS row (rows-only runs count), oldest first; within a
+#: cohort, the driver's own recorded run order.  The ~50-query budget
+#: covers the 18 r3-dated rows plus the 32 oldest r4 rows; the remaining
+#: 18 r4 rows immediately follow and lead round 9's budget.  Goal state
+#: (VERDICT r7 item 1): after the r8 driver run no registry query's
+#: newest CORRECTNESS row predates r5.
 _PRIORITY_NAMES = [
-    # ROUND-7 ROTATION (VERDICT r6 "Next round" item 1): burn the driver
-    # freshness debt to zero.  The ~50-query budget covers exactly the
-    # 52 queries whose newest CORRECTNESS row predates round 4 — the ten
-    # r2-dated rows (io04/io05, smp01-smp05, m01-m03: four rounds of
-    # session/reader changes under them) first, then the 42 r3-dated
-    # rows stalest-first in driver-recorded order.  Everything r4+ moves
-    # behind them, itself stalest-first, so next round's budget naturally
-    # continues the cycle.  Goal state: no registry query's newest driver
-    # row predates r4.
-    # never verified by the driver (new in round 7)
-    "io17_jdbc_roundtrip",
-    # newest driver row: round 2
-    "io04_in_memory_source",
-    "io05_schema_evolution_merge",
-    "smp01_stratified_sample",
-    "smp02_doc_packing",
-    "smp03_exact_percentiles",
-    "smp04_histogram",
-    "smp05_temperature_resample",
-    "m01_binary_payload_dedup",
-    "m02_decode_metadata",
-    "m03_frame_sample",
-    # never verified by the driver (new in round 7, wave 7)
-    "t23_zipf_token_curve",
-    "t24_sentence_stats",
-    "a15_weighted_median",
-    "w17_rolling_median",
-    "j12_binned_range_join",
-    "v10_matryoshka_audit",
-    "io18_parquet_codec_roundtrip",
-    "lk11_storage_integrity_scan",
-    "st17_watermark_late_drop",
-    "t25_bigram_logprob",
-    "io19_schema_drift_audit",
-    "t26_dedup_aware_token_count",
-    "w18_max_concurrent_intervals",
-    "x08_interval_overlap_join",
-    "io20_data_quality_audit",
-    # newest driver row: round 3
-    "s09_casts",
-    "a10_statistical_aggregates",
-    "v03_embedding_stats",
-    "v05_embedding_quantize",
-    "v01_exact_cosine_topk",
-    "v02_ann_lsh_topk",
-    "v04_ann_ivf_topk",
-    "d06_embedding_near_dups",
-    "d07_ssjoin_prefix",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_suppliers_semijoin",
-    "q21_last_shipper",
-    "p02_grouped_map_pandas",
-    "p03_grouped_agg_pandas",
-    "st03_session_window",
-    "st04_stream_dedup",
+    # newest driver row: round 3 (18 queries)
     "st05_stream_static_join",
     "st06_stateful_user_totals",
     "st07_stream_stream_join",
@@ -139,7 +80,7 @@ _PRIORITY_NAMES = [
     "w05_multikey_sort_limit",
     "w06_sessionization",
     "io01_parquet_roundtrip_partitioned",
-    # newest driver row: round 4
+    # newest driver row: round 4 (50 queries)
     "st01_tumbling_window",
     "st02_sliding_window",
     "t18_document_chunking",
@@ -190,7 +131,7 @@ _PRIORITY_NAMES = [
     "io07_orc_roundtrip",
     "w08_time_grid_fill",
     "d11_semantic_dedup",
-    # newest driver row: round 5
+    # newest driver row: round 5 (50 queries)
     "x04_asof_join_tolerance",
     "s01_string_funcs",
     "s02_datetime_funcs",
@@ -241,7 +182,7 @@ _PRIORITY_NAMES = [
     "q22_dormant_customers",
     "p01_scalar_pandas_udf",
     "a08_approx_aggregates",
-    # newest driver row: round 6
+    # newest driver row: round 6 (50 queries)
     "a12_grouped_mode",
     "w13_time_weighted_average",
     "w14_ohlc_bars",
@@ -292,6 +233,57 @@ _PRIORITY_NAMES = [
     "d08_simhash_near_dups",
     "io02_csv_roundtrip",
     "io03_json_roundtrip",
+    # newest driver row: round 7 (50 queries)
+    "io17_jdbc_roundtrip",
+    "io04_in_memory_source",
+    "io05_schema_evolution_merge",
+    "smp01_stratified_sample",
+    "smp02_doc_packing",
+    "smp03_exact_percentiles",
+    "smp04_histogram",
+    "smp05_temperature_resample",
+    "m01_binary_payload_dedup",
+    "m02_decode_metadata",
+    "m03_frame_sample",
+    "t23_zipf_token_curve",
+    "t24_sentence_stats",
+    "a15_weighted_median",
+    "w17_rolling_median",
+    "j12_binned_range_join",
+    "v10_matryoshka_audit",
+    "io18_parquet_codec_roundtrip",
+    "lk11_storage_integrity_scan",
+    "st17_watermark_late_drop",
+    "t25_bigram_logprob",
+    "io19_schema_drift_audit",
+    "t26_dedup_aware_token_count",
+    "w18_max_concurrent_intervals",
+    "x08_interval_overlap_join",
+    "io20_data_quality_audit",
+    "s09_casts",
+    "a10_statistical_aggregates",
+    "v03_embedding_stats",
+    "v05_embedding_quantize",
+    "v01_exact_cosine_topk",
+    "v02_ann_lsh_topk",
+    "v04_ann_ivf_topk",
+    "d06_embedding_near_dups",
+    "d07_ssjoin_prefix",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_suppliers_semijoin",
+    "q21_last_shipper",
+    "p02_grouped_map_pandas",
+    "p03_grouped_agg_pandas",
+    "st03_session_window",
+    "st04_stream_dedup",
 ]
 
 _MODULE_ORDER = [
