@@ -534,26 +534,35 @@ def capped_fingerprint_band_pairs(
     capped in-bucket expansion — the d04 bucket-cap recipe applied to
     single-long fingerprint families (SimHash, perceptual hash).
 
-    Each (band, value) bucket keeps its ``bucket_cap`` smallest members
-    (deterministic sorted slice), so pair expansion is bounded by cap²
-    per bucket REGARDLESS of skew — the hot-fingerprint case (mass
-    near-identical pages, all-zero hashes from empty payloads) degrades
-    to bounded recall instead of an O(bucket²) executor blow-up. One
-    aggregation replaces the band self-join; pairs colliding in several
-    bands collapse with a distinct over four scalar columns.
+    Each (band, value) bucket keeps its ``bucket_cap`` smallest members,
+    so pair expansion is bounded by cap² per bucket REGARDLESS of skew —
+    the hot-fingerprint case (mass near-identical pages, all-zero hashes
+    from empty payloads) degrades to bounded recall instead of an
+    O(bucket²) executor blow-up. The cap is applied with a row_number
+    window BEFORE the collect_list, so a pathological mass-duplicate
+    fingerprint never materializes more than ``bucket_cap`` structs in
+    any aggregation buffer (r8: the previous sort-then-slice capped the
+    pairs but still buffered the whole hot bucket in one task). The
+    window and the groupBy share the (band_idx, band_val) hash
+    partitioning, so Catalyst plans ONE Exchange for both. Pairs
+    colliding in several bands collapse with a distinct over four
+    scalar columns.
 
     Returns (id_a, id_b, fp_a, fp_b) with id_a < id_b; callers verify
     with the exact popcount.
     """
+    w = Window.partitionBy("band_idx", "band_val").orderBy(F.col(id_col))
     buckets = (
-        banded.groupBy("band_idx", "band_val")
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= bucket_cap)
+        .groupBy("band_idx", "band_val")
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(fp_col).alias("f")))
-            ).alias("all")
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col(fp_col).alias("f"))
+            ).alias("mem")
         )
-        .filter(F.size("all") > 1)
-        .select(F.slice("all", 1, bucket_cap).alias("mem"))
+        .filter(F.size("mem") > 1)
+        .select("mem")
     )
     return (
         buckets.select(F.explode("mem").alias("a"), "mem")
@@ -576,13 +585,30 @@ def near_dup_pairs_simhash(
     max_hamming: int = 8,
     bucket_cap: int = 4096,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
-    blocks — two fingerprints within Hamming distance ≤ 3 must agree on
-    at least one block (pigeonhole); wider radii trade recall. Candidates
-    come from capped bucket expansion (r7: the raw band self-join had no
-    skew guard — a hot fingerprint bucket expanded O(bucket²); now each
-    bucket pairs at most its ``bucket_cap`` smallest members, the same
-    guard d04 ships) and are verified with the exact popcount."""
+    """SimHash near-dup pairs with a pigeonhole-guaranteed radius.
+
+    The 64-bit fingerprint is banded into ``max_hamming + 1`` blocks
+    (Manku, Jain & Das Sarma, WWW'07 block-permuted construction): a
+    pair within Hamming distance ≤ max_hamming differs in fewer bits
+    than there are blocks, so at least one block matches exactly and
+    the candidate equi-join surfaces the pair — candidate recall at the
+    advertised radius is 1.0 by construction, not probabilistic (r8:
+    the previous 4×16 banding only guaranteed ≤3 and measured 0.41
+    recall at the documented ≤8; same fix m06 shipped in r7).
+
+    Scale tradeoff made explicit: 9 blocks over 64 bits leave ~7-bit
+    band values (128 distinct join keys per band), so bucket occupancy
+    grows linearly with corpus size and pair expansion quadratically.
+    ``bucket_cap`` bounds that with deterministic smallest-id retention
+    (capped BEFORE aggregation — bounded task memory), degrading to
+    recorded partial recall instead of an executor blow-up; at true
+    100 TB scale callers should either shrink the radius (wider bands)
+    or pre-partition by a content key. Candidates are verified with the
+    exact popcount, so precision is always exact."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)  # e.g. 9 bands: eight 7-bit + one 8-bit
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sh = simhash_fingerprints(docs, id_col, text_col).select(
         F.col(id_col), F.col("simhash").alias("_sh")
     )
@@ -590,11 +616,11 @@ def near_dup_pairs_simhash(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftrightunsigned(F.col("_sh"), 16 * b)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("_sh"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
                 .alias("band_val"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
     banded = sh.select(id_col, "_sh", F.explode(blocks).alias("b")).select(
@@ -613,7 +639,7 @@ def near_dup_pairs_simhash(
     "d08_simhash_near_dups",
     None,  # xxhash64-based fingerprints — property-tested in pytest
     category="llm-dedup",
-    doc="SimHash banded near-dup pairs (4×16-bit blocks; pigeonhole-guaranteed candidate recall at Hamming <= 3, probabilistic 4-8; exact popcount verify at <= 8).",
+    doc="SimHash banded near-dup pairs (9 uneven blocks over 64 bits; pigeonhole-guaranteed candidate recall across the whole advertised Hamming <= 8 radius; exact popcount verify).",
 )
 def d08_simhash_near_dups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")

@@ -123,9 +123,10 @@ def test_simhash_banded_pairs_find_planted_dups(spark):
         for r in near_dup_pairs_simhash(df, "doc_id", "text", max_hamming=6).collect()
     }
     assert truth, "no close planted pairs generated?"
-    # banding guarantees recall 1.0 for hamming <= 3; near-1 for <= 6
+    # r8 banding (max_hamming+1 blocks) pigeonhole-guarantees recall 1.0
+    # across the whole advertised radius
     recall = len(got & truth) / len(truth)
-    assert recall >= 0.8, (recall, truth - got)
+    assert recall == 1.0, (recall, truth - got)
     # precision: every reported pair's hamming really is <= 6
     for a, b in got:
         assert ham(sh[a], sh[b]) <= 6
@@ -297,7 +298,10 @@ def test_m06_phash_worst_case_bit_spread(spark):
 def test_simhash_hot_bucket_capped(spark):
     """A mass-duplicate fingerprint bucket (every doc identical) must
     expand at most cap² pairs, not n² — the d04 skew guard applied to
-    the fingerprint families (r7). The slice is visible in the plan."""
+    the fingerprint families (r7). r8: the cap is a row_number window
+    filter BEFORE the collect_list, so the hot bucket never materializes
+    more than cap structs in an aggregation buffer; the window is
+    visible in the plan."""
     from datalake_worker_spark.functions.dedup import near_dup_pairs_simhash
 
     df = spark.createDataFrame(
@@ -308,6 +312,6 @@ def test_simhash_hot_bucket_capped(spark):
 
     pairs = near_dup_pairs_simhash(df, "doc_id", "text", bucket_cap=16)
     plan = formatted_plan(pairs)
-    assert "slice" in plan, plan
+    assert "row_number" in plan, plan
     n = pairs.count()
     assert 0 < n <= 16 * 15 // 2, n  # cap members -> at most C(16,2) pairs
