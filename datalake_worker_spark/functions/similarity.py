@@ -494,11 +494,13 @@ def v02_ann_lsh_topk(spark, sf_dir):
     None,  # approximate by construction — recall vs v01 is tested in pytest
     category="llm-similarity",
     doc=(
-        "IVF ANN top-5 (deterministic k-means cells, nprobe=5 of 8) + "
-        "exact rerank. The synthetic gaussian corpus is near-unclusterable, "
-        "so the probe fraction is tuned high to hold recall (~0.8 vs v01); "
-        "on naturally clustered embeddings the same shape runs at "
-        "nprobe/n_clusters ≪ 1 — the recall pytest pins the contract."
+        "IVF ANN top-5 (deterministic k-means cells, nprobe=6 of 8, 2 Lloyd "
+        "iterations) + exact rerank. The synthetic gaussian corpus is "
+        "near-unclusterable, so the probe fraction is tuned high to hold "
+        "recall (r8 A/B: nprobe 5→6 + iters 1→2 lifted recall@5 0.74→0.91 "
+        "at equal runtime); on naturally clustered embeddings the same "
+        "shape runs at nprobe/n_clusters ≪ 1 — the recall pytest and the "
+        "per-round APPROX_CHECKS trend pin the contract."
     ),
 )
 def v04_ann_ivf_topk(spark, sf_dir):
@@ -506,7 +508,7 @@ def v04_ann_ivf_topk(spark, sf_dir):
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)
-    return ann_topk_ivf(e, q, "vec_id", "v", k=5, n_clusters=8, nprobe=5, dim=64, iters=1)
+    return ann_topk_ivf(e, q, "vec_id", "v", k=5, n_clusters=8, nprobe=6, dim=64, iters=2)
 
 
 @register(

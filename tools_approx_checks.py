@@ -376,8 +376,12 @@ def check_v02(spark):
 
 def check_v04(spark):
     r = _ann_recall(spark, "v04_ann_ivf_topk")
+    # per-round trend (VERDICT r7 item 4): r7 0.74 @ nprobe=5/iters=1
+    # with bound 0.70; r8 raised nprobe to 6 and iters to 2 (measured
+    # 0.91 at equal runtime) and tightened the bound to 0.80.
     return {"signal": "recall@5 vs v01 exact top-k", "value": round(r, 4),
-            "bound": 0.7, "pass": r >= 0.7}
+            "bound": 0.8, "pass": r >= 0.8,
+            "detail": {"trend": {"r7": 0.74, "r8_config": "nprobe=6 iters=2"}}}
 
 
 def check_v09(spark):
