@@ -14,10 +14,10 @@ hash-verified — not just property-tested.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
+from .scratch import scratch_dir
 from .catalog import ChunkCatalog, ChunkMeta
 from .registry import register
 from .sources import TABLES
@@ -57,7 +57,7 @@ def _build_catalog(
     import pyarrow.parquet as pq
 
     if cat is None:
-        root = tempfile.mkdtemp(prefix="dlw_catalog_")
+        root = scratch_dir(prefix="dlw_catalog_")
         cat = ChunkCatalog(spark, root)
     for i, name in enumerate(_CHUNK_TABLES):
         if tables is not None and name not in tables:
@@ -497,10 +497,10 @@ def lk10_incremental_consumption(spark, sf_dir):
     ),
 )
 def lk11_storage_integrity_scan(spark, sf_dir):
-    store = tempfile.mkdtemp(prefix="dlw_lk11_store_")
+    store = scratch_dir(prefix="dlw_lk11_store_")
     for name in _CHUNK_TABLES:
         open(os.path.join(store, f"{name}.parquet"), "w").close()
-    root = tempfile.mkdtemp(prefix="dlw_lk11_cat_")
+    root = scratch_dir(prefix="dlw_lk11_cat_")
     cat = ChunkCatalog(spark, root)
     for i, name in enumerate(_CHUNK_TABLES):
         cat.register_chunk(

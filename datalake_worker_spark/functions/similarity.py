@@ -13,6 +13,7 @@ Dot products run as JVM ``zip_with``/``aggregate`` expressions over
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -39,7 +40,13 @@ def lit_matrix(rows) -> Column:
     def fmt(x) -> str:
         if isinstance(x, (list, tuple)):
             return "array(" + ",".join(fmt(v) for v in x) + ")"
-        return repr(float(x)) + "D"
+        v = float(x)
+        # nan/inf render as 'nanD'/'infD', which F.expr rejects with an
+        # opaque parse error far from the cause (e.g. NaN embeddings
+        # propagating into centroids) — fail loud and attributable here.
+        if not math.isfinite(v):
+            raise ValueError(f"lit_matrix: non-finite matrix element {v!r}")
+        return repr(v) + "D"
 
     return F.expr(fmt(rows))
 

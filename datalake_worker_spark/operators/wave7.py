@@ -10,15 +10,16 @@ BIGINT casts for counts, unique-key tie-breaks on every ranking.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..functions.similarity import exact_topk, to_double_array
 from ..functions.text import whitespace_tokens
 from ..registry import register
 from ..sources import load_table
+from .common import sql_cast_double, sql_dsum
 
 
 @register(
@@ -137,7 +138,7 @@ def t24_sentence_stats(spark, sf_dir):
 
 @register(
     "a15_weighted_median",
-    """
+    f"""
     WITH w AS (
         SELECT l_returnflag,
                CAST(l_extendedprice AS DOUBLE) AS price,
@@ -150,7 +151,7 @@ def t24_sentence_stats(spark, sf_dir):
     )
     SELECT l_returnflag,
            MIN(price) AS weighted_median,
-           CAST(MIN(tot) AS DOUBLE) AS total_weight
+           {sql_cast_double('MIN(tot)')} AS total_weight
     FROM w WHERE 2 * cum >= tot
     GROUP BY l_returnflag
     """,
@@ -374,10 +375,10 @@ def v10_matryoshka_audit(spark, sf_dir):
 
 @register(
     "io18_parquet_codec_roundtrip",
-    """
+    f"""
     WITH agg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               {sql_dsum('o_totalprice')}
                  AS total_price
         FROM orders WHERE o_orderkey % 10 = 0
     )
@@ -399,7 +400,7 @@ def io18_parquet_codec_roundtrip(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 10 == 0
     )
-    root = tempfile.mkdtemp(prefix="dlw_codec_")
+    root = scratch_dir(prefix="dlw_codec_")
     outs = []
     for codec in ("gzip", "snappy", "zstd"):
         path = os.path.join(root, codec)
@@ -441,7 +442,7 @@ def io18_parquet_codec_roundtrip(spark, sf_dir):
 )
 def io19_schema_drift_audit(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="dlw_drift_")
+    root = scratch_dir(prefix="dlw_drift_")
     v1, v2 = os.path.join(root, "v1"), os.path.join(root, "v2")
     o.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
@@ -653,7 +654,7 @@ def max_concurrent_intervals(
     w2 AS (SELECT window_id, w_lo, w_lo + INTERVAL 21 DAY AS w_hi FROM win)
     SELECT window_id, CAST(w_lo AS DATE) AS w_start,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           {sql_dsum('l_extendedprice')}
              AS revenue
     FROM li JOIN w2 ON li.lo < w2.w_hi AND w2.w_lo < li.hi
     GROUP BY window_id, w_lo

@@ -6,11 +6,11 @@ the oracle (round-trip identity)."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..registry import register
 from ..sources import load_table
 from .readers import read_csv, read_json, write_parquet
@@ -29,7 +29,7 @@ def io01_parquet_roundtrip_partitioned(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderkey", F.col("o_totalprice").cast("double")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "orders_part")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "orders_part")
     write_parquet(o, out, partition_by=["o_orderstatus"])
     back = spark.read.parquet(out)
     # partition column comes back as the partition value — same data
@@ -46,7 +46,7 @@ def io01_parquet_roundtrip_partitioned(spark, sf_dir):
 )
 def io02_csv_roundtrip(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "nation_csv")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "nation_csv")
     n.write.mode("overwrite").option("header", True).csv(out)
     return read_csv(spark, out, n.schema, header=True)
 
@@ -61,7 +61,7 @@ def io02_csv_roundtrip(spark, sf_dir):
 )
 def io03_json_roundtrip(spark, sf_dir):
     r = load_table(spark, sf_dir, "region")
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "region_json")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "region_json")
     r.write.mode("overwrite").json(out)
     return read_json(spark, out, r.schema)
 
@@ -88,7 +88,7 @@ def _bucketed_table(spark, df, name: str, n_buckets: int, key: str) -> None:
         (
             df.write.bucketBy(n_buckets, key)
             .sortBy(key)
-            .option("path", os.path.join(tempfile.mkdtemp(prefix="dlw_bkt_"), name))
+            .option("path", os.path.join(scratch_dir(prefix="dlw_bkt_"), name))
             .mode("overwrite")
             .saveAsTable(name)
         )
@@ -161,7 +161,7 @@ def io06_bucketed_colocated_join(spark, sf_dir):
 )
 def io05_schema_evolution_merge(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
-    root = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "orders_evolved")
+    root = os.path.join(scratch_dir(prefix="dlw_io_"), "orders_evolved")
     # "old" files: narrow schema
     o.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
@@ -295,7 +295,7 @@ def io07_orc_roundtrip(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "supplier_orc")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "supplier_orc")
     s.write.mode("overwrite").orc(out)
     return spark.read.schema(s.schema).orc(out)
 
@@ -325,7 +325,7 @@ def io09_sorted_compaction(spark, sf_dir):
         F.col("l_quantity").cast("double").alias("l_quantity"),
         "l_shipdate",
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "lineitem_compact")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "lineitem_compact")
     (
         li.repartitionByRange(4, "l_orderkey")
         .sortWithinPartitions("l_orderkey", "l_linenumber")
@@ -361,7 +361,7 @@ def io09_sorted_compaction(spark, sf_dir):
 )
 def io10_corrupt_json_handling(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "docs_jsonl")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "docs_jsonl")
     # plant: every 10th record loses its closing brace (truncated write)
     line = F.concat(
         F.lit('{"doc_id": '),
@@ -419,7 +419,7 @@ def io11_dynamic_partition_overwrite(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "orders_dyn")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "orders_dyn")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -475,7 +475,7 @@ def io12_binaryfile_ingest(spark, sf_dir):
     )
     # local-mode landing dir; executors and driver share one filesystem
     # here. On a real cluster this must be a shared root (see doc note).
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "blobs")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "blobs")
     os.makedirs(out, exist_ok=True)
 
     def write_files(rows):
@@ -594,7 +594,7 @@ def io13_zorder_layout(spark, sf_dir):
         F.unix_timestamp("o_orderdate").cast("long").alias("order_epoch"),
         F.col("o_totalprice").cast("double"),
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="dlw_io_"), "orders_zorder")
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "orders_zorder")
     zorder_write(o, ["o_custkey", "order_epoch"], out)
     return spark.read.parquet(out)
 
@@ -773,12 +773,11 @@ def expire_partitions(path: str, partition_col: str, keep_from: int) -> list[str
     ),
 )
 def io16_ttl_partition_expiry(spark, sf_dir):
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("long")
     )
-    root = tempfile.mkdtemp(prefix="dlw_ttl_")
+    root = scratch_dir(prefix="dlw_ttl_")
     path = os.path.join(root, "orders_by_year")
     o.write.partitionBy("o_year").mode("overwrite").parquet(path)
     expire_partitions(path, "o_year", 1996)
@@ -822,7 +821,7 @@ def io17_jdbc_roundtrip(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    dbdir = os.path.join(tempfile.mkdtemp(prefix="dlw_jdbc_"), "db")
+    dbdir = os.path.join(scratch_dir(prefix="dlw_jdbc_"), "db")
     url = f"jdbc:derby:{dbdir};create=true"
     write_jdbc(n, url, "NATION_RT", DERBY_EMBEDDED_DRIVER)
     back = read_jdbc(

@@ -53,11 +53,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..registry import register
 from ..sources.readers import load_table
 from ..functions.dedup import bands_from_signatures, minhash_signatures
@@ -349,7 +349,7 @@ def run_incremental_near_dup(
     counts are O(1) in ingest history. ``read_stats(spark, root)``
     surfaces per-epoch admission counts and the over-cap fallback
     counter."""
-    root = root or tempfile.mkdtemp(prefix="dlw_incdup_")
+    root = root or scratch_dir(prefix="dlw_incdup_")
     landing = stage_batches(
         root,
         batches,

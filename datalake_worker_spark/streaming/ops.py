@@ -20,6 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
+from ..operators.common import sql_dsum
 from ..registry import register
 from ..sources import load_table
 
@@ -53,14 +55,13 @@ _STREAM_DIRS: dict[str, str] = {}
 def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # the file stream source requires a directory — expose the single
     # parquet file through a symlinked staging dir
-    import tempfile
 
     from ..sources.readers import ensure_session_confs, nanos_timestamp_columns
 
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{table}.parquet")
     if path not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="dlw_stream_")
+        d = scratch_dir(prefix="dlw_stream_")
         if os.path.isdir(path):
             # Spark-written multi-file table (e.g. the 10x corpus):
             # symlink each data file — the stream source globs the dir
@@ -246,13 +247,12 @@ def _stage_replay_copies(src: str, tmp: str, tags) -> None:
 )
 def st04_stream_dedup(spark, sf_dir):
     import shutil
-    import tempfile
 
     # replay the stream TWICE (two copies of the file) — dedup must collapse
     from ..sources.readers import ensure_session_confs, nanos_timestamp_columns
 
     ensure_session_confs(spark)
-    tmp = tempfile.mkdtemp(prefix="dlw_replay_")
+    tmp = scratch_dir(prefix="dlw_replay_")
     src = os.path.join(sf_dir, "events.parquet")
     _stage_replay_copies(src, tmp, ("a", "b"))
     if nanos_timestamp_columns(src):
@@ -422,10 +422,9 @@ def st09_stream_stream_left_join(spark, sf_dir):
     ),
 )
 def st10_streaming_cdc_apply(spark, sf_dir):
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    root = tempfile.mkdtemp(prefix="dlw_cdc_")
+    root = scratch_dir(prefix="dlw_cdc_")
     landing = os.path.join(root, "landing")
     ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(landing)
 
@@ -547,12 +546,11 @@ def st11_streaming_quality_gate(spark, sf_dir):
 )
 def st12_dedup_within_watermark(spark, sf_dir):
     import shutil
-    import tempfile
 
     from ..sources.readers import ensure_session_confs, nanos_timestamp_columns
 
     ensure_session_confs(spark)
-    tmp = tempfile.mkdtemp(prefix="dlw_replay_")
+    tmp = scratch_dir(prefix="dlw_replay_")
     src = os.path.join(sf_dir, "events.parquet")
     _stage_replay_copies(src, tmp, ("a", "b"))
     if nanos_timestamp_columns(src):
@@ -705,14 +703,14 @@ def st16_trending_topk(spark, sf_dir):
 
 @register(
     "st17_watermark_late_drop",
-    """
+    f"""
     WITH wm AS (
         SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM events
     ),
     counted AS (
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               {sql_dsum('value')} AS total_value
         FROM events GROUP BY 1
     )
     SELECT window_start, n_events, total_value
@@ -741,13 +739,12 @@ def st16_trending_topk(spark, sf_dir):
     ),
 )
 def st17_watermark_late_drop(spark, sf_dir):
-    import tempfile
     import time as _t
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="dlw_late_")
+    tmp = scratch_dir(prefix="dlw_late_")
     on_time = os.path.join(tmp, "a_on_time")
     heartbeat = os.path.join(tmp, "b_heartbeat")
     late = os.path.join(tmp, "c_late")

@@ -119,6 +119,7 @@ class RollupMaintainer:
         )
 
 
+from ..scratch import scratch_dir
 from ..registry import register  # noqa: E402  (placed after class to avoid cycle at import)
 
 
@@ -140,11 +141,10 @@ from ..registry import register  # noqa: E402  (placed after class to avoid cycl
     ),
 )
 def st08_continuous_rollup(spark, sf_dir):
-    import tempfile
 
     from .ops import _events_stream
 
-    root = tempfile.mkdtemp(prefix="dlw_rollup_q_")
+    root = scratch_dir(prefix="dlw_rollup_q_")
     m = RollupMaintainer(spark, os.path.join(root, "rollup"))
     n_part = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     try:

@@ -26,12 +26,12 @@ chunk catalog makes for block ranges.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..registry import register
 from ..sources.readers import load_table
 from ..functions.similarity import (
@@ -70,7 +70,7 @@ def run_streaming_vector_index(
 
     from .incdedup import EpochStore, stage_batches
 
-    root = root or tempfile.mkdtemp(prefix="dlw_vecidx_")
+    root = root or scratch_dir(prefix="dlw_vecidx_")
     landing = stage_batches(
         root, batches, [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")]
     )
