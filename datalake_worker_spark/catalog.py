@@ -600,18 +600,23 @@ class ParquetCatalogBackend(CatalogBackend):
                 os.utime(intent)
             except FileNotFoundError:
                 return  # judged crashed while stalled: retry next round
-            self._publish_fold_floor(cutoff)
+            floor_path = self._publish_fold_floor(cutoff)
             # second tag re-read, post-floor: a tag whose floor check ran
             # in the stale-intent gap (before the refresh above) could
             # have committed — it is visible by now (its file landed
             # before its check, which ran before the floor publish), so
-            # aborting the deletes here keeps it exact. The floor stays
-            # published in that corner — future below-cutoff tags are
-            # rejected although this abort kept their history; a loud
-            # spurious conflict in a doubly-raced corner beats a
-            # silently-inexact committed tag.
+            # aborting the deletes here keeps it exact. Since no deletes
+            # ran, the floor is RETRACTED (r8, ADVICE r7): floors are
+            # per-fold files, so this removes only our own claim — a
+            # concurrent fold mid-delete keeps its own floor, and lower
+            # floors are only ever pruned by a fold whose own floor just
+            # became permanent (post-delete), so coverage never vanishes.
             late_tags = self.list_tags()
             if late_tags and min(late_tags.values()) < cutoff:
+                try:
+                    os.remove(floor_path)
+                except FileNotFoundError:
+                    pass
                 return
             canon = sorted(
                 (f for f in files if f.split(".")[0].isdigit()),
@@ -646,6 +651,11 @@ class ParquetCatalogBackend(CatalogBackend):
                     )
                 except FileNotFoundError:
                     pass
+            # deletes complete: our floor is permanent from here, so
+            # lower floors are redundant for the max and safe to prune
+            # (never at publish time — pruning there could strip a
+            # mid-delete fold's coverage and then retract our own)
+            self._prune_floors_below(cutoff)
         finally:
             try:
                 os.remove(intent)
@@ -659,15 +669,25 @@ class ParquetCatalogBackend(CatalogBackend):
     #: stale intent can never hide a destructive fold.
     INTENT_STALE_SECONDS = 30.0
 
+    #: Crashed intents are PRUNED only at 10x the staleness window.
+    #: Readers already ignore merely-stale intents (mtime filter), so
+    #: pruning is pure directory hygiene — and the stat-then-remove it
+    #: uses is inherently racy against a live fold's utime refresh
+    #: (ADVICE r7). Widening the prune threshold shrinks that spurious-
+    #: abort window 10x: a fold stalled 30-300 s is ignored but NOT
+    #: removed, and when it wakes its refresh revives it safely (the
+    #: post-floor tag re-read covers anything a tagger did meanwhile).
+    INTENT_PRUNE_SECONDS = 300.0
+
     def _create_fold_intent(self, cutoff: int) -> str:
         """Phase-1 marker: 'a fold with this cutoff is deciding whether
         to delete'. Per-fold unique file so an abort retracts ONLY its
-        own claim; stale intents from crashed folds are pruned here."""
+        own claim; long-crashed folds' intents are pruned here."""
         for f in os.listdir(self.meta_dir):
             if f.startswith(".floor-intent-"):
                 p = os.path.join(self.meta_dir, f)
                 try:
-                    if time.time() - os.stat(p).st_mtime > self.INTENT_STALE_SECONDS:
+                    if time.time() - os.stat(p).st_mtime > self.INTENT_PRUNE_SECONDS:
                         os.remove(p)
                 except FileNotFoundError:
                     pass
@@ -697,41 +717,58 @@ class ParquetCatalogBackend(CatalogBackend):
                 continue
         return best
 
-    def _publish_fold_floor(self, cutoff: int) -> None:
+    def _publish_fold_floor(self, cutoff: int) -> str:
         """Phase-2 marker: 'a fold collapsing history below ``cutoff``
-        IS deleting / has deleted'. A monotone set: one O_EXCL
-        ``.floor-<n>`` file per distinct cutoff, read as the max over
-        the listing. Append-only-then-prune is deliberately NOT
-        read-modify-write — two racing compactors can never regress the
-        visible max (the higher file exists before any lower one is
-        pruned). Published only after the post-intent tag re-read comes
-        back clean, so it never over-states an aborted fold."""
-        path = os.path.join(self.meta_dir, f".floor-{cutoff:020d}")
-        try:
-            os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
-            pass
+        IS deleting / has deleted'. Per-fold unique ``.floor-<n>-<uuid>``
+        file (r8), read as the max over the listing, so the post-floor
+        abort path can retract exactly its own claim. Deliberately NO
+        pruning here: removing another fold's lower floor at publish
+        time and then retracting our own would strip a mid-delete
+        fold's coverage — pruning happens only in
+        ``_prune_floors_below`` after OUR deletes complete, when our
+        floor is permanent and the max can never regress. Published
+        only after the post-intent tag re-read comes back clean, so it
+        never over-states an aborted fold."""
+        path = os.path.join(
+            self.meta_dir, f".floor-{cutoff:020d}-{uuid.uuid4().hex}"
+        )
+        os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        return path
+
+    def _prune_floors_below(self, cutoff: int) -> None:
+        """Directory hygiene after a SUCCESSFUL fold: floors below
+        ``cutoff`` are redundant (our permanent floor dominates the max)
+        and safe to remove — a racing lower fold that loses its file
+        while mid-delete stays covered by ours, and its own abort
+        retraction tolerates the missing file."""
         for f in os.listdir(self.meta_dir):
             if (
                 f.startswith(".floor-")
                 and not f.startswith(".floor-intent-")
-                and f < f".floor-{cutoff:020d}"
+                and self._floor_cutoff(f) < cutoff
             ):
                 try:
                     os.remove(os.path.join(self.meta_dir, f))
                 except FileNotFoundError:
                     pass
 
+    @staticmethod
+    def _floor_cutoff(fname: str) -> int:
+        """Cutoff encoded in a ``.floor-<n>[-<uuid>]`` file name (both
+        the r8 per-fold format and the legacy single-file format); -1
+        for unparseable names so they are never treated as a floor."""
+        try:
+            return int(fname[len(".floor-"):].split("-")[0])
+        except ValueError:
+            return -1
+
     def fold_floor(self) -> int:
         """Highest cutoff any committed/committing destructive fold has
         published; tags must point at-or-above it to be exact."""
         best = 0
         for f in os.listdir(self.meta_dir):
-            if f.startswith(".floor-"):
-                try:
-                    best = max(best, int(f[len(".floor-"):]))
-                except ValueError:
-                    continue
+            if f.startswith(".floor-") and not f.startswith(".floor-intent-"):
+                best = max(best, self._floor_cutoff(f))
         return best
 
     def _floor_and_intents(self) -> int:
@@ -749,10 +786,7 @@ class ParquetCatalogBackend(CatalogBackend):
                 except (FileNotFoundError, ValueError):
                     continue
             elif f.startswith(".floor-"):
-                try:
-                    best = max(best, int(f[len(".floor-"):]))
-                except ValueError:
-                    continue
+                best = max(best, self._floor_cutoff(f))
         return best
 
     # -- tags: immutable named refs to committed versions ------------------

@@ -373,6 +373,50 @@ def test_crashed_tag_writer_is_reclaimed(cat):
     assert cat.list_tags()["wedged"] == cat.version
 
 
+def test_stalled_fold_intent_survives_peer_prune(cat):
+    """A fold stalled past the tagger-visibility window (30 s) but under
+    the prune threshold (300 s) is IGNORED by taggers yet must NOT be
+    removed by a peer fold's intent creation — the r7 advice race where
+    a live fold's just-refreshed intent could be unlinked. Only a
+    long-crashed intent (> INTENT_PRUNE_SECONDS) is pruned."""
+    import time as _time
+
+    assert cat.register_chunk(_meta(0, 0, 1000))
+    backend = cat.backend
+    intent = backend._create_fold_intent(5)
+    stalled = _time.time() - 60  # stale to taggers, fresh to the pruner
+    os.utime(intent, (stalled, stalled))
+    backend._create_fold_intent(7)
+    assert os.path.exists(intent), "stalled-but-live intent was pruned"
+    crashed = _time.time() - backend.INTENT_PRUNE_SECONDS - 10
+    os.utime(intent, (crashed, crashed))
+    backend._create_fold_intent(9)
+    assert not os.path.exists(intent), "long-crashed intent not pruned"
+
+
+def test_successful_fold_prunes_lower_floors(cat):
+    """Floors are per-fold files (r8); a SUCCESSFUL fold prunes the now-
+    redundant lower floors after its deletes complete, so the directory
+    stays bounded while fold_floor() keeps reporting the max."""
+    for i in range(3):
+        assert cat.register_chunk(_meta(i, 1000 * i, 1000 * (i + 1)))
+    cat.checkpoint()
+    first = cat.backend.fold_floor()
+    assert first > 0
+    for i in range(3, 6):
+        assert cat.register_chunk(_meta(i, 1000 * i, 1000 * (i + 1)))
+    cat.checkpoint()
+    second = cat.backend.fold_floor()
+    assert second > first
+    floors = [
+        f
+        for f in os.listdir(cat.backend.meta_dir)
+        if f.startswith(".floor-") and not f.startswith(".floor-intent-")
+    ]
+    assert len(floors) == 1, floors
+    assert cat.backend._floor_cutoff(floors[0]) == second
+
+
 def test_live_fold_intent_blocks_tag_transiently(cat):
     """A live fold intent (phase 1 of the handshake) must block tags
     below its cutoff — and only until it is retracted: the abort path
