@@ -151,6 +151,17 @@ WAVE7 = [
     "io20_data_quality_audit",
 ]
 
+# added in round 8 — eighth suite per the same contract (curation depth:
+# novelty/entropy/weights/CMS/fuzzy-decontam + the drawdown window).
+WAVE8 = [
+    "w19_max_drawdown",
+    "t27_ngram_novelty",
+    "t28_token_entropy",
+    "smp14_dup_aware_weights",
+    "a16_cms_heavy_hitters",
+    "d17_fuzzy_decontamination",
+]
+
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"
 # (q07 0.43->1.13 s) was root-caused in round 7 to ambient run-to-run
 # variance — four same-code runs within round 6 recorded extended totals
@@ -204,6 +215,7 @@ def main() -> None:
     depth = _time(DEPTH)
     wave6 = _time(WAVE6)
     wave7 = _time(WAVE7)
+    wave8 = _time(WAVE8)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -216,6 +228,7 @@ def main() -> None:
     depth_total = round(sum(depth.values()), 4)
     wave6_total = round(sum(wave6.values()), 4)
     wave7_total = round(sum(wave7.values()), 4)
+    wave8_total = round(sum(wave8.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -233,6 +246,8 @@ def main() -> None:
         "wave6_value": wave6_total,
         "wave7_queries": wave7,  # round-7 suite (stats/order-statistics wave)
         "wave7_value": wave7_total,
+        "wave8_queries": wave8,  # round-8 suite (curation-depth wave)
+        "wave8_value": wave8_total,
         "sf": sf,
     }
     if duck:
@@ -266,6 +281,8 @@ def main() -> None:
                 "wave6_queries": len(wave6),
                 "wave7_value": wave7_total,
                 "wave7_queries": len(wave7),
+                "wave8_value": wave8_total,
+                "wave8_queries": len(wave8),
             }
         )
     )

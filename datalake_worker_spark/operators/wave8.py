@@ -1,0 +1,409 @@
+"""Round-8 operator wave: training-data curation depth — first-occurrence
+novelty scoring, duplication-aware sampling weights, token-entropy
+quality scoring, a Count-Min-sketch heavy-hitter audit (the CMS member
+of the sketch family next to a11's HLL and d14's Bloom), fuzzy
+benchmark decontamination (MinHash-LSH containment), and a max-drawdown
+window op.
+
+Shared determinism rules (operators/wave7.py lineage): DECIMAL for
+order-independent float sums, per-term ROUND(_, 6) -> DECIMAL where
+libm is involved (the t10 recipe), BIGINT casts for counts, unique-key
+tie-breaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.dedup import shingles_from_words
+from ..functions.text import whitespace_tokens
+from ..registry import register
+from ..sources import load_table, spread_scan
+
+
+@register(
+    "w19_max_drawdown",
+    """
+    WITH r AS (
+        SELECT user_id, value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(MAX(peak - value), 6) AS max_drawdown,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id
+    """,
+    category="window",
+    doc=(
+        "maximum drawdown per user: running peak of the value series in "
+        "event order, then the largest peak-to-current drop — the "
+        "canonical risk statistic and the same running-extreme window "
+        "shape as w10/w13. One hash exchange on user_id serves both the "
+        "running max and the final aggregate; subtraction of two "
+        "in-order doubles is deterministic, so no DECIMAL detour is "
+        "needed. Ties on (ts) break on the unique event key."
+    ),
+)
+def w19_max_drawdown(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = e.select(
+        "user_id", "value", F.max("value").over(run).alias("peak")
+    )
+    return r.groupBy("user_id").agg(
+        F.round(F.max(F.col("peak") - F.col("value")), 6).alias("max_drawdown"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "t27_ngram_novelty",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, gram
+        FROM w CROSS JOIN LATERAL (
+            SELECT CASE WHEN len(words) < 5
+                        THEN [array_to_string(words, ' ')]
+                        ELSE [array_to_string(words[(i+1):(i+5)], ' ')
+                              for i in range(len(words)-4)] END AS grams
+        ) t CROSS JOIN LATERAL (SELECT unnest(t.grams) AS gram) u
+    ),
+    first AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM g JOIN first f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    category="llm-text",
+    doc=(
+        "first-occurrence n-gram novelty: for each document, the "
+        "fraction of its distinct 5-gram shingles whose earliest "
+        "appearance (min doc_id over the corpus) is this document — the "
+        "curation signal that separates fresh content from recombined "
+        "boilerplate (low novelty = mostly previously-seen phrasing). "
+        "Per-doc distinct grams explode once; ONE groupBy(gram) "
+        "computes the global first owner and the join back is on the "
+        "same key, so the gram shuffle partitioning is reused. At "
+        "100 TB the gram key space grows with the corpus (uniform by "
+        "construction) — no hot key, no driver state."
+    ),
+)
+def t27_ngram_novelty(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        spread_scan(d, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    shingles_from_words(F.split(F.trim("text"), r"\s+"), 5)
+                )
+            ).alias("gram"),
+        )
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "t28_token_entropy",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok GROUP BY doc_id, tok
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM cnt GROUP BY doc_id
+    ),
+    terms AS (
+        SELECT cnt.doc_id, tot.n, tot.n_types,
+               CAST(ROUND(-(c / n) * LN(c / n) / LN(2), 6)
+                    AS DECIMAL(18,6)) AS h
+        FROM cnt JOIN tot USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(MIN(n) AS BIGINT) AS n_tokens,
+           MIN(n_types) AS n_types,
+           CAST(SUM(h) AS DOUBLE) AS entropy
+    FROM terms GROUP BY doc_id
+    """,
+    category="llm-text",
+    doc=(
+        "per-document Shannon token entropy (bits): the "
+        "repetitiveness/quality signal complementary to t12's repetition "
+        "ratio — spam and template pages score low, natural prose high. "
+        "Per-(doc, token) counts come from one map-side-combined "
+        "groupBy; each -p*log2(p) term is rounded to 6 dp and summed as "
+        "DECIMAL (the t10 recipe) so the libm-valued sum is "
+        "order-independent and hash-matches the oracle exactly."
+    ),
+)
+def t28_token_entropy(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        spread_scan(d, "doc_id")
+        .select("doc_id", F.explode(whitespace_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum(F.col("c").cast("long")).cast("double").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    p = F.col("c") / F.col("n")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6).cast("decimal(18,6)")
+    return (
+        cnt.join(tot, "doc_id")
+        .select("doc_id", "n", "n_types", term.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("n").cast("long").alias("n_tokens"),
+            F.min("n_types").alias("n_types"),
+            F.sum("h").cast("double").alias("entropy"),
+        )
+    )
+
+
+@register(
+    "smp14_dup_aware_weights",
+    """
+    WITH m AS (
+        SELECT source,
+               CAST(ROUND(1.0 / (COUNT(*) OVER (PARTITION BY text)), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS DOUBLE) AS effective_docs,
+           ROUND(COUNT(*) / CAST(SUM(w) AS DOUBLE), 6) AS dup_inflation
+    FROM m GROUP BY source
+    """,
+    category="llm-sampling",
+    doc=(
+        "duplication-aware sampling weights: each document weighs "
+        "1/multiplicity of its exact content group, so a page scraped "
+        "k times contributes one effective document — the standard "
+        "correction before mixture sampling (pairs with smp08). Per "
+        "source: raw count, effective count, and the inflation factor. "
+        "The oracle groups on raw text; the engine partitions on "
+        "sha2(text) instead — identical multiplicities, but the shuffle "
+        "key is a fixed-width 64-char hash rather than document bodies, "
+        "which is the only version that moves acceptable bytes at "
+        "100 TB. Weights round to 9 dp and sum as DECIMAL so the "
+        "1/k-valued sum is order-independent."
+    ),
+)
+def smp14_dup_aware_weights(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    grp = W.partitionBy(F.sha2(F.col("text"), 256))
+    m = d.select(
+        "source",
+        F.round(F.lit(1.0) / F.count("*").over(grp), 9)
+        .cast("decimal(18,9)")
+        .alias("w"),
+    )
+    return m.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("double").alias("effective_docs"),
+        F.round(
+            F.count("*") / F.sum("w").cast("double"), 6
+        ).alias("dup_inflation"),
+    )
+
+
+@register(
+    "a16_cms_heavy_hitters",
+    None,  # xxhash64-based sketch cells — differential vs exact counts in APPROX_CHECKS
+    category="aggregation",
+    doc=(
+        "Count-Min-sketch heavy-hitter audit — the CMS member of the "
+        "sketch family (a11 HLL, d14 Bloom): a depth-4 x width-1024 "
+        "counter matrix is built with ONE distributed groupBy per hash "
+        "row, collected as bounded model state (32 KB), and re-enters "
+        "the plan as ONE parsed literal probed map-side — estimates "
+        "never shuffle. Output: the top-20 exact-heaviest tokens with "
+        "exact count, CMS estimate (min over rows), and overestimate. "
+        "CMS guarantees est >= exact always and "
+        "P[over > e/width * N] <= (1/e)^depth; the APPROX check pins "
+        "zero undercounts and the bound."
+    ),
+)
+def a16_cms_heavy_hitters(spark, sf_dir, depth: int = 4, width: int = 1024):
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        spread_scan(d, "doc_id")
+        .select(F.explode(whitespace_tokens("text")).alias("tok"))
+        .localCheckpoint(eager=True)  # tokenize once: sketch build + probe
+    )
+    # distributed build: one groupBy per hash row over <= width cells
+    rows = []
+    for r in range(depth):
+        cell = F.pmod(F.xxhash64(F.col("tok"), F.lit(r)), F.lit(width))
+        counts = {
+            int(row["cell"]): int(row["n"])
+            for row in tok.select(cell.alias("cell"))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()  # bounded: <= width rows per hash row
+        }
+        rows.append([counts.get(i, 0) for i in range(width)])
+    body = ",".join(
+        "array(" + ",".join(f"{v}L" for v in row) + ")" for row in rows
+    )
+    cms = F.expr(f"array({body})")
+    est = F.array_min(
+        F.array(
+            *[
+                F.element_at(
+                    F.element_at(cms, r + 1),
+                    (
+                        F.pmod(F.xxhash64(F.col("tok"), F.lit(r)), F.lit(width))
+                        + 1
+                    ).cast("int"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    exact = tok.groupBy("tok").agg(F.count("*").cast("long").alias("exact_n"))
+    # top-20 via orderBy+limit (TakeOrderedAndProject — no global sort,
+    # no all-vocab single-partition window); the rank window then runs
+    # over exactly 20 rows (the t23 recipe)
+    top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
+    return (
+        top.withColumn("cms_n", est)
+        .withColumn("over", (F.col("cms_n") - F.col("exact_n")).cast("long"))
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(W.orderBy(F.desc("exact_n"), F.asc("tok")))
+            .cast("long"),
+        )
+        .select("rn", "tok", "exact_n", "cms_n", "over")
+    )
+
+
+@register(
+    "d17_fuzzy_decontamination",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[(i+1):(i+3)], ' ')
+                          for i in range(len(words)-2)] END AS grams
+        FROM w
+    ),
+    bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(grams) AS gram
+           FROM g WHERE doc_id % 25 = 0),
+    bsz AS (SELECT bench_id, COUNT(*) AS n_bg FROM bg GROUP BY bench_id),
+    cg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram
+           FROM g WHERE doc_id % 25 <> 0),
+    m AS (
+        SELECT cg.doc_id, bg.bench_id, COUNT(*) AS n_match
+        FROM cg JOIN bg USING (gram)
+        GROUP BY cg.doc_id, bg.bench_id
+    )
+    SELECT m.doc_id, m.bench_id,
+           ROUND(n_match / CAST(n_bg AS DOUBLE), 6) AS containment
+    FROM m JOIN bsz USING (bench_id)
+    WHERE n_match / CAST(n_bg AS DOUBLE) >= 0.5
+    """,
+    category="llm-dedup",
+    doc=(
+        "per-benchmark-document fuzzy decontamination: d09/t19 score a "
+        "corpus doc against the POOLED benchmark gram set; this "
+        "attributes leakage to the specific eval document — pairs "
+        "(corpus doc, benchmark doc) whose 3-gram CONTAINMENT "
+        "(|A intersect B| / |B|, B = that benchmark doc's grams) "
+        "reaches 0.5, catching embedded/partial copies whose full-text "
+        "Jaccard is diluted by surrounding noise. The benchmark side "
+        "is fixed-size (eval suites), so its exploded gram table "
+        "BROADCASTS and the corpus is scanned exactly once map-side — "
+        "exact recall with no LSH recall risk and nothing pairing "
+        "quadratically at 100 TB. Grams travel as xxhash64 longs in "
+        "the engine (the d03 recipe); counts match the string-gram "
+        "oracle up to 2^-64 collisions."
+    ),
+)
+def d17_fuzzy_decontamination(spark, sf_dir, threshold: float = 0.5):
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        spread_scan(d, "doc_id")
+        .withColumn("w", F.split(F.trim("text"), r"\s+"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_from_words(F.col("w"), 3),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    is_bench = F.col("doc_id") % 25 == 0
+    bg = g.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    ).localCheckpoint(eager=True)  # bench grams: bounded, reused twice
+    bsz = bg.groupBy("bench_id").agg(F.count("*").alias("n_bg"))
+    m = (
+        g.filter(~is_bench)
+        .join(F.broadcast(bg), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_match"))
+    )
+    return (
+        m.join(F.broadcast(bsz), "bench_id")
+        # filter on the UNROUNDED ratio (exact IEEE division of two
+        # integers — bit-identical across engines) so a value rounding
+        # up to the threshold cannot split the engines
+        .filter(F.col("n_match") / F.col("n_bg").cast("double") >= threshold)
+        .withColumn(
+            "containment",
+            F.round(F.col("n_match") / F.col("n_bg").cast("double"), 6),
+        )
+        .select("doc_id", "bench_id", "containment")
+    )

@@ -61,6 +61,14 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: (VERDICT r7 item 1): after the r8 driver run no registry query's
 #: newest CORRECTNESS row predates r5.
 _PRIORITY_NAMES = [
+    # never verified by the driver (new in round 8) — first, per the
+    # io17 precedent: zero-row debt outranks stale-row debt
+    "w19_max_drawdown",
+    "t27_ngram_novelty",
+    "t28_token_entropy",
+    "smp14_dup_aware_weights",
+    "a16_cms_heavy_hitters",
+    "d17_fuzzy_decontamination",
     # newest driver row: round 3 (18 queries)
     "st05_stream_static_join",
     "st06_stateful_user_totals",
@@ -310,6 +318,7 @@ _MODULE_ORDER = [
     "operators.relational",
     "operators.setops",
     "operators.tpch_extra",
+    "operators.wave8",
 ]
 
 
@@ -368,6 +377,7 @@ def _load_all():
     from .operators import tpch_full  # noqa: F401
     from .streaming import incdedup, ops, rollup, stateful, vecindex  # noqa: F401
     from .operators import wave7  # noqa: F401  (round-7 additions)
+    from .operators import wave8  # noqa: F401  (round-8 additions)
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

@@ -1,0 +1,165 @@
+"""Round-8 operator tests: planted-case semantics plus plan gates for
+the wave-8 curation ops (w19 drawdown, t27 novelty, t28 entropy,
+smp14 dup weights, a16 CMS, d17 fuzzy decontamination)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.plans.inspect import simple_plan
+from datalake_worker_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def test_max_drawdown_planted(spark, tmp_path):
+    """Hand-computed drawdown: series 10, 5, 12, 3 -> running peaks
+    10, 10, 12, 12 -> drawdowns 0, 5, 0, 9 -> max 9."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    rows = [
+        (i, 7, dt.datetime(2024, 1, 1, 0, i), v, "c", "{}")
+        for i, v in enumerate([10.0, 5.0, 12.0, 3.0])
+    ]
+    t = pa.Table.from_pylist(
+        [
+            dict(event_id=e, user_id=u, ts=ts, value=v, event_type=c, props=p)
+            for e, u, ts, v, c, p in rows
+        ]
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = REGISTRY["w19_max_drawdown"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].max_drawdown == 9.0
+    assert out[0].n_events == 4
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """doc 0 owns all its grams (first doc); doc 1 repeats doc 0
+    verbatim (novelty 0); doc 2 is half doc-0 text, half fresh."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "a b c d e f g h"  # grams(5): 4 distinct
+    fresh = "p q r s t u v w"
+    t = pa.Table.from_pylist(
+        [
+            dict(doc_id=0, text=base, lang="en", source="s", n_chars=len(base)),
+            dict(doc_id=1, text=base, lang="en", source="s", n_chars=len(base)),
+            dict(doc_id=2, text=fresh, lang="en", source="s", n_chars=len(fresh)),
+        ]
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["t27_ngram_novelty"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0].novelty == 1.0
+    assert out[1].novelty == 0.0
+    assert out[2].novelty == 1.0
+    assert out[0].n_grams == 4
+
+
+def test_token_entropy_planted(spark, tmp_path):
+    """'x x x x' -> H = 0; 'a b c d' -> H = 2 bits (uniform over 4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.Table.from_pylist(
+        [
+            dict(doc_id=0, text="x x x x", lang="en", source="s", n_chars=7),
+            dict(doc_id=1, text="a b c d", lang="en", source="s", n_chars=7),
+        ]
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["t28_token_entropy"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0].entropy == 0.0
+    assert math.isclose(out[1].entropy, 2.0, abs_tol=1e-5)
+    assert out[1].n_types == 4
+
+
+def test_dup_aware_weights_planted(spark, tmp_path):
+    """3 copies of one text + 1 unique in source A: effective 2 of 4;
+    inflation 2.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [dict(doc_id=i, text="same page", lang="en", source="A", n_chars=9)
+            for i in range(3)]
+    rows.append(dict(doc_id=3, text="unique page", lang="en", source="A", n_chars=11))
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = REGISTRY["smp14_dup_aware_weights"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 4
+    assert math.isclose(r.effective_docs, 2.0, abs_tol=1e-6)
+    assert math.isclose(r.dup_inflation, 2.0, abs_tol=1e-5)
+
+
+def test_cms_never_undercounts_on_skew(spark, tmp_path):
+    """A mass-repeated token (the adversarial case for any sketch) must
+    estimate AT LEAST its exact count, and the top-20 ranking must be
+    the exact ranking."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [dict(doc_id=i, text="hot " * 50 + f"tail{i}", lang="en",
+                 source="s", n_chars=10) for i in range(60)]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = sorted(
+        REGISTRY["a16_cms_heavy_hitters"].spark_fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.rn,
+    )
+    assert out[0].tok == "hot" and out[0].exact_n == 3000
+    for r in out:
+        assert r.cms_n >= r.exact_n, (r.tok, r.cms_n, r.exact_n)
+        assert r.over == r.cms_n - r.exact_n
+
+
+def test_fuzzy_decontamination_planted(spark, tmp_path):
+    """A corpus doc embedding a benchmark doc verbatim inside noise is
+    caught (containment 1.0) even though its full-text Jaccard is low;
+    an unrelated doc is not flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    noise = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        dict(doc_id=0, text=bench, lang="en", source="s", n_chars=1),  # benchmark (0 % 25 == 0)
+        dict(doc_id=1, text=noise + " " + bench + " " + noise, lang="en",
+             source="s", n_chars=1),  # contaminated
+        dict(doc_id=2, text="totally different content here entirely",
+             lang="en", source="s", n_chars=1),  # clean
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = REGISTRY["d17_fuzzy_decontamination"].spark_fn(spark, str(tmp_path)).collect()
+    got = {(r.doc_id, r.bench_id): r.containment for r in out}
+    assert (1, 0) in got, got
+    assert got[(1, 0)] == 1.0
+    assert (2, 0) not in got
+
+
+def test_d17_benchmark_side_broadcast(spark, sf_dir):
+    """The benchmark side is fixed-size at any corpus scale — both the
+    band probe and the gram verify must be broadcast joins (the corpus
+    is never shuffled for pairing)."""
+    df = REGISTRY["d17_fuzzy_decontamination"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_a16_probe_is_literal_mapside(spark, sf_dir):
+    """The CMS re-enters the plan as a parsed literal: the estimate
+    projection must not introduce a join against sketch state."""
+    df = REGISTRY["a16_cms_heavy_hitters"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    # exactly the aggregation + top-k machinery; no join operator at all
+    assert "Join" not in plan, plan

@@ -462,8 +462,39 @@ def check_st14(spark):
             "value": round(recall, 4), "bound": 0.6, "pass": recall >= 0.6}
 
 
+def check_a16(spark):
+    from collections import Counter
+
+    docs = _docs(spark)
+    exact = Counter()
+    for text in docs.values():
+        exact.update(text.split())
+    out = sorted(
+        _run(spark, "a16_cms_heavy_hitters").collect(), key=lambda r: r.rn
+    )
+    truth_top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    top_ok = [(r.tok, int(r.exact_n)) for r in out] == truth_top
+    undercounts = sum(1 for r in out if int(r.cms_n) < exact[r.tok])
+    n_total = sum(exact.values())
+    # CMS guarantee: P[over > (e/width)*N] <= e^-depth per query;
+    # check the bound itself (loose at width=1024) and record the mean
+    bound = 2.718281828 / 1024 * n_total
+    worst_over = max(int(r.over) for r in out)
+    mean_over = sum(int(r.over) for r in out) / len(out)
+    return {"signal": "CMS estimates never undercount; exact top-20 and "
+                      "counts match brute force; worst overestimate within "
+                      "the (e/width)*N bound",
+            "value": worst_over, "bound": round(bound, 1),
+            "pass": top_ok and undercounts == 0 and worst_over <= bound,
+            "detail": {"top20_exact_match": top_ok,
+                       "undercounts": undercounts,
+                       "mean_over": round(mean_over, 2),
+                       "n_total_tokens": n_total}}
+
+
 CHECKS = {
     "a08_approx_aggregates": check_a08,
+    "a16_cms_heavy_hitters": check_a16,
     "a11_hll_distinct_rollup": check_a11,
     "d04_minhash_near_dups": check_d04,
     "d05_simhash_fingerprints": check_d05,

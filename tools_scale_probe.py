@@ -64,6 +64,9 @@ PROBE = [
     "v09_ann_ivfpq_topk",        # IVF+PQ ADC — numpy-trained quantizer (r7)
     "w18_max_concurrent_intervals",  # sweep-line concurrency (r7 late)
     "x08_interval_overlap_join",     # binned overlap equi-join (r7 late)
+    "t27_ngram_novelty",             # global gram first-owner join (r8)
+    "d17_fuzzy_decontamination",     # broadcast-gram containment (r8)
+    "a16_cms_heavy_hitters",         # CMS build + literal probe (r8)
 ]
 
 
