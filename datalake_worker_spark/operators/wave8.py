@@ -105,13 +105,21 @@ def w19_max_drawdown(spark, sf_dir):
 )
 def t27_ngram_novelty(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
+    # grams travel as xxhash64 longs (the d03 recipe): the gram groupBy
+    # and join-back shuffle 8-byte keys instead of ~30-byte strings —
+    # counts identical to the string-gram oracle up to 2^-64 collisions
     g = (
         spread_scan(d, "doc_id")
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    shingles_from_words(F.split(F.trim("text"), r"\s+"), 5)
+                    F.transform(
+                        shingles_from_words(
+                            F.split(F.trim("text"), r"\s+"), 5
+                        ),
+                        lambda s: F.xxhash64(s),
+                    )
                 )
             ).alias("gram"),
         )
