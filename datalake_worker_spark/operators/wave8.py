@@ -281,18 +281,33 @@ def a16_cms_heavy_hitters(spark, sf_dir, depth: int = 4, width: int = 1024):
         .select(F.explode(whitespace_tokens("text")).alias("tok"))
         .localCheckpoint(eager=True)  # tokenize once: sketch build + probe
     )
-    # distributed build: one groupBy per hash row over <= width cells
-    rows = []
-    for r in range(depth):
-        cell = F.pmod(F.xxhash64(F.col("tok"), F.lit(r)), F.lit(width))
-        counts = {
-            int(row["cell"]): int(row["n"])
-            for row in tok.select(cell.alias("cell"))
-            .groupBy("cell")
-            .agg(F.count("*").alias("n"))
-            .collect()  # bounded: <= width rows per hash row
-        }
-        rows.append([counts.get(i, 0) for i in range(width)])
+    # distributed build: ONE job for all hash rows — each token explodes
+    # into its depth (row, cell) coordinates and a single groupBy counts
+    # every cell (<= depth*width result rows; was one job per row, and
+    # the 4-job build dominated the query at toy scale)
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.col("tok"), F.lit(r)), F.lit(width)).alias(
+                        "cell"
+                    ),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    counts: dict[tuple[int, int], int] = {
+        (int(row["r"]), int(row["cell"])): int(row["n"])
+        for row in tok.select(coords.alias("rc"))
+        .groupBy("rc.r", "rc.cell")
+        .agg(F.count("*").alias("n"))
+        .collect()  # bounded: <= depth*width rows
+    }
+    rows = [
+        [counts.get((r, i), 0) for i in range(width)] for r in range(depth)
+    ]
     body = ",".join(
         "array(" + ",".join(f"{v}L" for v in row) + ")" for row in rows
     )
