@@ -46,6 +46,11 @@ FLAGSHIP = [
     ("w18_max_concurrent_intervals", "sweep line: ONE exchange, window + agg share the partitioning"),
     ("x08_interval_overlap_join", "interval overlap: binned equi-join, first-overlap-bin dedup, no BNLJ"),
     ("io20_data_quality_audit", "constraint audit: conditional-sum aggregates, FK dim broadcast"),
+    # round-8 additions
+    ("t27_ngram_novelty", "novelty: gram groupBy and join-back share ONE hashed-gram exchange"),
+    ("d17_fuzzy_decontamination", "fuzzy decontam: benchmark gram table broadcast, corpus scanned once map-side"),
+    ("a16_cms_heavy_hitters", "CMS audit: sketch probed as ONE literal, no join; top-20 via limit"),
+    ("d08_simhash_near_dups", "simhash near-dup: 9-band explode, row_number-capped buckets, ONE band exchange"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
