@@ -20,6 +20,7 @@ from ..functions.dedup import shingles_from_words
 from ..functions.text import whitespace_tokens
 from ..registry import register
 from ..sources import load_table, spread_scan
+from .common import sql_cast_double
 
 
 @register(
@@ -146,7 +147,7 @@ def t27_ngram_novelty(spark, sf_dir):
 
 @register(
     "t28_token_entropy",
-    r"""
+    rf"""
     WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         FROM documents
@@ -169,7 +170,7 @@ def t27_ngram_novelty(spark, sf_dir):
     SELECT doc_id,
            CAST(MIN(n) AS BIGINT) AS n_tokens,
            MIN(n_types) AS n_types,
-           CAST(SUM(h) AS DOUBLE) AS entropy
+           {sql_cast_double('SUM(h)')} AS entropy
     FROM terms GROUP BY doc_id
     """,
     category="llm-text",
@@ -211,7 +212,7 @@ def t28_token_entropy(spark, sf_dir):
 
 @register(
     "smp14_dup_aware_weights",
-    """
+    f"""
     WITH m AS (
         SELECT source,
                CAST(ROUND(1.0 / (COUNT(*) OVER (PARTITION BY text)), 9)
@@ -220,8 +221,8 @@ def t28_token_entropy(spark, sf_dir):
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(w) AS DOUBLE) AS effective_docs,
-           ROUND(COUNT(*) / CAST(SUM(w) AS DOUBLE), 6) AS dup_inflation
+           {sql_cast_double('SUM(w)')} AS effective_docs,
+           ROUND(COUNT(*) / {sql_cast_double('SUM(w)')}, 6) AS dup_inflation
     FROM m GROUP BY source
     """,
     category="llm-sampling",
