@@ -2,8 +2,8 @@
 novelty scoring, duplication-aware sampling weights, token-entropy
 quality scoring, a Count-Min-sketch heavy-hitter audit (the CMS member
 of the sketch family next to a11's HLL and d14's Bloom), fuzzy
-benchmark decontamination (MinHash-LSH containment), and a max-drawdown
-window op.
+benchmark decontamination (per-benchmark-doc containment via a
+broadcast gram join), and a max-drawdown window op.
 
 Shared determinism rules (operators/wave7.py lineage): DECIMAL for
 order-independent float sums, per-term ROUND(_, 6) -> DECIMAL where
@@ -265,8 +265,9 @@ def smp14_dup_aware_weights(spark, sf_dir):
     doc=(
         "Count-Min-sketch heavy-hitter audit — the CMS member of the "
         "sketch family (a11 HLL, d14 Bloom): a depth-4 x width-1024 "
-        "counter matrix is built with ONE distributed groupBy per hash "
-        "row, collected as bounded model state (32 KB), and re-enters "
+        "counter matrix is built in ONE distributed job (tokens explode "
+        "to (row, cell) coords, one groupBy counts every cell), "
+        "collected as bounded model state (32 KB), and re-enters "
         "the plan as ONE parsed literal probed map-side — estimates "
         "never shuffle. Output: the top-20 exact-heaviest tokens with "
         "exact count, CMS estimate (min over rows), and overestimate. "
