@@ -160,6 +160,7 @@ WAVE8 = [
     "smp14_dup_aware_weights",
     "a16_cms_heavy_hitters",
     "d17_fuzzy_decontamination",
+    "t29_source_divergence",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

@@ -432,3 +432,82 @@ def d17_fuzzy_decontamination(spark, sf_dir, threshold: float = 0.5):
         )
         .select("doc_id", "bench_id", "containment")
     )
+
+
+@register(
+    "t29_source_divergence",
+    r"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    sc AS (SELECT source, tok, COUNT(*) AS c_s FROM tok GROUP BY source, tok),
+    gc AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    ns AS (SELECT source, SUM(c_s) AS n_s FROM sc GROUP BY source),
+    ng AS (SELECT SUM(c) AS n FROM gc),
+    terms AS (
+        -- union over the corpus vocab: tokens absent from a source
+        -- contribute |0 - c/N| = c*n_s to the integer numerator
+        SELECT ns.source,
+               CAST(ABS(COALESCE(sc.c_s, 0) * ng.n - gc.c * ns.n_s)
+                    AS DECIMAL(38,0)) AS num,
+               ns.n_s, ng.n
+        FROM gc CROSS JOIN ns CROSS JOIN ng
+        LEFT JOIN sc ON sc.tok = gc.tok AND sc.source = ns.source
+    )
+    SELECT source,
+           CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+           ROUND(CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
+                 / (2.0 * MIN(n_s) * MIN(n)), 6) AS tv_distance
+    FROM terms GROUP BY source
+    """,
+    category="llm-text",
+    doc=(
+        "per-source total-variation distance from the corpus token "
+        "distribution — the data-mixing diagnostic that says which "
+        "source's language deviates most (pairs with smp08's mixture "
+        "resampling: divergent sources get their weights reviewed). "
+        "TV = 0.5 * sum_tok |p_s - p| computed EXACTLY: each term's "
+        "numerator |c_s*N - c*N_s| is integer, summed as DECIMAL(38,0) "
+        "(order-independent, no libm anywhere), with ONE double "
+        "division at the end — hash-identical across engines by "
+        "construction. The vocab x source expansion is a left join on "
+        "the token key: distributed, no driver state, and the source "
+        "dimension is small so the per-source totals broadcast."
+    ),
+)
+def t29_source_divergence(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        spread_scan(d, "doc_id")
+        .select("source", F.explode(whitespace_tokens("text")).alias("tok"))
+        .localCheckpoint(eager=True)  # tokenize once: three aggregations
+    )
+    sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c_s"))
+    gc = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    ns = sc.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    ng = gc.agg(F.sum("c").alias("n"))
+    terms = (
+        gc.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(ng))
+        .join(sc, ["tok", "source"], "left")
+        .select(
+            "source",
+            F.abs(
+                F.coalesce(F.col("c_s"), F.lit(0)) * F.col("n")
+                - F.col("c") * F.col("n_s")
+            )
+            .cast("decimal(38,0)")
+            .alias("num"),
+            "n_s",
+            "n",
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.min("n_s").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("num").cast("double")
+            / (F.lit(2.0) * F.min("n_s") * F.min("n")),
+            6,
+        ).alias("tv_distance"),
+    )

@@ -69,6 +69,7 @@ _PRIORITY_NAMES = [
     "smp14_dup_aware_weights",
     "a16_cms_heavy_hitters",
     "d17_fuzzy_decontamination",
+    "t29_source_divergence",
     # newest driver row: round 3 (18 queries)
     "st05_stream_static_join",
     "st06_stateful_user_totals",

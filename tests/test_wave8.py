@@ -163,3 +163,24 @@ def test_a16_probe_is_literal_mapside(spark, sf_dir):
     plan = simple_plan(df)
     # exactly the aggregation + top-k machinery; no join operator at all
     assert "Join" not in plan, plan
+
+
+def test_source_divergence_planted(spark, tmp_path):
+    """Source A matches the corpus mix exactly when it IS the corpus;
+    two disjoint-vocabulary sources each sit at TV = 0.5 from the
+    pooled distribution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        dict(doc_id=0, text="a a b b", lang="en", source="A", n_chars=7),
+        dict(doc_id=1, text="c c d d", lang="en", source="B", n_chars=7),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           REGISTRY["t29_source_divergence"].spark_fn(spark, str(tmp_path)).collect()}
+    # pooled: each of a,b,c,d has p=1/4; source A: a,b at 1/2 each.
+    # TV = 0.5*(|1/2-1/4|*2 + |0-1/4|*2) = 0.5
+    assert out["A"].tv_distance == 0.5
+    assert out["B"].tv_distance == 0.5
+    assert out["A"].n_tokens == 4
