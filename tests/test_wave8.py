@@ -184,3 +184,34 @@ def test_source_divergence_planted(spark, tmp_path):
     assert out["A"].tv_distance == 0.5
     assert out["B"].tv_distance == 0.5
     assert out["A"].n_tokens == 4
+
+
+def test_wave8_invariants_on_corpus(spark, sf_dir):
+    """Mathematical invariants over the real corpus: entropy bounded by
+    log2(n_types), TV distance in [0,1], drawdown non-negative, novelty
+    in (0,1], containment in [0.5,1], dup weights never exceed raw
+    counts."""
+    import math as m
+
+    ent = REGISTRY["t28_token_entropy"].spark_fn(spark, sf_dir).collect()
+    for r in ent:
+        # each of n_types terms is rounded to 6 dp (the determinism
+        # recipe), so the sum can exceed the exact bound by n_types*5e-7
+        slack = r.n_types * 5e-7 + 1e-9
+        assert -slack <= r.entropy <= m.log2(max(r.n_types, 1)) + slack, r
+    tv = REGISTRY["t29_source_divergence"].spark_fn(spark, sf_dir).collect()
+    for r in tv:
+        assert 0.0 <= r.tv_distance <= 1.0, r
+    dd = REGISTRY["w19_max_drawdown"].spark_fn(spark, sf_dir).collect()
+    for r in dd:
+        assert r.max_drawdown >= 0.0, r
+    nov = REGISTRY["t27_ngram_novelty"].spark_fn(spark, sf_dir).collect()
+    for r in nov:
+        assert 0.0 < r.novelty <= 1.0 and r.novel_grams <= r.n_grams, r
+    dec = REGISTRY["d17_fuzzy_decontamination"].spark_fn(spark, sf_dir).collect()
+    for r in dec:
+        assert 0.5 - 1e-9 <= r.containment <= 1.0, r
+    wts = REGISTRY["smp14_dup_aware_weights"].spark_fn(spark, sf_dir).collect()
+    for r in wts:
+        assert 0.0 < r.effective_docs <= r.n_docs + 1e-9, r
+        assert r.dup_inflation >= 1.0 - 1e-9, r
