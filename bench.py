@@ -161,6 +161,7 @@ WAVE8 = [
     "a16_cms_heavy_hitters",
     "d17_fuzzy_decontamination",
     "t29_source_divergence",
+    "st18_streaming_drift_psi",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

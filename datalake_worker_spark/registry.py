@@ -70,6 +70,7 @@ _PRIORITY_NAMES = [
     "a16_cms_heavy_hitters",
     "d17_fuzzy_decontamination",
     "t29_source_divergence",
+    "st18_streaming_drift_psi",
     # newest driver row: round 3 (18 queries)
     "st05_stream_static_join",
     "st06_stateful_user_totals",

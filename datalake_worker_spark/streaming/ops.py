@@ -801,3 +801,98 @@ def st17_watermark_late_drop(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "append")
+
+
+@register(
+    "st18_streaming_drift_psi",
+    f"""
+    WITH e AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+               CAST(LEAST(7, GREATEST(0, FLOOR(value / 64.0))) AS INT) AS bin
+        FROM events
+    ),
+    counts AS (
+        SELECT w_start, bin, COUNT(*) AS c FROM e GROUP BY w_start, bin
+    ),
+    days AS (SELECT DISTINCT w_start FROM counts),
+    grid AS (
+        SELECT d.w_start, b.bin, COALESCE(c.c, 0) AS c
+        FROM days d CROSS JOIN (SELECT unnest(range(8)) AS bin) b
+        LEFT JOIN counts c ON c.w_start = d.w_start AND c.bin = b.bin
+    ),
+    tot AS (SELECT w_start, SUM(c) AS n FROM grid GROUP BY w_start),
+    base AS (
+        SELECT g.bin, g.c AS c0, t.n AS n0
+        FROM grid g JOIN tot t USING (w_start)
+        WHERE g.w_start = (SELECT MIN(w_start) FROM days)
+    ),
+    terms AS (
+        SELECT g.w_start, t.n,
+               CAST(ROUND(
+                   ((g.c + 1.0) / (t.n + 8.0) - (b.c0 + 1.0) / (b.n0 + 8.0))
+                   * LN(((g.c + 1.0) / (t.n + 8.0))
+                        / ((b.c0 + 1.0) / (b.n0 + 8.0))), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM grid g JOIN tot t USING (w_start) JOIN base b USING (bin)
+    )
+    SELECT w_start,
+           CAST(MIN(n) AS BIGINT) AS n_events,
+           {{0}} AS psi
+    FROM terms GROUP BY w_start
+    """.format("CAST(CAST((SUM(term)) AS VARCHAR) AS DOUBLE)"),
+    category="streaming",
+    doc=(
+        "streaming distribution-drift monitor: the event value stream "
+        "aggregates into (1-day window, value-bucket) counts — the same "
+        "complete-mode windowed shape as st01 with a second grouping "
+        "key — and the tiny sink table (days x 8 bins) finishes "
+        "batch-side into a Population Stability Index per day against "
+        "the FIRST day's histogram (add-one smoothed so empty bins are "
+        "defined). PSI is THE production gate for 'did today's data "
+        "shift under my pipeline' — ingest monitors alarm on it before "
+        "bad data reaches training. Per-bin libm terms round to 6 dp "
+        "and sum as DECIMAL (the t10 recipe); day 0 reports PSI 0 by "
+        "construction. State at 100 TB: the stream holds one open "
+        "window of 8 counters per day — bounded regardless of event "
+        "volume; the PSI finish touches days x bins rows, never events."
+    ),
+)
+def st18_streaming_drift_psi(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    bin_col = F.least(
+        F.lit(7), F.greatest(F.lit(0), F.floor(F.col("value") / 64.0))
+    ).cast("int")
+    agg = s.groupBy(
+        F.window("ts", "1 day").alias("w"), bin_col.alias("bin")
+    ).agg(F.count("*").alias("c"))
+    sink = run_to_memory(agg, "complete").select(
+        F.col("w.start").alias("w_start"), "bin", "c"
+    )
+    # batch finish over the days x bins sink table (tiny by construction)
+    days = sink.select("w_start").distinct()
+    bins = spark.range(8).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        days.crossJoin(bins)
+        .join(sink, ["w_start", "bin"], "left")
+        .select("w_start", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("w_start").agg(F.sum("c").alias("n"))
+    first_day = days.agg(F.min("w_start").alias("w0"))
+    base = (
+        grid.join(tot, "w_start")
+        .join(F.broadcast(first_day), F.col("w_start") == F.col("w0"))
+        .select("bin", F.col("c").alias("c0"), F.col("n").alias("n0"))
+    )
+    p = (F.col("c") + F.lit(1.0)) / (F.col("n") + F.lit(8.0))
+    q = (F.col("c0") + F.lit(1.0)) / (F.col("n0") + F.lit(8.0))
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        grid.join(tot, "w_start")
+        .join(F.broadcast(base), "bin")
+        .select("w_start", "n", term.alias("term"))
+        .groupBy("w_start")
+        .agg(
+            F.min("n").cast("long").alias("n_events"),
+            F.sum("term").cast("double").alias("psi"),
+        )
+    )

@@ -217,3 +217,36 @@ def test_wave8_invariants_on_corpus(spark, sf_dir):
     for r in wts:
         assert 0.0 < r.effective_docs <= r.n_docs + 1e-9, r
         assert r.dup_inflation >= 1.0 - 1e-9, r
+
+
+def test_streaming_drift_psi_planted(spark, tmp_path):
+    """Day 1 replays day 0's value mix (PSI ~ 0 up to smoothing of the
+    slightly different totals); day 2 shifts every value into the top
+    bucket (PSI >> 0). Every (p-q)ln(p/q) term is non-negative, so PSI
+    is too."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for day, values in [
+        (1, [10.0] * 20 + [100.0] * 20),
+        (2, [10.0] * 20 + [100.0] * 20),
+        (3, [480.0] * 40),
+    ]:
+        for i, v in enumerate(values):
+            rows.append(dict(event_id=eid, ts=dt.datetime(2024, 1, day, 1, 0, i),
+                             user_id=1, event_type="c", value=v, props="{}"))
+            eid += 1
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    out = sorted(
+        REGISTRY["st18_streaming_drift_psi"].spark_fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.w_start,
+    )
+    assert len(out) == 3
+    assert out[0].psi == 0.0                   # baseline vs itself
+    assert abs(out[1].psi) < 1e-6              # identical mix
+    assert out[2].psi > 1.0, out[2]            # hard shift
+    for r in out:
+        assert r.psi >= -1e-9                  # PSI is non-negative
