@@ -162,6 +162,7 @@ WAVE8 = [
     "d17_fuzzy_decontamination",
     "t29_source_divergence",
     "st18_streaming_drift_psi",
+    "m07_chunk_dedup_manifest",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

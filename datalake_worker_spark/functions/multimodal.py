@@ -421,3 +421,66 @@ def m06_perceptual_near_dup(spark, sf_dir):
         )
         .orderBy("hamming")
     )
+
+
+@register(
+    "m07_chunk_dedup_manifest",
+    """
+    WITH c AS (
+        SELECT doc_id, source,
+               sha256(substring(text, (i.i - 1) * 64 + 1, 64)) AS chunk_sha
+        FROM documents
+        CROSS JOIN LATERAL (
+            SELECT unnest(range(1, CAST(ceil(strlen(text) / 64.0) AS BIGINT) + 1)) AS i
+        ) i
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_sha) AS BIGINT) AS n_distinct_chunks,
+           ROUND(COUNT(*) / CAST(COUNT(DISTINCT chunk_sha) AS DOUBLE), 6)
+             AS dedup_ratio
+    FROM c GROUP BY source
+    """,
+    category="llm-multimodal",
+    doc=(
+        "fixed-size chunk manifest + storage-level dedup audit — the "
+        "reference's own data model (opaque chunks in a content store, "
+        "/root/reference/src/rocksdb_storage_engine.rs:126-132) applied "
+        "as a QUERY: every payload splits into 64-char chunks, each "
+        "chunk content-hashed, and per source the logical/physical "
+        "chunk counts give the dedup ratio a chunk store would achieve "
+        "(exact-dup docs collapse fully; partial overlaps collapse the "
+        "aligned prefix). Chunking is a per-row transform over a "
+        "sequence (zero shuffles until the count-distinct aggregate); "
+        "at 100 TB the chunk-sha distinct is the only wide stage and "
+        "its key space is uniform by construction."
+    ),
+)
+def m07_chunk_dedup_manifest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    nchunks = F.ceil(F.length("text") / 64.0).cast("long")
+    chunk = lambda i: F.col("text").substr(  # noqa: E731
+        (i - 1) * 64 + 1, F.lit(64)
+    )
+    c = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), nchunks), chunk)
+        ).alias("chunk"),
+    ).select(
+        "doc_id", "source", F.sha2(F.encode("chunk", "utf-8"), 256).alias("chunk_sha")
+    )
+    return c.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.count_distinct("chunk_sha").cast("long").alias("n_distinct_chunks"),
+        F.round(
+            F.count("*") / F.count_distinct("chunk_sha").cast("double"), 6
+        ).alias("dedup_ratio"),
+    )

@@ -71,6 +71,7 @@ _PRIORITY_NAMES = [
     "d17_fuzzy_decontamination",
     "t29_source_divergence",
     "st18_streaming_drift_psi",
+    "m07_chunk_dedup_manifest",
     # newest driver row: round 3 (18 queries)
     "st05_stream_static_join",
     "st06_stateful_user_totals",

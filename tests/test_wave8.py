@@ -250,3 +250,23 @@ def test_streaming_drift_psi_planted(spark, tmp_path):
     assert out[2].psi > 1.0, out[2]            # hard shift
     for r in out:
         assert r.psi >= -1e-9                  # PSI is non-negative
+
+
+def test_chunk_dedup_manifest_planted(spark, tmp_path):
+    """Two byte-identical 128-char docs + one unique 64-char doc: 5
+    logical chunks, 3 distinct (the dup doc's two chunks collapse)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    page = "x" * 64 + "y" * 64
+    rows = [
+        dict(doc_id=0, text=page, lang="en", source="A", n_chars=128),
+        dict(doc_id=1, text=page, lang="en", source="A", n_chars=128),
+        dict(doc_id=2, text="z" * 64, lang="en", source="A", n_chars=64),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = REGISTRY["m07_chunk_dedup_manifest"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.n_chunks, r.n_distinct_chunks) == (3, 5, 3)
+    assert abs(r.dedup_ratio - 5 / 3) < 1e-6
