@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..scratch import scratch_dir
-from ..operators.common import sql_dsum
+from ..operators.common import sql_cast_double, sql_dsum
 from ..registry import register
 from ..sources import load_table
 
@@ -837,9 +837,9 @@ def st17_watermark_late_drop(spark, sf_dir):
     )
     SELECT w_start,
            CAST(MIN(n) AS BIGINT) AS n_events,
-           {{0}} AS psi
+           {sql_cast_double('SUM(term)')} AS psi
     FROM terms GROUP BY w_start
-    """.format("CAST(CAST((SUM(term)) AS VARCHAR) AS DOUBLE)"),
+    """,
     category="streaming",
     doc=(
         "streaming distribution-drift monitor: the event value stream "
