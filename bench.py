@@ -163,6 +163,7 @@ WAVE8 = [
     "t29_source_divergence",
     "st18_streaming_drift_psi",
     "m07_chunk_dedup_manifest",
+    "io22_python_datasource_scan",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

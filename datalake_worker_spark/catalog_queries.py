@@ -545,3 +545,55 @@ def lk11_storage_integrity_scan(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+@register(
+    "io22_python_datasource_scan",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="sources",
+    doc=(
+        "custom Python DataSource (the Spark 4 pyspark.sql.datasource "
+        "API) driven through the full chunk lifecycle: the orders chunk "
+        "is found and PINNED in the catalog (the reference's "
+        "find -> DataChunkRef -> path flow, src/data_manager.rs:95-121), "
+        "its file manifest feeds format('dlw_chunk_manifest'), planning "
+        "emits one InputPartition per parquet ROW GROUP, and executors "
+        "yield Arrow RecordBatches from pyarrow with the projection "
+        "pushed into the row-group read. The aggregate over the "
+        "source's output must equal the same aggregate over the native "
+        "parquet scan — the custom read path is the thing under test."
+    ),
+)
+def io22_python_datasource_scan(spark, sf_dir):
+    from .sources.pydatasource import ensure_registered
+
+    ensure_registered(spark)
+    cat = _build_catalog(spark, sf_dir, tables=["orders"])
+    # orders is chunk index 5 -> blocks [5000, 6000)
+    with cat.pin("tpch", 5500) as ref:
+        assert ref is not None
+        files = ",".join(sorted(ref.meta.files.values()))
+        df = (
+            spark.read.format("dlw_chunk_manifest")
+            .option("files", files)
+            .option(
+                "schema_ddl",
+                "o_orderstatus string, o_totalprice double",
+            )
+            .load()
+        )
+        out = df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        # materialize inside the pin (the lease guards the files while
+        # the custom source reads them), then return the source-free plan
+        return out.localCheckpoint(eager=True)

@@ -72,6 +72,7 @@ _PRIORITY_NAMES = [
     "t29_source_divergence",
     "st18_streaming_drift_psi",
     "m07_chunk_dedup_manifest",
+    "io22_python_datasource_scan",
     # newest driver row: round 3 (18 queries)
     "st05_stream_static_join",
     "st06_stateful_user_totals",

@@ -1,0 +1,98 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API):
+a CHUNK-MANIFEST reader.
+
+The reference's unit of data is a chunk with a ``files`` manifest
+(name -> location, /root/reference/src/lib.rs:24-27). This source makes
+that manifest a first-class Spark relation: the caller resolves a chunk
+through the catalog (find -> pin -> chunk_path, the lk05 lifecycle) and
+hands the file list to ``spark.read.format("dlw_chunk_manifest")``.
+Planning splits the manifest into ONE InputPartition PER PARQUET ROW
+GROUP — the same parallelism contract as Spark's native parquet reader,
+so a 1000-file chunk scans wide without any Spark-side file listing —
+and each partition yields Arrow RecordBatches straight from pyarrow
+(zero per-row Python; the Arrow batches cross into the JVM columnar).
+
+Scale notes: partitions() runs driver-side and touches only parquet
+FOOTERS (one metadata read per file); the data path is executor-side
+pyarrow with column pruning pushed into ``read_row_group(columns=...)``
+(projection pushdown — the source never materializes unread columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RowGroupPartition(InputPartition):
+    def __init__(self, path: str, row_group: int):
+        self.path = path
+        self.row_group = row_group
+
+
+class ChunkManifestDataSource(DataSource):
+    """``format("dlw_chunk_manifest")`` options:
+
+    - ``files``: comma-separated parquet files or directories (a chunk's
+      manifest values; directories expand to their ``*.parquet`` members)
+    - ``schema_ddl``: DDL of the columns to read (projection — only
+      these columns are decoded)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "dlw_chunk_manifest"
+
+    def schema(self) -> str:
+        return self.options["schema_ddl"]
+
+    def reader(self, schema) -> "ChunkManifestReader":
+        return ChunkManifestReader(self.options, schema)
+
+
+def _expand(entry: str) -> list[str]:
+    if os.path.isdir(entry):
+        return sorted(
+            os.path.join(entry, f)
+            for f in os.listdir(entry)
+            if f.endswith(".parquet")
+        )
+    return [entry]
+
+
+class ChunkManifestReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.files = [
+            f for e in options["files"].split(",") for f in _expand(e)
+        ]
+        self.columns = [f.name for f in schema.fields]
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        parts = []
+        for p in self.files:
+            n_rg = pq.ParquetFile(p).metadata.num_row_groups
+            parts.extend(_RowGroupPartition(p, rg) for rg in range(n_rg))
+        return parts
+
+    def read(self, partition: _RowGroupPartition):
+        import pyarrow.parquet as pq
+
+        table = pq.ParquetFile(partition.path).read_row_group(
+            partition.row_group, columns=self.columns
+        )
+        yield from table.to_batches()
+
+
+_REGISTERED: set[int] = set()
+
+
+def ensure_registered(spark) -> None:
+    """Register the source once per SparkSession (idempotent)."""
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    spark.dataSource.register(ChunkManifestDataSource)
+    _REGISTERED.add(key)

@@ -270,3 +270,35 @@ def test_chunk_dedup_manifest_planted(spark, tmp_path):
     r = out[0]
     assert (r.n_docs, r.n_chunks, r.n_distinct_chunks) == (3, 5, 3)
     assert abs(r.dedup_ratio - 5 / 3) < 1e-6
+
+
+def test_python_datasource_row_group_partitions(spark, tmp_path):
+    """The custom source plans one InputPartition per parquet row group
+    and its output matches the native parquet scan exactly."""
+    from datalake_worker_spark.sources.pydatasource import (
+        ChunkManifestReader,
+        ensure_registered,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "orders.parquet")
+    t = pa.table({"k": list(range(100)), "v": [float(i) for i in range(100)]})
+    pq.write_table(t, path, row_group_size=25)  # 4 row groups
+
+    ensure_registered(spark)
+    df = (
+        spark.read.format("dlw_chunk_manifest")
+        .option("files", path)
+        .option("schema_ddl", "k bigint, v double")
+        .load()
+    )
+    assert df.count() == 100
+    assert df.agg(F.sum("v")).collect()[0][0] == sum(range(100))
+    # planning contract: 4 row groups -> 4 partitions
+    from pyspark.sql.types import StructType
+
+    reader = ChunkManifestReader(
+        {"files": path}, StructType.fromDDL("k bigint, v double")
+    )
+    assert len(reader.partitions()) == 4

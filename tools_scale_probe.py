@@ -67,6 +67,7 @@ PROBE = [
     "t27_ngram_novelty",             # global gram first-owner join (r8)
     "d17_fuzzy_decontamination",     # broadcast-gram containment (r8)
     "a16_cms_heavy_hitters",         # CMS build + literal probe (r8)
+    "io22_python_datasource_scan",   # Python DataSource row-group partitions (r8)
 ]
 
 
