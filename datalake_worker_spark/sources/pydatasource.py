@@ -86,13 +86,9 @@ class ChunkManifestReader(DataSourceReader):
         yield from table.to_batches()
 
 
-_REGISTERED: set[int] = set()
-
-
 def ensure_registered(spark) -> None:
-    """Register the source once per SparkSession (idempotent)."""
-    key = id(spark)
-    if key in _REGISTERED:
-        return
+    """Register the source on this session. Registration replaces any
+    previous binding (verified: double-register logs a benign WARN),
+    so no session-identity cache is needed — an id(spark) cache could
+    mis-skip after a stopped session's id is reused."""
     spark.dataSource.register(ChunkManifestDataSource)
-    _REGISTERED.add(key)
