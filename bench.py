@@ -164,6 +164,7 @@ WAVE8 = [
     "st18_streaming_drift_psi",
     "m07_chunk_dedup_manifest",
     "io22_python_datasource_scan",
+    "st19_python_stream_replay",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

@@ -597,3 +597,56 @@ def io22_python_datasource_scan(spark, sf_dir):
         # materialize inside the pin (the lease guards the files while
         # the custom source reads them), then return the source-free plan
         return out.localCheckpoint(eager=True)
+
+
+@register(
+    "st19_python_stream_replay",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category="streaming",
+    doc=(
+        "custom Python STREAM source (Spark 4 DataSourceStreamReader): "
+        "a pinned chunk's manifest replays through "
+        "readStream.format('dlw_chunk_replay') with parquet row groups "
+        "as the offset space ({'rg': n} dicts), one InputPartition per "
+        "row group, Arrow batches from pyarrow — the reference's "
+        "download-chunk ingest loop as a first-class resumable stream. "
+        "The complete-mode aggregate over the streamed rows must equal "
+        "the batch oracle over the native scan. Design note baked into "
+        "the source: availableNow calls latestOffset ONCE, so the "
+        "offset jumps to the manifest total — a cursor-advancing "
+        "latestOffset was probed to silently drop all but the first "
+        "batch under this trigger."
+    ),
+)
+def st19_python_stream_replay(spark, sf_dir):
+    from .sources.pydatasource import ensure_stream_registered
+    from .streaming.ops import run_to_memory
+
+    ensure_stream_registered(spark)
+    cat = _build_catalog(spark, sf_dir, tables=["orders"])
+    with cat.pin("tpch", 5500) as ref:
+        assert ref is not None
+        files = ",".join(sorted(ref.meta.files.values()))
+        s = (
+            spark.readStream.format("dlw_chunk_replay")
+            .option("files", files)
+            .option(
+                "schema_ddl",
+                "o_orderpriority string, o_totalprice double",
+            )
+            .load()
+        )
+        agg = s.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        out = run_to_memory(agg, "complete")
+        return out.localCheckpoint(eager=True)

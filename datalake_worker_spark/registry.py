@@ -73,6 +73,7 @@ _PRIORITY_NAMES = [
     "st18_streaming_drift_psi",
     "m07_chunk_dedup_manifest",
     "io22_python_datasource_scan",
+    "st19_python_stream_replay",
     # newest driver row: round 3 (18 queries)
     "st05_stream_static_join",
     "st06_stateful_user_totals",

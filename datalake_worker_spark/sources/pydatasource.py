@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _RowGroupPartition(InputPartition):
@@ -92,3 +97,77 @@ def ensure_registered(spark) -> None:
     so no session-identity cache is needed — an id(spark) cache could
     mis-skip after a stopped session's id is reused."""
     spark.dataSource.register(ChunkManifestDataSource)
+
+
+class ChunkReplayStreamReader(DataSourceStreamReader):
+    """Streaming half of the manifest source: replays a chunk's parquet
+    ROW GROUPS as stream offsets. The offset is a plain dict
+    ``{"rg": n}`` — row groups [start, end) form one batch with one
+    InputPartition each, so a chunk ingests as a bounded, resumable
+    stream (the reference's download-chunk ingest loop expressed as a
+    Structured Streaming source).
+
+    latestOffset deliberately jumps straight to the manifest's total:
+    ``Trigger.AvailableNow`` calls latestOffset ONCE and terminates at
+    that offset, so a cursor-advancing implementation (one row group
+    per call) SILENTLY DROPS everything after the first batch — probed
+    and confirmed on this Spark build (4-row-group file, availableNow,
+    cursor variant returned 25 of 100 rows). Incremental replay
+    belongs to processingTime triggers, where repeated latestOffset
+    calls page through naturally; on this harness every stream runs
+    availableNow, so the whole manifest is one exactly-once batch and
+    restart resumability comes from the checkpointed offset."""
+
+    def __init__(self, options, schema):
+        self.files = [
+            f for e in options["files"].split(",") for f in _expand(e)
+        ]
+        self.columns = [f.name for f in schema.fields]
+        import pyarrow.parquet as pq
+
+        self.rg_index: list[tuple[str, int]] = []
+        for p in self.files:
+            for rg in range(pq.ParquetFile(p).metadata.num_row_groups):
+                self.rg_index.append((p, rg))
+
+    def initialOffset(self) -> dict:
+        return {"rg": 0}
+
+    def latestOffset(self) -> dict:
+        return {"rg": len(self.rg_index)}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _RowGroupPartition(*self.rg_index[i])
+            for i in range(start["rg"], end["rg"])
+        ]
+
+    def read(self, partition: _RowGroupPartition):
+        import pyarrow.parquet as pq
+
+        table = pq.ParquetFile(partition.path).read_row_group(
+            partition.row_group, columns=self.columns
+        )
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are pure positions into an immutable manifest
+
+
+class ChunkReplayStreamSource(DataSource):
+    """``readStream.format("dlw_chunk_replay")`` — same options as
+    the batch manifest source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dlw_chunk_replay"
+
+    def schema(self) -> str:
+        return self.options["schema_ddl"]
+
+    def streamReader(self, schema) -> ChunkReplayStreamReader:
+        return ChunkReplayStreamReader(self.options, schema)
+
+
+def ensure_stream_registered(spark) -> None:
+    spark.dataSource.register(ChunkReplayStreamSource)

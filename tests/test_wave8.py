@@ -302,3 +302,31 @@ def test_python_datasource_row_group_partitions(spark, tmp_path):
         {"files": path}, StructType.fromDDL("k bigint, v double")
     )
     assert len(reader.partitions()) == 4
+
+
+def test_python_stream_source_replays_all_row_groups(spark, tmp_path):
+    """The stream source's offset jump must cover EVERY row group under
+    availableNow (the probed pitfall: a cursor-advancing latestOffset
+    returns only the first batch)."""
+    from datalake_worker_spark.sources.pydatasource import ensure_stream_registered
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(100))}), path, row_group_size=25
+    )  # 4 row groups
+    ensure_stream_registered(spark)
+    s = (
+        spark.readStream.format("dlw_chunk_replay")
+        .option("files", path)
+        .option("schema_ddl", "k bigint")
+        .load()
+    )
+    from datalake_worker_spark.streaming.ops import run_to_memory
+
+    out = run_to_memory(
+        s.groupBy().agg(F.count("*").alias("n"), F.max("k").alias("mx")),
+        "complete",
+    ).collect()
+    assert (out[0].n, out[0].mx) == (100, 99)
