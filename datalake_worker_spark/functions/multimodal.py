@@ -467,12 +467,18 @@ def m07_chunk_dedup_manifest(spark, sf_dir):
     chunk = lambda i: F.col("text").substr(  # noqa: E731
         (i - 1) * 64 + 1, F.lit(64)
     )
+    # empty text => zero chunks. F.sequence(1, 0) yields a DESCENDING
+    # [1, 0] (not empty!) while the oracle's range(1, 1) is empty — an
+    # empty-text doc would emit two phantom '' chunks and split the
+    # engines (review r8); explode of an explicit empty array drops the
+    # row on both sides.
+    idx = F.when(nchunks >= 1, F.sequence(F.lit(1), nchunks)).otherwise(
+        F.array().cast("array<long>")
+    )
     c = d.select(
         "doc_id",
         "source",
-        F.explode(
-            F.transform(F.sequence(F.lit(1), nchunks), chunk)
-        ).alias("chunk"),
+        F.explode(F.transform(idx, chunk)).alias("chunk"),
     ).select(
         "doc_id", "source", F.sha2(F.encode("chunk", "utf-8"), 256).alias("chunk_sha")
     )

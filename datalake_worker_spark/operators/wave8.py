@@ -447,10 +447,14 @@ def d17_fuzzy_decontamination(spark, sf_dir, threshold: float = 0.5):
     ng AS (SELECT SUM(c) AS n FROM gc),
     terms AS (
         -- union over the corpus vocab: tokens absent from a source
-        -- contribute |0 - c/N| = c*n_s to the integer numerator
+        -- contribute |0 - c/N| = c*n_s to the integer numerator.
+        -- factors widen to DECIMAL BEFORE the multiply: c_s*N overflows
+        -- int64 once the corpus holds ~3e9 tokens (review r8)
         SELECT ns.source,
-               CAST(ABS(COALESCE(sc.c_s, 0) * ng.n - gc.c * ns.n_s)
-                    AS DECIMAL(38,0)) AS num,
+               ABS(CAST(COALESCE(sc.c_s, 0) AS DECIMAL(19,0))
+                     * CAST(ng.n AS DECIMAL(19,0))
+                   - CAST(gc.c AS DECIMAL(19,0))
+                     * CAST(ns.n_s AS DECIMAL(19,0))) AS num,
                ns.n_s, ng.n
         FROM gc CROSS JOIN ns CROSS JOIN ng
         LEFT JOIN sc ON sc.tok = gc.tok AND sc.source = ns.source
@@ -493,12 +497,15 @@ def t29_source_divergence(spark, sf_dir):
         .join(sc, ["tok", "source"], "left")
         .select(
             "source",
+            # widen BEFORE multiplying: long*long wraps/throws past ~3e9
+            # total tokens; DECIMAL(19,0) x DECIMAL(19,0) products fit
+            # the capped 38-digit result exactly
             F.abs(
-                F.coalesce(F.col("c_s"), F.lit(0)) * F.col("n")
-                - F.col("c") * F.col("n_s")
-            )
-            .cast("decimal(38,0)")
-            .alias("num"),
+                F.coalesce(F.col("c_s"), F.lit(0)).cast("decimal(19,0)")
+                * F.col("n").cast("decimal(19,0)")
+                - F.col("c").cast("decimal(19,0)")
+                * F.col("n_s").cast("decimal(19,0)")
+            ).alias("num"),
             "n_s",
             "n",
         )

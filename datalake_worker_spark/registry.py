@@ -53,13 +53,16 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: therefore a rotation schedule: the ~50-query prefix is this round's
 #: verification budget, rewritten each round to burn the largest
 #: verification debt first (VERDICT r7 "Next round" item 1).
-#: Round-8 ordering: every query sorted by the round of its newest green
-#: driver CORRECTNESS row (rows-only runs count), oldest first; within a
-#: cohort, the driver's own recorded run order.  The ~50-query budget
-#: covers the 18 r3-dated rows plus the 32 oldest r4 rows; the remaining
-#: 18 r4 rows immediately follow and lead round 9's budget.  Goal state
-#: (VERDICT r7 item 1): after the r8 driver run no registry query's
-#: newest CORRECTNESS row predates r5.
+#: Round-8 ordering: the 11 never-verified wave-8 queries first (the
+#: io17 precedent: zero-row debt outranks stale-row debt), then every
+#: existing query sorted by the round of its newest green driver
+#: CORRECTNESS row (rows-only runs count), oldest first; within a
+#: cohort, the driver's own recorded run order.  Budget arithmetic
+#: (review r8): the ~50-query budget therefore covers 11 new + the 18
+#: r3-dated rows + the ~21 OLDEST r4 rows, leaving ~29 r4 rows (not
+#: 18) to lead round 9's budget — the VERDICT-r7 goal of "nothing
+#: predates r5" completes in round 9, traded for zero-row coverage of
+#: the new operators this round.
 _PRIORITY_NAMES = [
     # never verified by the driver (new in round 8) — first, per the
     # io17 precedent: zero-row debt outranks stale-row debt

@@ -330,3 +330,21 @@ def test_python_stream_source_replays_all_row_groups(spark, tmp_path):
         "complete",
     ).collect()
     assert (out[0].n, out[0].mx) == (100, 99)
+
+
+def test_chunk_manifest_empty_text_no_phantom_chunks(spark, tmp_path):
+    """An empty-text document contributes ZERO chunks (F.sequence(1, 0)
+    yields a descending [1, 0], not an empty array — the review-r8
+    phantom-chunk bug); counts must match the oracle's empty range."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        dict(doc_id=0, text="", lang="en", source="A", n_chars=0),
+        dict(doc_id=1, text="x" * 64, lang="en", source="A", n_chars=64),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = REGISTRY["m07_chunk_dedup_manifest"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.n_chunks, r.n_distinct_chunks) == (1, 1, 1), r

@@ -211,18 +211,32 @@ def check_d08(spark):
     # r8: 9 uneven blocks over 64 bits — a pair within Hamming <= 8
     # differs in fewer bits than there are blocks, so some block matches
     # exactly and the equi-join surfaces it.  Recall at the advertised
-    # radius is now pigeonhole-GUARANTEED 1.0 (was 0.41 under the old
-    # 4x16 banding whose guarantee stopped at <= 3).
+    # radius is pigeonhole-GUARANTEED 1.0 (was 0.41 under the old 4x16
+    # banding) — CONDITIONED on no (band, value) bucket exceeding the
+    # operator's bucket_cap=4096 skew guard (review r8): a capped hot
+    # bucket legitimately trades recall for bounded memory.  The check
+    # measures the max bucket occupancy so the gate states which regime
+    # it verified.
+    widths = [8] + [7] * 8
+    offsets = np.cumsum([0] + widths[:-1])
+    occ = 0
+    for off, wd in zip(offsets, widths):
+        band_vals = (vals >> np.uint64(off)) & np.uint64((1 << wd) - 1)
+        occ = max(occ, int(np.bincount(band_vals.astype(np.int64)).max()))
+    cap_binding = occ > 4096
     recall8 = len(set(got) & set(truth)) / len(truth) if truth else 1.0
     wrong = [p for p, h in got.items() if truth.get(p, -1) != h and h <= 8]
     return {"signal": "banded-candidate recall at the ADVERTISED Hamming<=8 "
                       "radius vs exact all-pairs (pigeonhole-guaranteed by "
-                      "the 9-block banding); reported distances exact",
+                      "the 9-block banding while no bucket exceeds the skew "
+                      "cap — occupancy recorded); reported distances exact",
             "value": round(recall8, 4), "bound": 1.0,
-            "pass": recall8 >= 1.0 and not wrong,
+            "pass": (recall8 >= 1.0 or cap_binding) and not wrong,
             "detail": {"true_pairs_le8": len(truth),
                        "reported": len(got),
-                       "distance_mismatches": len(wrong)}}
+                       "distance_mismatches": len(wrong),
+                       "max_bucket_occupancy": occ,
+                       "bucket_cap_binding": cap_binding}}
 
 
 def check_d11(spark):
@@ -468,7 +482,11 @@ def check_a16(spark):
     docs = _docs(spark)
     exact = Counter()
     for text in docs.values():
-        exact.update(text.split())
+        # mirror whitespace_tokens EXACTLY: Java split(trim(text), '\s+')
+        # where \s = [ \t\n\x0b\f\r] (ASCII only) and an empty string
+        # yields one '' token — Python's bare str.split() differs on
+        # both (review r8)
+        exact.update(re.split(r"[ \t\n\x0b\f\r]+", text.strip()) or [""])
     out = sorted(
         _run(spark, "a16_cms_heavy_hitters").collect(), key=lambda r: r.rn
     )
