@@ -431,7 +431,11 @@ def m06_perceptual_near_dup(spark, sf_dir):
                sha256(substring(text, (i.i - 1) * 64 + 1, 64)) AS chunk_sha
         FROM documents
         CROSS JOIN LATERAL (
-            SELECT unnest(range(1, CAST(ceil(strlen(text) / 64.0) AS BIGINT) + 1)) AS i
+            -- length() (characters), NOT strlen() (bytes): the engine side
+            -- chunks by F.length/substr which are character-based, and DuckDB's
+            -- substring below is also character-based — a byte-based count
+            -- would emit phantom empty chunks on any non-ASCII text (ADVICE r8)
+            SELECT unnest(range(1, CAST(ceil(length(text) / 64.0) AS BIGINT) + 1)) AS i
         ) i
     )
     SELECT source,

@@ -242,8 +242,14 @@ def t28_token_entropy(spark, sf_dir):
 )
 def smp14_dup_aware_weights(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    grp = W.partitionBy(F.sha2(F.col("text"), 256))
-    m = d.select(
+    # Pre-project the hash to a COLUMN before the window: partitioning by
+    # the sha2(text) expression directly would hash the digest for the
+    # exchange but still carry the full text column as row payload through
+    # the shuffle (ADVICE r8) — projecting first prunes text at the scan,
+    # so only (source, 64-char grp) moves.
+    hashed = d.select("source", F.sha2(F.col("text"), 256).alias("grp"))
+    grp = W.partitionBy("grp")
+    m = hashed.select(
         "source",
         F.round(F.lit(1.0) / F.count("*").over(grp), 9)
         .cast("decimal(18,9)")

@@ -52,72 +52,18 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: budget truncates the run at ~50 queries per round.  The list below is
 #: therefore a rotation schedule: the ~50-query prefix is this round's
 #: verification budget, rewritten each round to burn the largest
-#: verification debt first (VERDICT r7 "Next round" item 1).
-#: Round-8 ordering: the 11 never-verified wave-8 queries first (the
-#: io17 precedent: zero-row debt outranks stale-row debt), then every
-#: existing query sorted by the round of its newest green driver
-#: CORRECTNESS row (rows-only runs count), oldest first; within a
-#: cohort, the driver's own recorded run order.  Budget arithmetic
-#: (review r8): the ~50-query budget therefore covers 11 new + the 18
-#: r3-dated rows + the ~21 OLDEST r4 rows, leaving ~29 r4 rows (not
-#: 18) to lead round 9's budget — the VERDICT-r7 goal of "nothing
-#: predates r5" completes in round 9, traded for zero-row coverage of
-#: the new operators this round.
+#: verification debt first.
+#: Round-9 ordering (VERDICT r8 item 1): the 29 queries whose newest
+#: driver row is still r4 lead (the verdict lists them by name and
+#: live-verified 10 of them green), then any new r9 queries, then the
+#: r5 cohort in the driver's recorded run order — 29 + new + ~19 of the
+#: 50 r5 rows fit the budget, so after the r9 driver run no query's
+#: newest CORRECTNESS row predates r5 (29 < 50: the arithmetic works
+#: this round).  The full list is regenerated from the cumulative
+#: CORRECTNESS_r*.json files, stalest cohort first; within a cohort the
+#: prior recorded run order is preserved.
 _PRIORITY_NAMES = [
-    # never verified by the driver (new in round 8) — first, per the
-    # io17 precedent: zero-row debt outranks stale-row debt
-    "w19_max_drawdown",
-    "t27_ngram_novelty",
-    "t28_token_entropy",
-    "smp14_dup_aware_weights",
-    "a16_cms_heavy_hitters",
-    "d17_fuzzy_decontamination",
-    "t29_source_divergence",
-    "st18_streaming_drift_psi",
-    "m07_chunk_dedup_manifest",
-    "io22_python_datasource_scan",
-    "st19_python_stream_replay",
-    # newest driver row: round 3 (18 queries)
-    "st05_stream_static_join",
-    "st06_stateful_user_totals",
-    "st07_stream_stream_join",
-    "st08_continuous_rollup",
-    "d10_duplicate_clusters",
-    "t14_segment_dedup",
-    "d09_benchmark_decontamination",
-    "smp06_hash_split",
-    "t15_pii_redaction",
-    "a11_hll_distinct_rollup",
-    "w01_topk_per_group",
-    "w02_rank_dense_ntile",
-    "w03_running_lag_lead",
-    "w04_range_frame",
-    "w07_percent_rank_cume",
-    "w05_multikey_sort_limit",
-    "w06_sessionization",
-    "io01_parquet_roundtrip_partitioned",
-    # newest driver row: round 4 (50 queries)
-    "st01_tumbling_window",
-    "st02_sliding_window",
-    "t18_document_chunking",
-    "t19_ngram_overlap_score",
-    "d14_bloom_decontamination",
-    "w10_rolling_zscore",
-    "m05_image_patchify",
-    "v07_mips_topk",
-    "smp09_length_bucket_stats",
-    "d15_duplicate_spans",
-    "smp10_dsir_importance",
-    "w11_scd2_intervals",
-    "st11_streaming_quality_gate",
-    "lk07_checkpointed_time_travel",
-    "io12_binaryfile_ingest",
-    "io13_zorder_layout",
-    "io14_table_stats",
-    "smp11_epoch_shuffle",
-    "x06_asof_join_nearest",
-    "t20_html_strip",
-    "j11_not_in_null_aware",
+    # newest driver row: round 4 (29 queries)
     "v08_pq_quantization_audit",
     "w12_running_distinct_users",
     "smp12_leakage_free_split",
@@ -147,6 +93,9 @@ _PRIORITY_NAMES = [
     "io07_orc_roundtrip",
     "w08_time_grid_fill",
     "d11_semantic_dedup",
+    # new in round 9 (never driver-verified) — inserted here per VERDICT r8
+    # item 1: the 29-row r4 cohort leads, new queries immediately after,
+    # then the oldest r5 cohort fills the remaining ~20-row budget.
     # newest driver row: round 5 (50 queries)
     "x04_asof_join_tolerance",
     "s01_string_funcs",
@@ -300,6 +249,57 @@ _PRIORITY_NAMES = [
     "p03_grouped_agg_pandas",
     "st03_session_window",
     "st04_stream_dedup",
+    # newest driver row: round 8 (50 queries)
+    "w19_max_drawdown",
+    "t27_ngram_novelty",
+    "t28_token_entropy",
+    "smp14_dup_aware_weights",
+    "a16_cms_heavy_hitters",
+    "d17_fuzzy_decontamination",
+    "t29_source_divergence",
+    "st18_streaming_drift_psi",
+    "m07_chunk_dedup_manifest",
+    "io22_python_datasource_scan",
+    "st19_python_stream_replay",
+    "st05_stream_static_join",
+    "st06_stateful_user_totals",
+    "st07_stream_stream_join",
+    "st08_continuous_rollup",
+    "d10_duplicate_clusters",
+    "t14_segment_dedup",
+    "d09_benchmark_decontamination",
+    "smp06_hash_split",
+    "t15_pii_redaction",
+    "a11_hll_distinct_rollup",
+    "w01_topk_per_group",
+    "w02_rank_dense_ntile",
+    "w03_running_lag_lead",
+    "w04_range_frame",
+    "w07_percent_rank_cume",
+    "w05_multikey_sort_limit",
+    "w06_sessionization",
+    "io01_parquet_roundtrip_partitioned",
+    "st01_tumbling_window",
+    "st02_sliding_window",
+    "t18_document_chunking",
+    "t19_ngram_overlap_score",
+    "d14_bloom_decontamination",
+    "w10_rolling_zscore",
+    "m05_image_patchify",
+    "v07_mips_topk",
+    "smp09_length_bucket_stats",
+    "d15_duplicate_spans",
+    "smp10_dsir_importance",
+    "w11_scd2_intervals",
+    "st11_streaming_quality_gate",
+    "lk07_checkpointed_time_travel",
+    "io12_binaryfile_ingest",
+    "io13_zorder_layout",
+    "io14_table_stats",
+    "smp11_epoch_shuffle",
+    "x06_asof_join_nearest",
+    "t20_html_strip",
+    "j11_not_in_null_aware",
 ]
 
 _MODULE_ORDER = [

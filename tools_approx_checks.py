@@ -219,20 +219,42 @@ def check_d08(spark):
     # it verified.
     widths = [8] + [7] * 8
     offsets = np.cumsum([0] + widths[:-1])
-    occ = 0
-    for off, wd in zip(offsets, widths):
-        band_vals = (vals >> np.uint64(off)) & np.uint64((1 << wd) - 1)
-        occ = max(occ, int(np.bincount(band_vals.astype(np.int64)).max()))
-    cap_binding = occ > 4096
+    cap = 4096
+    band_vals = [
+        ((vals >> np.uint64(off)) & np.uint64((1 << wd) - 1)).astype(np.int64)
+        for off, wd in zip(offsets, widths)
+    ]
+    band_occ = [np.bincount(bv) for bv in band_vals]
+    occ = max(int(bo.max()) for bo in band_occ)
+    cap_binding = occ > cap
+    pos = {did: k for k, did in enumerate(ids)}
+    # A pair within Hamming<=8 matches exactly in >=1 of the 9 blocks
+    # (pigeonhole); the operator surfaces it UNLESS every matching block's
+    # (band, value) bucket is over the bucket_cap=4096 skew guard.  So the
+    # unconditional guarantee is over pairs with at least one UNDER-cap
+    # matching bucket — assert recall 1.0 on exactly that subset instead of
+    # skipping the assertion whenever any bucket anywhere is hot (ADVICE r8:
+    # the old `or cap_binding` escape made the gate vacuous in the skewed
+    # regime the cap exists for).
+    guaranteed = {
+        p for p in truth
+        if any(bv[pos[p[0]]] == bv[pos[p[1]]] and int(bo[bv[pos[p[0]]]]) <= cap
+               for bv, bo in zip(band_vals, band_occ))
+    }
     recall8 = len(set(got) & set(truth)) / len(truth) if truth else 1.0
+    recall_g = (len(set(got) & guaranteed) / len(guaranteed)
+                if guaranteed else 1.0)
     wrong = [p for p, h in got.items() if truth.get(p, -1) != h and h <= 8]
     return {"signal": "banded-candidate recall at the ADVERTISED Hamming<=8 "
-                      "radius vs exact all-pairs (pigeonhole-guaranteed by "
-                      "the 9-block banding while no bucket exceeds the skew "
-                      "cap — occupancy recorded); reported distances exact",
-            "value": round(recall8, 4), "bound": 1.0,
-            "pass": (recall8 >= 1.0 or cap_binding) and not wrong,
+                      "radius vs exact all-pairs; gate asserts 1.0 on the "
+                      "pigeonhole-guaranteed subset (>=1 under-cap matching "
+                      "block) even when the skew cap binds; reported "
+                      "distances exact",
+            "value": round(recall_g, 4), "bound": 1.0,
+            "pass": recall_g >= 1.0 and not wrong,
             "detail": {"true_pairs_le8": len(truth),
+                       "guaranteed_pairs": len(guaranteed),
+                       "recall_all_pairs": round(recall8, 4),
                        "reported": len(got),
                        "distance_mismatches": len(wrong),
                        "max_bucket_occupancy": occ,
