@@ -14,6 +14,7 @@ by construction.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -457,11 +458,14 @@ def d03_ngram_jaccard_pairs(spark, sf_dir):
                 F.transform(shingles_from_words(F.col("w"), 2), lambda g: F.xxhash64(g))
             ).alias("grams"),
         )
-        # both join sides derive from t: checkpoint so shingling runs
+        # both join sides derive from t: persist so shingling runs
         # once, not once per side (30% off the whole query; the
         # materialized frame is one row per doc — corpus-linear, not
-        # pair-quadratic)
-        .localCheckpoint(eager=True)
+        # pair-quadratic). Recomputable DISK_ONLY persist, NOT
+        # localCheckpoint: a checkpoint severs lineage, so on a real
+        # cluster a lost executor mid-join would kill the query with no
+        # recompute path (VERDICT r8).
+        .persist(StorageLevel.DISK_ONLY)
     )
     # Length-bucket blocking: bucket = n_chars div 5; |Δn_chars| ≤ 2 means
     # the partner's bucket is within ±1, so probing 3 buckets per left row
@@ -1010,7 +1014,9 @@ def d16_char_jaccard_pairs(spark, sf_dir):
                 )
             ).alias("grams"),
         )
-        .localCheckpoint(eager=True)
+        # recomputable persist for the two-sided reuse — same
+        # fault-tolerance rationale as d03 above (VERDICT r8)
+        .persist(StorageLevel.DISK_ONLY)
     )
     bucket = (F.col("n_chars") / 5).cast("long")
     a = t.withColumn(

@@ -13,6 +13,7 @@ tie-breaks on every ranking.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -287,7 +288,13 @@ def a16_cms_heavy_hitters(spark, sf_dir, depth: int = 4, width: int = 1024):
     tok = (
         spread_scan(d, "doc_id")
         .select(F.explode(whitespace_tokens("text")).alias("tok"))
-        .localCheckpoint(eager=True)  # tokenize once: sketch build + probe
+        # tokenize once for sketch build + probe. Recomputable DISK_ONLY
+        # persist, NOT localCheckpoint: the exploded token table is larger
+        # than the input corpus, and a checkpoint severs lineage — on a
+        # real cluster one lost executor would kill the whole query with
+        # no recompute path (VERDICT r8). DISK_ONLY keeps the reuse
+        # without competing with shuffle memory.
+        .persist(StorageLevel.DISK_ONLY)
     )
     # distributed build: ONE job for all hash rows — each token explodes
     # into its depth (row, cell) coordinates and a single groupBy counts
@@ -418,7 +425,8 @@ def d17_fuzzy_decontamination(spark, sf_dir, threshold: float = 0.5):
     is_bench = F.col("doc_id") % 25 == 0
     bg = g.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), "gram"
-    ).localCheckpoint(eager=True)  # bench grams: bounded, reused twice
+    ).persist(StorageLevel.DISK_ONLY)  # bench grams: bounded, reused twice;
+    # recomputable persist (not lineage-severing checkpoint) per VERDICT r8
     bsz = bg.groupBy("bench_id").agg(F.count("*").alias("n_bg"))
     m = (
         g.filter(~is_bench)
@@ -491,7 +499,10 @@ def t29_source_divergence(spark, sf_dir):
     tok = (
         spread_scan(d, "doc_id")
         .select("source", F.explode(whitespace_tokens("text")).alias("tok"))
-        .localCheckpoint(eager=True)  # tokenize once: three aggregations
+        # tokenize once, read by three aggregations — same fault-tolerance
+        # rationale as a16 above: recomputable DISK_ONLY persist instead of
+        # a lineage-severing localCheckpoint of a bigger-than-input frame.
+        .persist(StorageLevel.DISK_ONLY)
     )
     sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c_s"))
     gc = tok.groupBy("tok").agg(F.count("*").alias("c"))
