@@ -99,10 +99,21 @@ def w19_max_drawdown(spark, sf_dir):
         "curation signal that separates fresh content from recombined "
         "boilerplate (low novelty = mostly previously-seen phrasing). "
         "Per-doc distinct grams explode once; ONE groupBy(gram) "
-        "computes the global first owner and the join back is on the "
-        "same key, so the gram shuffle partitioning is reused. At "
-        "100 TB the gram key space grows with the corpus (uniform by "
-        "construction) — no hot key, no driver state."
+        "computes the global first owner. Gram MULTIPLICITIES are "
+        "Zipfian in natural text (xxhash64 uniformizes values, not "
+        "frequencies): a boilerplate gram shared by 30% of docs is a "
+        "genuinely hot key, and the r8 join-back on gram put that hot "
+        "key through a join AQE structurally cannot skew-split (the "
+        "min() aggregate sits between the build-side shuffle and the "
+        "sort, so partition duplication would corrupt it — probed "
+        "live, r9). Restructured join-free: novel_grams(doc) is just "
+        "COUNT(*) of the first-owner table grouped by its min-doc "
+        "column, and n_grams(doc) comes straight from the exploded "
+        "grams — so the ONLY gram-keyed operation is the groupBy, "
+        "whose map-side partial min absorbs any hot gram to one row "
+        "per task, and both remaining joins/aggs key on doc_id "
+        "(unique, skew-free). Planted 30%%-boilerplate test pins "
+        "results + plan shape. No driver state."
     ),
 )
 def t27_ngram_novelty(spark, sf_dir):
@@ -126,21 +137,29 @@ def t27_ngram_novelty(spark, sf_dir):
             ).alias("gram"),
         )
     )
-    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    return (
-        g.join(first, "gram")
+    # n_grams: straight per-doc count — g is already distinct-per-doc, and
+    # spread_scan's doc_id partitioning satisfies this groupBy's
+    # distribution, so no second gram-keyed pass exists anywhere below
+    n = g.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    # novel_grams: a gram is novel to exactly the doc that owns its global
+    # min(doc_id) — so count the first-owner table by that column instead
+    # of joining it back on the (Zipfian-hot) gram key
+    nov = (
+        g.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(novel).cast("long").alias("novel_grams"),
-        )
+        .agg(F.count("*").cast("long").alias("novel_grams"))
+    )
+    return (
+        n.join(nov, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
-            "novel_grams",
+            F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
             F.round(
-                F.col("novel_grams").cast("double") / F.col("n_grams"), 6
+                F.coalesce("novel_grams", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
             ).alias("novelty"),
         )
     )

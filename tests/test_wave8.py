@@ -64,6 +64,53 @@ def test_ngram_novelty_planted(spark, tmp_path):
     assert out[0].n_grams == 4
 
 
+def test_ngram_novelty_zipfian_skew(spark, tmp_path):
+    """VERDICT r8 item 3: natural-text gram multiplicities are Zipfian —
+    plant one boilerplate 5-gram shared by 30% of docs (a genuinely hot
+    gram key) and pin (a) exact novelty results and (b) the join-free
+    plan shape: the ONLY gram-keyed operation is the partial-agg-absorbed
+    groupBy; every join keys on doc_id. The r8 join-back on gram was
+    probed live: AQE's OptimizeSkewedJoin structurally cannot split it
+    (the min() aggregate sits between the build-side shuffle and sort,
+    so duplicating the partition would corrupt the aggregate)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    boiler = "b0 b1 b2 b3 b4"  # exactly one hot 5-gram
+    rows = []
+    for d in range(4000):
+        hot = d % 10 < 3  # 30% of docs carry the boilerplate gram
+        text = boiler if hot else " ".join(f"u{d}_{j}" for j in range(9))
+        rows.append(
+            dict(doc_id=d, text=text, lang="en", source="s", n_chars=len(text))
+        )
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet")
+    )
+    df = REGISTRY["t27_ngram_novelty"].spark_fn(spark, str(tmp_path))
+    out = {r.doc_id: r for r in df.collect()}
+    hot_ids = [d for d in range(4000) if d % 10 < 3]
+    # the min hot doc owns the boilerplate gram; every other hot doc's
+    # single gram is previously seen
+    assert out[min(hot_ids)].novelty == 1.0 and out[min(hot_ids)].n_grams == 1
+    assert all(out[d].novelty == 0.0 for d in hot_ids[1:])
+    # non-hot docs: 5 unique grams each, all novel
+    assert all(
+        out[d].novelty == 1.0 and out[d].n_grams == 5
+        for d in range(4000)
+        if d % 10 >= 3
+    )
+    # plan gate: no join keyed on the gram column — joins key on doc_id
+    plan = simple_plan(df)
+    for m in re.finditer(r"SortMergeJoin \[([^\]]*)\]|ShuffledHashJoin \[([^\]]*)\]|BroadcastHashJoin \[([^\]]*)\]", plan):
+        keys = next(g for g in m.groups() if g is not None)
+        assert "gram" not in keys, f"gram-keyed join reappeared: {m.group(0)}"
+    # and the hot gram IS aggregated with a map-side partial min
+    assert "partial_min" in plan
+
+
 def test_token_entropy_planted(spark, tmp_path):
     """'x x x x' -> H = 0; 'a b c d' -> H = 2 bits (uniform over 4)."""
     import pyarrow as pa

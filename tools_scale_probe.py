@@ -159,6 +159,74 @@ def streaming_per_batch_probe(spark, sf_dir, n_batches=12) -> dict:
     return out
 
 
+def t27_skew_probe(spark, n_small: int = 40_000, runs: int = 3) -> dict:
+    """VERDICT r8 item 3: probe t27 on a ZIPFIAN-gram corpus at two
+    scales — 30% of docs share one boilerplate 5-gram (a genuinely hot
+    gram key; the synthetic sf tables have near-uniform gram
+    multiplicities, so the standard probe never exercises this). The r9
+    join-free rewrite keeps the hot gram inside a map-side partial min,
+    so the ratio should track the uniform-corpus t27 entry."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark import registry
+
+    boiler = "b0 b1 b2 b3 b4"  # one hot 5-gram in 30% of docs
+
+    def build(n_docs: int) -> str:
+        root = tempfile.mkdtemp(prefix=f"dlw_t27skew_{n_docs}_")
+        uniq = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.concat(
+                    F.lit("u"), F.col("doc_id"), F.lit("_"), j
+                ),
+            ),
+        )
+        (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 10 < 3, F.lit(boiler))
+                .otherwise(uniq)
+                .alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("synth").alias("source"),
+            )
+            .withColumn("n_chars", F.length("text"))
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "documents.parquet"))
+        )
+        return root
+
+    fn = registry.queries()["t27_ngram_novelty"]
+    out = {}
+    roots = []
+    for label, n in (("small", n_small), ("big", n_small * COPIES)):
+        root = build(n)
+        roots.append(root)
+        fn(spark, root).count()  # warm-up
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, root).count()
+            samples.append(time.perf_counter() - t0)
+        out[f"{label}_s"] = round(statistics.median(samples), 3)
+        print(f"t27_skew {label} ({n} docs): {out[f'{label}_s']:.3f}s",
+              flush=True)
+    out["ratio"] = (
+        round(out["big_s"] / out["small_s"], 2) if out["small_s"] else None
+    )
+    out["hot_gram_share"] = 0.3
+    for root in roots:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def time_queries(spark, qs, sf_dir, names, runs=3) -> dict[str, float]:
     out = {}
     for n in names:
@@ -188,11 +256,13 @@ def main() -> None:
     small = time_queries(spark, qs, SF_SRC, PROBE)
     big = time_queries(spark, qs, SF_BIG, PROBE)
     streaming = streaming_per_batch_probe(spark, SF_BIG)
+    t27_skew = t27_skew_probe(spark)
     report = {
         "copies": COPIES,
         "small_dir": SF_SRC,
         "big_dir": SF_BIG,
         "streaming_per_batch": streaming,
+        "t27_skew_probe": t27_skew,
         "queries": {
             n: {
                 "small_s": small[n],
