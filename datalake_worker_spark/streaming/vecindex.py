@@ -193,6 +193,10 @@ def st14_streaming_vector_index(spark, sf_dir):
     half = e.filter(F.col("vec_id") % 2 == 0)
     rest = e.filter(F.col("vec_id") % 2 == 1)
     probes = e.filter(F.col("vec_id") < 10)
+    # r9 margin fix (VERDICT r8 item 5): nprobe 5->6 + Lloyd iters 1->2
+    # (the v04 recipe) lifted probe recall 0.70 -> 0.78 vs the 0.60
+    # bound; cell-directory pruning still skips 2 of 8 cells per query.
     return run_streaming_vector_index(
-        spark, [half, rest], probes, k=5, n_clusters=8, nprobe=5, dim=64
+        spark, [half, rest], probes, k=5, n_clusters=8, nprobe=6, dim=64,
+        iters=2,
     )

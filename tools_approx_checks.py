@@ -422,8 +422,15 @@ def check_v04(spark):
 
 def check_v09(spark):
     r = _ann_recall(spark, "v09_ann_ivfpq_topk")
+    # per-round trend (VERDICT r8 item 5): r8 0.71 @ nprobe=5/refine=96/
+    # iters=1 vs bound 0.60 (thin 0.11 margin); r9 widened the refine
+    # stage to 256 + nprobe 6 + iters 2 (the binding constraint was
+    # ADC's lossy ranking, not cell recall) — measured 0.91 at lower
+    # runtime, bound raised to 0.75.
     return {"signal": "recall@5 vs v01 exact top-k (ADC + exact rerank)",
-            "value": round(r, 4), "bound": 0.6, "pass": r >= 0.6}
+            "value": round(r, 4), "bound": 0.75, "pass": r >= 0.75,
+            "detail": {"trend": {"r8": 0.71,
+                                 "r9_config": "nprobe=6 refine=256 iters=2"}}}
 
 
 def check_v08(spark):
@@ -493,9 +500,14 @@ def check_st14(spark):
         top = set(ids[np.argsort(-sims)[: len(nb)]].tolist())
         recs.append(len(nb & top) / len(top))
     recall = float(np.mean(recs))
+    # per-round trend (VERDICT r8 item 5): r8 0.70 @ nprobe=5/iters=1 vs
+    # bound 0.60 (thin 0.10 margin); r9 applied the v04 recipe (nprobe 6,
+    # Lloyd iters 2) — measured 0.78, margin 0.18.
     return {"signal": "probe recall@5 vs exact brute-force cosine over the "
                       "fully-streamed corpus",
-            "value": round(recall, 4), "bound": 0.6, "pass": recall >= 0.6}
+            "value": round(recall, 4), "bound": 0.6, "pass": recall >= 0.6,
+            "detail": {"trend": {"r8": 0.70,
+                                 "r9_config": "nprobe=6 iters=2"}}}
 
 
 def check_a16(spark):
