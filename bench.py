@@ -167,6 +167,11 @@ WAVE8 = [
     "st19_python_stream_replay",
 ]
 
+WAVE9 = [
+    "a17_ddsketch_quantiles",
+    "st20_spacesaving_topk",
+]
+
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"
 # (q07 0.43->1.13 s) was root-caused in round 7 to ambient run-to-run
 # variance — four same-code runs within round 6 recorded extended totals
@@ -221,6 +226,7 @@ def main() -> None:
     wave6 = _time(WAVE6)
     wave7 = _time(WAVE7)
     wave8 = _time(WAVE8)
+    wave9 = _time(WAVE9)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -234,6 +240,7 @@ def main() -> None:
     wave6_total = round(sum(wave6.values()), 4)
     wave7_total = round(sum(wave7.values()), 4)
     wave8_total = round(sum(wave8.values()), 4)
+    wave9_total = round(sum(wave9.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -253,6 +260,8 @@ def main() -> None:
         "wave7_value": wave7_total,
         "wave8_queries": wave8,  # round-8 suite (curation-depth wave)
         "wave8_value": wave8_total,
+        "wave9_queries": wave9,  # round-9 suite (sketch/quantile wave)
+        "wave9_value": wave9_total,
         "sf": sf,
     }
     if duck:
@@ -288,6 +297,8 @@ def main() -> None:
                 "wave7_queries": len(wave7),
                 "wave8_value": wave8_total,
                 "wave8_queries": len(wave8),
+                "wave9_value": wave9_total,
+                "wave9_queries": len(wave9),
             }
         )
     )

@@ -1,0 +1,152 @@
+"""Round-9 operators: the two remaining first-class gaps in the
+sketch/quantile family (VERDICT r8 item 7).
+
+- a17 DDSketch quantiles — the MERGEABLE quantile sketch, the
+  percentile analog of a11 (HLL distinct) and a16 (CMS counts).
+  DDSketch (Masson, Rim & Lee, VLDB'19) log-buckets positive values so
+  every bucket spans a fixed RELATIVE width: merge = summing bucket
+  counters (commutative/associative — Spark's partial aggregation IS
+  the merge), and any quantile estimate is within a relative error
+  alpha of the true value. Unlike KLL/t-digest the sketch is fully
+  deterministic (no sampling, no centroid drift), so the estimate is
+  reproducible cross-engine and the query is ORACLE-BACKED hash-green,
+  while the APPROX check additionally pins the advertised relative
+  error against exact quantiles.
+
+Determinism recipe: the only libm calls are LN (bucket index) and EXP
+(bucket -> representative value); both route through the t10 recipe —
+round to 6 dp before the integer ceil / final output — and are verified
+hash-identical at sf0.001/0.01/0.1.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+#: DDSketch relative-accuracy parameter: every estimate is within
+#: alpha of the true quantile VALUE (not rank). gamma is the bucket
+#: growth ratio; buckets for values in [a, b] number ln(b/a)/ln(gamma)
+#: — ~233 per decade at alpha=0.02, so per-group sketch state is
+#: bounded by the VALUE RANGE, never by row count.
+DD_ALPHA = 0.02
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+DD_LNG = math.log(DD_GAMMA)
+
+_QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def ddsketch_buckets(df, group_col: str, value_col: str):
+    """(group, bucket) log-bucket assignment — the sketch INSERT.
+
+    bucket i covers (gamma^(i-1), gamma^i]; ceil(ln(v)/ln(gamma)) is the
+    textbook index. The division is rounded to 6 dp before the ceil so
+    Java and libm LN (1-ulp apart on some inputs) can never land on
+    opposite sides of an integer boundary (the t10/t25 recipe).
+    """
+    return df.filter(F.col(value_col) > 0).select(
+        F.col(group_col).alias("g"),
+        F.ceil(F.round(F.log(F.col(value_col)) / F.lit(DD_LNG), 6))
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
+def ddsketch_quantiles(buckets):
+    """Quantile estimates from (g, bucket) rows — the sketch QUERY.
+
+    ONE groupBy builds the per-(group, bucket) counters (map-side
+    partial sums are the sketch merge); the cumulative window runs over
+    the COUNTER rows, whose count per group is bounded by the value
+    range (~hundreds), not the data — so the per-group window partition
+    is model-state-sized at any corpus scale. The value at quantile q
+    is the representative of the first bucket whose cumulative count
+    reaches rank floor(q*(n-1))+1; the representative 2*gamma^i/(gamma+1)
+    is the relative midpoint of the bucket, giving the +-alpha bound.
+    """
+    c = buckets.groupBy("g", "bucket").agg(F.count("*").alias("c"))
+    wcum = W.partitionBy("g").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wtot = W.partitionBy("g")
+    cum = c.select(
+        "g",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+
+    def q_bucket(q: float):
+        target = F.floor(F.lit(q) * (F.col("n") - 1).cast("double")) + 1
+        return F.min(F.when(F.col("cum") >= target, F.col("bucket")))
+
+    def estimate(bucket_agg):
+        return F.round(
+            F.lit(2.0)
+            * F.exp(bucket_agg.cast("double") * F.lit(DD_LNG))
+            / F.lit(DD_GAMMA + 1.0),
+            6,
+        )
+
+    return cum.groupBy("g").agg(
+        F.max("n").cast("long").alias("n_values"),
+        *[estimate(q_bucket(q)).alias(name) for name, q in _QS],
+    )
+
+
+_DD_SQL_EST = (
+    "ROUND(2.0 * EXP(MIN(CASE WHEN cum >= FLOOR({q} * (n - 1)) + 1 "
+    "THEN bucket END) * {lng}) / {g1}, 6) AS {name}"
+)
+
+_A17_SQL = f"""
+    WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(CEIL(ROUND(LN(l_extendedprice) / {DD_LNG!r}, 6))
+                    AS BIGINT) AS bucket
+        FROM lineitem WHERE l_extendedprice > 0
+    ),
+    c AS (SELECT g, bucket, COUNT(*) AS c FROM v GROUP BY g, bucket),
+    cum AS (
+        SELECT g, bucket,
+               SUM(c) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM c
+    )
+    SELECT g, CAST(MAX(n) AS BIGINT) AS n_values,
+           {", ".join(_DD_SQL_EST.format(q=q, lng=repr(DD_LNG), g1=repr(DD_GAMMA + 1.0), name=name) for name, q in _QS)}
+    FROM cum GROUP BY g
+"""
+
+
+@register(
+    "a17_ddsketch_quantiles",
+    _A17_SQL,
+    category="aggregation",
+    doc=(
+        "DDSketch mergeable quantile sketch (Masson et al., VLDB'19) — "
+        "the percentile member of the sketch family (a11 HLL, a16 CMS, "
+        "d14 Bloom): log-spaced buckets with fixed RELATIVE width, so "
+        "the sketch is a (group, bucket)->count map whose merge is "
+        "counter addition — Spark's map-side partial aggregation IS "
+        "the distributed merge, and two sub-corpus sketches merged "
+        "equal the full-corpus sketch exactly (pinned by the pytest "
+        "merge-identity test). p50/p90/p99 of l_extendedprice per "
+        "return flag, each estimate within alpha=0.02 of the exact "
+        "quantile value (pinned by the APPROX differential). Fully "
+        "deterministic (no sampling) => hash-green vs the DuckDB "
+        "oracle running the identical bucket arithmetic. State is "
+        "bounded by the VALUE RANGE (~hundreds of buckets/group): at "
+        "100 TB the wide stage shuffles counter rows, never data rows."
+    ),
+)
+def a17_ddsketch_quantiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return ddsketch_quantiles(
+        ddsketch_buckets(li, "l_returnflag", "l_extendedprice")
+    )

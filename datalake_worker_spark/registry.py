@@ -95,7 +95,9 @@ _PRIORITY_NAMES = [
     "d11_semantic_dedup",
     # new in round 9 (never driver-verified) — inserted here per VERDICT r8
     # item 1: the 29-row r4 cohort leads, new queries immediately after,
-    # then the oldest r5 cohort fills the remaining ~20-row budget.
+    # then the oldest r5 cohort fills the remaining ~19-row budget.
+    "a17_ddsketch_quantiles",
+    "st20_spacesaving_topk",
     # newest driver row: round 5 (50 queries)
     "x04_asof_join_tolerance",
     "s01_string_funcs",
@@ -327,6 +329,8 @@ _MODULE_ORDER = [
     "operators.setops",
     "operators.tpch_extra",
     "operators.wave8",
+    "operators.wave9",
+    "streaming.spacesaving",
 ]
 
 
@@ -386,6 +390,8 @@ def _load_all():
     from .streaming import incdedup, ops, rollup, stateful, vecindex  # noqa: F401
     from .operators import wave7  # noqa: F401  (round-7 additions)
     from .operators import wave8  # noqa: F401  (round-8 additions)
+    from .operators import wave9  # noqa: F401  (round-9 additions)
+    from .streaming import spacesaving  # noqa: F401  (round-9 additions)
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

@@ -1,0 +1,130 @@
+"""Round-9 operator tests: a17 DDSketch quantiles (merge identity,
+planted accuracy, plan gate) and st20 SpaceSaving heavy hitters (merge
+rule units, planted streaming heavy hitter, invariants under a binding
+counter cap)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.operators.wave9 import (
+    DD_ALPHA,
+    ddsketch_buckets,
+    ddsketch_quantiles,
+)
+from datalake_worker_spark.plans.inspect import simple_plan
+from datalake_worker_spark.registry import REGISTRY, _load_all
+from datalake_worker_spark.streaming.spacesaving import (
+    merge_summaries,
+    run_spacesaving_topk,
+)
+
+_load_all()
+
+
+def _planted_values(spark):
+    # 1..2000 uniform, exact quantiles known: p50=1000(.5), p90=1800(.1)
+    return spark.range(1, 2001).select(
+        F.lit("g").alias("grp"), F.col("id").cast("double").alias("v")
+    )
+
+
+def test_ddsketch_planted_accuracy(spark):
+    d = _planted_values(spark)
+    out = ddsketch_quantiles(ddsketch_buckets(d, "grp", "v")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_values == 2000
+    xs = list(range(1, 2001))
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        exact = xs[math.floor(q * (len(xs) - 1))]
+        rel = abs(getattr(r, name) - exact) / exact
+        assert rel <= DD_ALPHA, (name, getattr(r, name), exact, rel)
+
+
+def test_ddsketch_merge_identity(spark):
+    """The sketch is a counter map: computing it over any partitioning
+    of the data yields identical counters, hence identical estimates —
+    counter addition IS the merge (mergeable-summary contract)."""
+    d = _planted_values(spark)
+    whole = ddsketch_quantiles(ddsketch_buckets(d, "grp", "v")).collect()[0]
+    halves = d.filter(F.col("v") <= 1000).unionByName(
+        d.filter(F.col("v") > 1000).repartition(17)
+    )
+    merged = ddsketch_quantiles(
+        ddsketch_buckets(halves, "grp", "v")
+    ).collect()[0]
+    assert whole == merged
+
+
+def test_ddsketch_plan_bounded(spark, sf_dir):
+    """Plan gate: the counter build is ONE partial-aggregated groupBy
+    (map-side merge), and the quantile pass runs over counter rows —
+    the window and final groupBy share the hashpartitioning(g) exchange,
+    so the whole query has exactly two exchanges and no data-scale
+    single-partition stage."""
+    df = REGISTRY["a17_ddsketch_quantiles"].spark_fn(spark, sf_dir)
+    df.collect()
+    # AQE plans print Final + Initial sections; gate the FINAL one
+    plan = simple_plan(df).split("== Initial Plan ==")[0]
+    assert "partial_count" in plan  # map-side counter merge
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # the windows must partition by g (bounded counter rows per group),
+    # never run unpartitioned
+    assert "windowspecdefinition(g#" in plan
+
+
+def test_spacesaving_merge_rule():
+    # vocab fits: merge of exact summaries stays exact, floor 0
+    top, floor = merge_summaries(({"a": 5, "b": 3}, 0), ({"a": 2}, 0), 4)
+    assert top == {"a": 7, "b": 3} and floor == 0
+    # cap binds: absent side contributes its floor; dropped max and
+    # floor-sum both bound the new floor
+    top, floor = merge_summaries(
+        ({"a": 5, "b": 3}, 1), ({"a": 2, "c": 4}, 0), 2
+    )
+    # est: a=7, b=3+0=3, c=4+1=5 -> keep {a:7, c:5}, dropped b at 3,
+    # floor = max(3, 1+0) = 3
+    assert top == {"a": 7, "c": 5} and floor == 3
+    # deterministic tie-break on token
+    top, _ = merge_summaries(({"x": 2, "y": 2}, 0), ({}, 0), 1)
+    assert top == {"x": 2}
+
+
+def test_spacesaving_planted_heavy_hitter(spark, tmp_path):
+    """One token planted in every doc across 3 batches must surface
+    with est >= true under a binding m=8 cap; invariants I1-I3 hold
+    against exact Python counts."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    exact = Counter()
+    for d in range(300):
+        text = f"heavy u{d}_a u{d}_b"  # 'heavy' in every doc + noise
+        rows.append(dict(doc_id=d, text=text))
+        exact.update(text.split())
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "docs.parquet")
+    )
+    d = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    batches = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    top, floor, root = run_spacesaving_topk(spark, batches, m=8)
+    assert "heavy" in top
+    assert top["heavy"] >= exact["heavy"] == 300
+    assert all(est >= exact[k] for k, est in top.items())  # I1
+    assert all(est - exact[k] <= floor for k, est in top.items())  # I2
+    assert all(k in top for k, c in exact.items() if c > floor)  # I3
+    assert floor > 0  # the cap actually bound (noise vocab 600 >> m)
+
+
+def test_spacesaving_registry_query(spark, sf_dir):
+    out = REGISTRY["st20_spacesaving_topk"].spark_fn(spark, sf_dir).collect()
+    assert len(out) == 20
+    assert [r.rn for r in out] == list(range(1, 21))
+    ests = [r.est for r in out]
+    assert ests == sorted(ests, reverse=True)

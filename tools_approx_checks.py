@@ -30,6 +30,7 @@ Signals (op -> what is checked):
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -544,9 +545,108 @@ def check_a16(spark):
                        "n_total_tokens": n_total}}
 
 
+def check_a17(spark):
+    """a17 is ORACLE-BACKED (the sketch estimate is deterministic); this
+    differential pins the sketch's ADVERTISED accuracy instead: every
+    p50/p90/p99 estimate within relative error alpha=0.02 of the exact
+    quantile value (DDSketch's guarantee by construction: the target
+    rank's bucket representative is the bucket's relative midpoint)."""
+    import duckdb
+
+    from datalake_worker_spark.operators.wave9 import DD_ALPHA, _QS
+
+    duck = duckdb.connect()
+    vals = duck.execute(
+        f"SELECT l_returnflag, l_extendedprice FROM "
+        f"'{SF_DIR}/lineitem.parquet' WHERE l_extendedprice > 0"
+    ).fetchall()
+    by_g: dict[str, list[float]] = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(float(v))
+    out = {r.g: r for r in _run(spark, "a17_ddsketch_quantiles").collect()}
+    worst = 0.0
+    per_q = {}
+    for g, xs in by_g.items():
+        xs.sort()
+        for name, q in _QS:
+            exact = xs[int(math.floor(q * (len(xs) - 1)))]
+            est = float(getattr(out[g], name))
+            rel = abs(est - exact) / exact
+            worst = max(worst, rel)
+            per_q[f"{g}/{name}"] = round(rel, 5)
+    return {"signal": "worst relative error of p50/p90/p99 estimates vs "
+                      "exact sorted quantiles (DDSketch advertised alpha)",
+            "value": round(worst, 5), "bound": DD_ALPHA,
+            "pass": worst <= DD_ALPHA,
+            "detail": {"per_quantile_rel_err": per_q}}
+
+
+def check_st20(spark):
+    """SpaceSaving invariants vs exact corpus token counts: I1 every
+    reported estimate >= the true count; I2 est - true <= floor; I3
+    every token whose true count exceeds the floor is reported (run
+    with the operator's own m so the full tracked set is inspected,
+    not just the top-20 the registry query returns)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark.sources import load_table
+    from datalake_worker_spark.streaming.spacesaving import (
+        run_spacesaving_topk,
+    )
+
+    docs = _docs(spark)
+    exact = Counter()
+    for text in docs.values():
+        exact.update(re.split(r"[ \t\n\x0b\f\r]+", text.strip()) or [""])
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    batches = [d.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    def invariants(m):
+        top, floor, _ = run_spacesaving_topk(spark, batches, m=m)
+        return {
+            "m": m,
+            "tracked": len(top),
+            "floor": floor,
+            "worst_over": max((est - exact[k]) for k, est in top.items()),
+            "undercounts": sum(
+                1 for k, est in top.items() if est < exact[k]
+            ),
+            "over_past_floor": sum(
+                1 for k, est in top.items() if est - exact[k] > floor
+            ),
+            "missing_heavy": sum(
+                1 for k, c in exact.items() if c > floor and k not in top
+            ),
+        }
+
+    # operator's own m (exact at toy vocab, floor 0) AND a constrained
+    # m=8 run where the counter cap BINDS (floor > 0) — otherwise the
+    # floor-dependent invariants I2/I3 are never exercised at this SF
+    # (the d08 cap-gate lesson, ADVICE r8)
+    runs = [invariants(256), invariants(8)]
+    ok = all(
+        r["undercounts"] == 0 and r["over_past_floor"] == 0
+        and r["missing_heavy"] == 0
+        for r in runs
+    )
+    cap_bound_run = runs[1]
+    return {"signal": "SpaceSaving invariants at m=256 AND at m=8 where "
+                      "the cap binds: no undercounts (I1), overestimate "
+                      "<= floor (I2), every true count > floor tracked "
+                      "(I3)",
+            "value": cap_bound_run["worst_over"],
+            "bound": cap_bound_run["floor"],
+            "pass": ok and cap_bound_run["floor"] > 0,
+            "detail": {"runs": runs}}
+
+
 CHECKS = {
     "a08_approx_aggregates": check_a08,
     "a16_cms_heavy_hitters": check_a16,
+    "a17_ddsketch_quantiles": check_a17,
+    "st20_spacesaving_topk": check_st20,
     "a11_hll_distinct_rollup": check_a11,
     "d04_minhash_near_dups": check_d04,
     "d05_simhash_fingerprints": check_d05,
