@@ -70,10 +70,21 @@ def segment_dedup(
     sharing the exploded rows would need an exchange of ALL segment text,
     and re-scanning columnar parquet is cheaper than shuffling the same
     bytes (ReuseExchange cannot dedupe the branches anyway: the partial
-    aggregate sits below the dup branch's exchange). A hot segment on the
-    probe side is plain row skew that AQE skew-join splitting handles.
-    The rebuild is a single groupBy(id) with an in-group sort of ≤ a few
-    hundred struct elements per doc."""
+    aggregate sits below the dup branch's exchange). The flag join back
+    onto the segment rows is SALTED (r9): a boilerplate segment shared
+    by 30%% of documents is a genuinely hot probe key, and AQE's skew
+    split structurally cannot fix this join — the count-distinct
+    aggregate sits between the build side's shuffle and sort, so
+    OptimizeSkewedJoin's SMJ(Sort(stage), Sort(stage)) pattern never
+    matches (measured live in the t27 r9 probe). Salting spreads each
+    hot key over 8 reducers for an 8x replication of the
+    dup-keys-only build side (each dup key has >= 2 probe rows, so the
+    replication is bounded by ~4x the probe's dup rows; when the dup
+    set is small AQE still upgrades to broadcast and the salt is
+    harmless). The rebuild is a single groupBy(id) with an in-group
+    sort of ≤ a few hundred struct elements per doc."""
+    from ..operators.skew import salted_join
+
     seg = text_segments(df, id_col, text_col, seg_words).withColumn(
         "_k", F.sha2(F.col("seg"), 256)
     )
@@ -83,7 +94,7 @@ def segment_dedup(
         .filter(F.col("_nd") > 1)
         .select("_k", F.lit(True).alias("_dup"))
     )
-    flagged = seg.join(dup, "_k", "left").select(
+    flagged = salted_join(seg, dup, "_k", salt_buckets=8, how="left").select(
         F.col(id_col),
         "pos",
         "seg",
@@ -123,9 +134,13 @@ def ngram_decontaminate(
 
     Returns (id, n_matched) for contaminated documents. Both sides
     explode to distinct grams; the benchmark side is DISTINCT-collapsed
-    before the equi-join on gram, so at scale the join input is the
-    benchmark's vocabulary (small relative to the corpus) and AQE
-    broadcasts it when it fits."""
+    before the equi-join on gram, so the join input is the benchmark's
+    vocabulary — fixed-size by construction (a benchmark suite does not
+    grow with the corpus), hence EXPLICITLY broadcast (r9; the d17
+    argument): corpus grams then never shuffle, which also removes the
+    Zipfian-gram hot-key hazard a shuffled gram join would have (a
+    boilerplate gram in 30%% of docs is a hot key AQE cannot split when
+    the build side aggregates above its shuffle — the t27 probe)."""
     from .dedup import shingles_from_words
 
     def grams(df: DataFrame) -> DataFrame:
@@ -145,7 +160,7 @@ def ngram_decontaminate(
     bench_grams = grams(benchmark).select("gram").distinct()
     return (
         grams(corpus)
-        .join(bench_grams, "gram")
+        .join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_matched"))
     )
@@ -630,8 +645,10 @@ def ngram_overlap_score(
     bench_grams = grams(benchmark).select("gram").distinct()
     cg = grams(corpus)
     totals = cg.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    # benchmark vocabulary is fixed-size by construction — explicit
+    # broadcast (r9): corpus grams never shuffle, no gram hot-key hazard
     matched = (
-        cg.join(bench_grams, "gram")
+        cg.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_matched"))
     )
@@ -944,14 +961,24 @@ def smp12_leakage_free_split(spark, sf_dir):
         F.sha2("text", 256).alias("h"),
         hash_split(d, "doc_id").alias("split_raw"),
     )
-    grp = raw.groupBy("h").agg(
-        (F.count_distinct("split_raw") > 1).alias("leaked")
+    # build side reduced to LEAKED groups only (r9): joining back the
+    # full per-hash aggregate would carry one row per distinct document
+    # (never broadcastable at corpus scale) and put every hot
+    # exact-duplicate hash through an SMJ partition AQE cannot split
+    # (aggregate above the build shuffle — the t27 probe). Leaked
+    # groups (content spanning splits) are rare by construction, so the
+    # reduced build side broadcasts and the corpus rows never shuffle.
+    leaked = (
+        raw.groupBy("h")
+        .agg(F.count_distinct("split_raw").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .select("h", F.lit(True).alias("_leaked"))
     )
-    return raw.join(grp, "h").select(
+    return raw.join(leaked, "h", "left").select(
         "doc_id",
         "split_raw",
-        F.when(F.col("leaked"), F.lit("train"))
+        F.when(F.col("_leaked"), F.lit("train"))
         .otherwise(F.col("split_raw"))
         .alias("split_final"),
-        "leaked",
+        F.coalesce("_leaked", F.lit(False)).alias("leaked"),
     )
