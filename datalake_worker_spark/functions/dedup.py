@@ -839,7 +839,13 @@ def duplicate_spans(
         .filter(F.col("_nd") > 1)
         .select("gram")
     )
-    dup_starts = starts.join(dup_grams, "gram").select(
+    # salted (r9): a boilerplate 10-gram's every occurrence is a hot
+    # probe key on a join AQE cannot skew-split (the dup-gram filter
+    # aggregates above its shuffle; the t27 probe). dup_grams is
+    # key-collapsed, so the 8x replication is duplicated-vocab-sized.
+    from ..operators.skew import salted_join
+
+    dup_starts = salted_join(starts, dup_grams, "gram").select(
         id_col, "n_tokens", "pos"
     )
     ord_w = Window.partitionBy(id_col).orderBy("pos")

@@ -531,9 +531,14 @@ def smp10_dsir_importance(spark, sf_dir):
         - F.log((F.col("c_c") + 1) / (F.col("n_c") + F.col("v"))),
         6,
     ).cast("decimal(18,6)")
+    # salted (r9): probe side is every token occurrence of the candidate
+    # corpus — Zipfian-hot keys on a join AQE cannot skew-split (the
+    # full-outer vocab build aggregates above its shuffle; t27 probe).
+    # vocab is key-collapsed, so 8x replication stays vocabulary-scale.
+    from ..operators.skew import salted_join
+
     scored = (
-        tok.filter(F.col("doc_id") % 20 != 0)
-        .join(vocab, "tok")
+        salted_join(tok.filter(F.col("doc_id") % 20 != 0), vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", lw.alias("lw"))
     )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_join
 from ..registry import register
 from ..sources import load_table, spread_scan
 from .text import explode_tokens, whitespace_tokens
@@ -64,8 +65,12 @@ def t06_tfidf_top_terms(spark, sf_dir):
     # N as a broadcast 1-row corpus total (t10's pattern) — a driver-side
     # d.count() here would add a second full scan of documents
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    # salted (r9): "the"'s df row meets ~every document's tf row — a
+    # Zipfian-hot probe key on a join AQE cannot skew-split (the df
+    # aggregate sits above the build shuffle; the t27 probe). The df
+    # table is key-collapsed, so 8x replication is vocabulary-sized.
     scored = (
-        tf.join(df, "tok")
+        salted_join(tf, df, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -117,8 +122,11 @@ def t10_unigram_logprob(spark, sf_dir):
     tok = explode_tokens(d)
     freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
     total = freq.agg(F.sum(F.col("c").cast("long")).cast("double").alias("n"))
+    # salted (r9): the probe side is every TOKEN OCCURRENCE — the top
+    # Zipf token alone is ~5% of the corpus, all hashed to one reducer
+    # in an unsalted join (unsplittable by AQE: agg above build shuffle)
     scored = (
-        tok.join(freq, "tok")
+        salted_join(tok, freq, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
@@ -432,9 +440,13 @@ def t25_bigram_logprob(spark, sf_dir):
     )
     c2 = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("n2"))
     c1 = big.groupBy("w1").agg(F.count("*").cast("double").alias("n1"))
+    # both count joins salted (r9): the probe side is every bigram
+    # OCCURRENCE — ("of","the") and every w1="the" bigram are Zipfian-
+    # hot keys on joins AQE cannot skew-split (aggs above the build
+    # shuffles); the count tables are key-collapsed so 8x replication
+    # stays vocabulary-scale
     scored = (
-        big.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        salted_join(salted_join(big, c2, ["w1", "w2"]), c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

@@ -21,23 +21,25 @@ from pyspark.sql import functions as F
 def salted_join(
     large: DataFrame,
     small: DataFrame,
-    on: str,
+    on: str | list[str],
     salt_buckets: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join `large ⋈ small` on column `on` with key salting.
+    """Equi-join `large ⋈ small` on column(s) `on` with key salting.
 
     `small` is replicated salt_buckets×: only use when small is
-    dim-sized, and only with inner/left joins (an outer small side would
-    surface each unmatched row S times).
-    Output columns = large.* + small.* minus the duplicate key.
+    dim-sized (or key-collapsed: one row per join key, as in a
+    frequency/flag table), and only with inner/left joins (an outer
+    small side would surface each unmatched row S times).
+    Output columns = large.* + small.* minus the duplicate key(s).
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     l = large.withColumn("_salt", salt.cast("int"))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
-    out = l.join(s, [on, "_salt"], how)
+    out = l.join(s, keys + ["_salt"], how)
     return out.drop("_salt")
