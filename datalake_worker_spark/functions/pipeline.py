@@ -3,9 +3,12 @@
 segment dedup, benchmark n-gram decontamination, deterministic
 train/val/test splitting, and mergeable-sketch (HLL) distinct rollups.
 
-All hot paths are JVM-side expressions; the only wide dependencies are
-keyed on segment/gram text (uniform by construction — hashed grams of
-natural text), and every aggregation is two-phase (map-side partial)."""
+All hot paths are JVM-side expressions; every aggregation is two-phase
+(map-side partial). Wide dependencies key on hashed segment/gram text —
+hashing uniformizes VALUES but not MULTIPLICITIES (boilerplate segments
+and grams are Zipfian-hot in real corpora), so the aggregates absorb
+hot keys map-side and the join-backs are salted or broadcast (r9 skew
+audit; SCALE.md)."""
 
 from __future__ import annotations
 
@@ -72,7 +75,7 @@ def segment_dedup(
     bytes (ReuseExchange cannot dedupe the branches anyway: the partial
     aggregate sits below the dup branch's exchange). The flag join back
     onto the segment rows is SALTED (r9): a boilerplate segment shared
-    by 30%% of documents is a genuinely hot probe key, and AQE's skew
+    by 30% of documents is a genuinely hot probe key, and AQE's skew
     split structurally cannot fix this join — the count-distinct
     aggregate sits between the build side's shuffle and sort, so
     OptimizeSkewedJoin's SMJ(Sort(stage), Sort(stage)) pattern never
@@ -139,7 +142,7 @@ def ngram_decontaminate(
     grow with the corpus), hence EXPLICITLY broadcast (r9; the d17
     argument): corpus grams then never shuffle, which also removes the
     Zipfian-gram hot-key hazard a shuffled gram join would have (a
-    boilerplate gram in 30%% of docs is a hot key AQE cannot split when
+    boilerplate gram in 30% of docs is a hot key AQE cannot split when
     the build side aggregates above its shuffle — the t27 probe)."""
     from .dedup import shingles_from_words
 

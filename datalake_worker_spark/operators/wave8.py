@@ -112,7 +112,7 @@ def w19_max_drawdown(spark, sf_dir):
         "grams — so the ONLY gram-keyed operation is the groupBy, "
         "whose map-side partial min absorbs any hot gram to one row "
         "per task, and both remaining joins/aggs key on doc_id "
-        "(unique, skew-free). Planted 30%%-boilerplate test pins "
+        "(unique, skew-free). Planted 30%-boilerplate test pins "
         "results + plan shape. No driver state."
     ),
 )
