@@ -170,6 +170,8 @@ WAVE8 = [
 WAVE9 = [
     "a17_ddsketch_quantiles",
     "st20_spacesaving_topk",
+    "io23_xml_roundtrip",
+    "m08_cdc_chunking",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

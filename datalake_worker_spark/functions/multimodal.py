@@ -494,3 +494,123 @@ def m07_chunk_dedup_manifest(spark, sf_dir):
             F.count("*") / F.count_distinct("chunk_sha").cast("double"), 6
         ).alias("dedup_ratio"),
     )
+
+
+@register(
+    "m08_cdc_chunking",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, source, i.pos, words[i.pos] AS word
+        FROM w CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(words) + 1)) AS pos
+        ) i
+    ),
+    c AS (
+        SELECT doc_id, source, pos, word,
+               CASE WHEN substr(sha256(word), 1, 1) IN ('0','1')
+                    THEN 1 ELSE 0 END AS cut
+        FROM t
+    ),
+    k AS (
+        SELECT doc_id, source, pos, word,
+               COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk_id
+        FROM c
+    ),
+    ch AS (
+        SELECT doc_id, source, chunk_id,
+               sha256(string_agg(word, ' ' ORDER BY pos)) AS chunk_sha,
+               COUNT(*) AS n_words
+        FROM k GROUP BY doc_id, source, chunk_id
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_sha) AS BIGINT) AS n_distinct_chunks,
+           ROUND(COUNT(*) / CAST(COUNT(DISTINCT chunk_sha) AS DOUBLE), 6)
+             AS dedup_ratio,
+           ROUND(SUM(n_words) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_chunk_words
+    FROM ch GROUP BY source
+    """,
+    category="llm-multimodal",
+    doc=(
+        "content-defined chunking (CDC) manifest + storage-dedup audit "
+        "— the insertion-robust evolution of m07's fixed-size chunks, "
+        "and the production shape of the reference's chunk store "
+        "(/root/reference/src/rocksdb_storage_engine.rs:126-132): a "
+        "chunk boundary falls AFTER any word whose sha256 starts with "
+        "'0' or '1' (P=1/8, ~12-word average chunks), so boundaries are "
+        "a pure function of LOCAL content — inserting one word shifts "
+        "only the chunk containing it and resynchronizes at the next "
+        "boundary, where fixed-size chunking shifts every subsequent "
+        "chunk (pinned by the planted insertion test; the rsync / "
+        "LBFS-style rolling-hash argument, Muthitacharoen et al. SOSP "
+        "2001). sha256 is the boundary hash because it is byte-exact "
+        "across engines, making the whole audit DuckDB-hash-green; a "
+        "production system would use a cheaper gear/Rabin hash with "
+        "min/max chunk clamps. Shape: one posexplode, per-doc windows "
+        "(bounded by doc length), one (doc, chunk) rebuild groupBy, "
+        "then the same distinct-sha wide stage as m07."
+    ),
+)
+def m08_cdc_chunking(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..functions.text import whitespace_tokens
+    from ..sources import load_table, spread_scan
+
+    d = load_table(spark, sf_dir, "documents")
+    w = spread_scan(d, "doc_id").select(
+        "doc_id",
+        "source",
+        F.posexplode(whitespace_tokens("text")).alias("pos", "word"),
+    )
+    cut = F.when(
+        F.substring(F.sha2(F.encode("word", "utf-8"), 256), 1, 1).isin("0", "1"),
+        1,
+    ).otherwise(0)
+    prev = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    k = w.withColumn(
+        "chunk_id", F.coalesce(F.sum(cut).over(prev), F.lit(0))
+    )
+    ch = k.groupBy("doc_id", "source", "chunk_id").agg(
+        F.sha2(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s.getField("word"),
+                    ),
+                    " ",
+                ),
+                "utf-8",
+            ),
+            256,
+        ).alias("chunk_sha"),
+        F.count("*").alias("n_words"),
+    )
+    return ch.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.count_distinct("chunk_sha").cast("long").alias("n_distinct_chunks"),
+        F.round(
+            F.count("*") / F.count_distinct("chunk_sha").cast("double"), 6
+        ).alias("dedup_ratio"),
+        F.round(F.sum("n_words") / F.count("*").cast("double"), 6).alias(
+            "avg_chunk_words"
+        ),
+    )

@@ -98,6 +98,8 @@ _PRIORITY_NAMES = [
     # then the oldest r5 cohort fills the remaining ~19-row budget.
     "a17_ddsketch_quantiles",
     "st20_spacesaving_topk",
+    "io23_xml_roundtrip",
+    "m08_cdc_chunking",
     # newest driver row: round 5 (50 queries)
     "x04_asof_join_tolerance",
     "s01_string_funcs",

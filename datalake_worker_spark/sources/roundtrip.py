@@ -839,3 +839,35 @@ def io17_jdbc_roundtrip(spark, sf_dir):
         F.count("*").cast("long").alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "io23_xml_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+    category="sources",
+    doc=(
+        "XML sink + source (built into Spark 4 core — the spark-xml "
+        "connector was merged upstream in 4.0; probed working in this "
+        "container, unlike Avro whose spark-avro module jar is absent "
+        "and stays classpath-gated with Delta/Iceberg) -> identity. "
+        "rowTag-framed records, schema-on-read with the source schema "
+        "pinned explicitly so numeric types survive the text format. "
+        "Round-trip oracle reads the ORIGINAL table: equality proves "
+        "the format preserved rows and types."
+    ),
+)
+def io23_xml_roundtrip(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double")
+    )
+    out = os.path.join(scratch_dir(prefix="dlw_io_"), "supplier_xml")
+    s.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(out)
+    return (
+        spark.read.schema(s.schema)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )

@@ -128,3 +128,52 @@ def test_spacesaving_registry_query(spark, sf_dir):
     assert [r.rn for r in out] == list(range(1, 21))
     ests = [r.est for r in out]
     assert ests == sorted(ests, reverse=True)
+
+
+def test_cdc_chunking_insertion_robust(spark, tmp_path):
+    """The CDC selling point vs m07's fixed-size chunks: inserting ONE
+    word near the start of a long document perturbs only the chunk
+    containing it — boundaries resynchronize at the next cut word — so
+    most chunk hashes are shared with the original. Fixed-size (m07)
+    chunking shifts every byte after the insertion: zero shared chunks
+    from there on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    base_words = [f"w{i}" for i in range(400)]
+    base = " ".join(base_words)
+    inserted = " ".join(base_words[:3] + ["INSERTED"] + base_words[3:])
+    t = pa.Table.from_pylist(
+        [
+            dict(doc_id=0, text=base, lang="en", source="a", n_chars=len(base)),
+            dict(doc_id=1, text=inserted, lang="en", source="b",
+                 n_chars=len(inserted)),
+        ]
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in REGISTRY["m08_cdc_chunking"].spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    # per-source audit can't see cross-doc sharing; recompute chunk shas
+    # per doc via the same operator at doc granularity using the audit's
+    # distinct counts over a combined source
+    t2 = pa.Table.from_pylist(
+        [
+            dict(doc_id=0, text=base, lang="en", source="s", n_chars=len(base)),
+            dict(doc_id=1, text=inserted, lang="en", source="s",
+                 n_chars=len(inserted)),
+        ]
+    )
+    pq.write_table(t2, str(tmp_path / "documents.parquet"))
+    both = REGISTRY["m08_cdc_chunking"].spark_fn(spark, str(tmp_path)).collect()[0]
+    n_a, n_b = out["a"].n_chunks, out["b"].n_chunks
+    shared = n_a + n_b - both.n_distinct_chunks
+    # nearly all of the original doc's chunks must be recovered in the
+    # perturbed doc (everything after the first post-insertion boundary)
+    assert shared >= n_a - 3, (n_a, n_b, both.n_distinct_chunks, shared)
+    # sanity: the insertion DID change at least one chunk
+    assert shared < n_a or n_b > n_a
