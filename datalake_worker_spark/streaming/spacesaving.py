@@ -129,6 +129,9 @@ def run_spacesaving_topk(
     )
 
     def fold_batch(df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
         e = int(epoch_id)
         batch = _batch_summary(df, "text", m)
         state = _read_latest_state(root, e)
@@ -137,6 +140,17 @@ def run_spacesaving_topk(
         with open(tmp, "w") as fh:
             json.dump({"epoch": e, "top": top, "floor": floor}, fh)
         os.replace(tmp, _state_path(root, e))
+        # per-batch latency trace (same contract as incdedup/vecindex:
+        # the scale probe asserts per-batch cost stays flat as state
+        # accumulates — here state is O(m) by construction)
+        with open(os.path.join(root, "_batch_seconds.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"epoch": e,
+                     "seconds": round(_time.perf_counter() - t0, 3)}
+                )
+                + "\n"
+            )
 
     schema = spark.read.parquet(landing).schema
     q = (

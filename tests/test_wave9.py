@@ -177,3 +177,41 @@ def test_cdc_chunking_insertion_robust(spark, tmp_path):
     assert shared >= n_a - 3, (n_a, n_b, both.n_distinct_chunks, shared)
     # sanity: the insertion DID change at least one chunk
     assert shared < n_a or n_b > n_a
+
+
+def test_spacesaving_merge_invariants_property():
+    """Property test (pure Python, no Spark): for random token streams
+    split into random batches and folded through merge_summaries with a
+    small m, the three SpaceSaving invariants hold vs exact counts at
+    every fold step — est >= true (I1), est - true <= floor (I2), every
+    true count > floor tracked (I3)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        tokens=st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+        ),
+        n_batches=st.integers(min_value=1, max_value=5),
+        m=st.integers(min_value=2, max_value=8),
+    )
+    def run(tokens, n_batches, m):
+        batches = [tokens[i::n_batches] for i in range(n_batches)]
+        state = ({}, 0)
+        exact = Counter()
+        for b in batches:
+            c = Counter(str(t) for t in b)
+            ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            top = dict(ranked[:m])
+            floor = ranked[m][1] if len(ranked) > m else 0
+            state = merge_summaries(state, (top, floor), m)
+            exact.update(str(t) for t in b)
+            est, f = state
+            assert all(v >= exact[k] for k, v in est.items())  # I1
+            assert all(v - exact[k] <= f for k, v in est.items())  # I2
+            assert all(k in est for k, c0 in exact.items() if c0 > f)  # I3
+
+    run()

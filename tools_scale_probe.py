@@ -68,6 +68,8 @@ PROBE = [
     "d17_fuzzy_decontamination",     # broadcast-gram containment (r8)
     "a16_cms_heavy_hitters",         # CMS build + literal probe (r8)
     "io22_python_datasource_scan",   # Python DataSource row-group partitions (r8)
+    "a17_ddsketch_quantiles",        # DDSketch counter build + window (r9)
+    "m08_cdc_chunking",              # CDC word chunking + distinct-sha audit (r9)
 ]
 
 
@@ -144,8 +146,16 @@ def streaming_per_batch_probe(spark, sf_dir, n_batches=12) -> dict:
         k=5, n_clusters=8, nprobe=4, dim=64, root=root14, compact_every=4,
     ).count()
     t14 = per_batch(root14)
+    from datalake_worker_spark.streaming.spacesaving import (
+        run_spacesaving_topk,
+    )
+
+    root20 = tempfile.mkdtemp(prefix="dlw_probe_st20_")
+    run_spacesaving_topk(spark, doc_batches, root=root20)
+    t20 = per_batch(root20)
     for name, t in (("st13_incremental_near_dup", t13),
-                    ("st14_streaming_vector_index", t14)):
+                    ("st14_streaming_vector_index", t14),
+                    ("st20_spacesaving_topk", t20)):
         early = stats.median(t[2:5])
         late = stats.median(t[-3:])
         out[name] = {
