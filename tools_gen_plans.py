@@ -47,10 +47,14 @@ FLAGSHIP = [
     ("x08_interval_overlap_join", "interval overlap: binned equi-join, first-overlap-bin dedup, no BNLJ"),
     ("io20_data_quality_audit", "constraint audit: conditional-sum aggregates, FK dim broadcast"),
     # round-8 additions
-    ("t27_ngram_novelty", "novelty: gram groupBy and join-back share ONE hashed-gram exchange"),
+    ("t27_ngram_novelty", "novelty (r9 join-free rewrite): the ONLY gram-keyed op is the partial-min groupBy; joins key on doc_id — Zipfian-gram skew-proof"),
     ("d17_fuzzy_decontamination", "fuzzy decontam: benchmark gram table broadcast, corpus scanned once map-side"),
     ("a16_cms_heavy_hitters", "CMS audit: sketch probed as ONE literal, no join; top-20 via limit"),
     ("d08_simhash_near_dups", "simhash near-dup: 9-band explode, row_number-capped buckets, ONE band exchange"),
+    # round-9 additions
+    ("a17_ddsketch_quantiles", "DDSketch: partial-agg counter merge, window over counter rows, final agg reuses the g-partitioning — two exchanges total"),
+    ("m08_cdc_chunking", "CDC chunking: one posexplode, per-doc boundary windows, (doc,chunk) rebuild, distinct-sha wide stage"),
+    ("t10_unigram_logprob", "salted Zipfian token join: freq table replicated 8x, hot tokens spread over (tok, salt) reducers"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
