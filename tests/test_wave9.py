@@ -215,3 +215,60 @@ def test_spacesaving_merge_invariants_property():
             assert all(k in est for k, c0 in exact.items() if c0 > f)  # I3
 
     run()
+
+
+def test_ddsketch_constant_and_tiny_groups(spark):
+    """All-equal values: every quantile lands in the same bucket, so
+    p50 = p90 = p99 and each is within alpha of the value. A 1-row
+    group must not crash the rank arithmetic (floor(q*0) + 1 = 1)."""
+    rows = [("c", 42.0)] * 50 + [("one", 7.0)]
+    d = spark.createDataFrame(rows, "grp string, v double")
+    out = {
+        r.g: r
+        for r in ddsketch_quantiles(
+            ddsketch_buckets(d, "grp", "v")
+        ).collect()
+    }
+    c = out["c"]
+    assert c.p50 == c.p90 == c.p99
+    assert abs(c.p50 - 42.0) / 42.0 <= DD_ALPHA
+    assert out["one"].n_values == 1
+    assert abs(out["one"].p99 - 7.0) / 7.0 <= DD_ALPHA
+
+
+def test_spacesaving_empty_batch(spark, tmp_path):
+    """A micro-batch with zero rows must fold as a no-op (empty summary,
+    floor 0) instead of corrupting or resetting the state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [dict(doc_id=d, text="alpha beta") for d in range(10)]
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "docs.parquet")
+    )
+    d = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    batches = [
+        d,
+        d.filter(F.col("doc_id") < 0),  # empty
+        d.filter(F.col("doc_id") == 0),
+    ]
+    top, floor, _ = run_spacesaving_topk(spark, batches, m=8)
+    assert top == {"alpha": 11, "beta": 11} and floor == 0
+
+
+def test_cdc_chunking_single_word_docs(spark, tmp_path):
+    """One-word documents: exactly one chunk each regardless of whether
+    the word is a cut word (the boundary closes the chunk it ends)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        dict(doc_id=i, text=f"solo{i}", lang="en", source="s", n_chars=6)
+        for i in range(20)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet")
+    )
+    out = REGISTRY["m08_cdc_chunking"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].n_chunks == 20 and out[0].avg_chunk_words == 1.0
