@@ -99,8 +99,19 @@ def ddsketch_quantiles(buckets):
     )
 
 
+#: CAST({q} AS DOUBLE) is defensive (r9 self-review): DuckDB parses the
+#: bare literal 0.99 as DECIMAL(3,2) (exact) while Spark's F.lit(0.99)
+#: is a double, so the two engines compute FLOOR(q*(n-1)) through
+#: DIFFERENT arithmetic. For 0.5/0.9/0.99 specifically the double's
+#: representation error (<= 9e-18 relative) is under the product's
+#: half-ulp, so the multiply rounds back to the exact integer and the
+#: floors agree at every n — verified, not assumed. But a q whose
+#: representation error exceeds half-ulp (e.g. 0.7, 6.3e-17) WOULD
+#: split the engines one rank apart at exact-integer products; casting
+#: the literal to DOUBLE makes both sides run the identical double
+#: multiply for any future quantile added to _QS.
 _DD_SQL_EST = (
-    "ROUND(2.0 * EXP(MIN(CASE WHEN cum >= FLOOR({q} * (n - 1)) + 1 "
+    "ROUND(2.0 * EXP(MIN(CASE WHEN cum >= FLOOR(CAST({q} AS DOUBLE) * (n - 1)) + 1 "
     "THEN bucket END) * {lng}) / {g1}, 6) AS {name}"
 )
 
