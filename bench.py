@@ -172,6 +172,7 @@ WAVE9 = [
     "st20_spacesaving_topk",
     "io23_xml_roundtrip",
     "m08_cdc_chunking",
+    "x09_temporal_anti_join",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

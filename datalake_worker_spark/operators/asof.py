@@ -460,3 +460,80 @@ def x07_last_touch_attribution(spark, sf_dir):
             ).cast("int").alias("attributed"),
         )
     )
+
+
+@register(
+    "x09_temporal_anti_join",
+    """
+    WITH u AS (
+        SELECT user_id, ts, 0 AS is_probe, event_id AS tie,
+               ts AS click_ts, NULL::BIGINT AS probe_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 1 AS is_probe, NULL AS tie,
+               NULL AS click_ts, event_id AS probe_id
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT user_id, probe_id, is_probe, ts,
+               last_value(click_ts IGNORE NULLS) OVER win AS a_ts
+        FROM u
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_probe, tie
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN a_ts IS NULL
+                          OR epoch(ts) - epoch(a_ts) > 3600.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           ROUND(SUM(CASE WHEN a_ts IS NULL
+                           OR epoch(ts) - epoch(a_ts) > 3600.0
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS orphan_ratio
+    FROM w WHERE is_probe = 1
+    GROUP BY user_id
+    """,
+    doc=(
+        "temporal ANTI join — the negative of the as-of family: "
+        "purchases with NO same-user click in the preceding hour "
+        "(orphan conversions: the bot/fraud/broken-tracking signal "
+        "x01-x08 cannot express, since they all return the MATCH). A "
+        "naive NOT EXISTS with a time-range predicate plans as a "
+        "nested-loop anti join; this reuses x04's single-shuffle "
+        "union+window as-of construction — the anti condition is just "
+        "IS NULL / outside-tolerance on the carried match timestamp, "
+        "so the scale shape (one user-keyed exchange, no quadratic "
+        "pairing) is identical to the positive as-of. Output: per-user "
+        "purchase/orphan counts and ratio."
+    ),
+)
+def x09_temporal_anti_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_ts"],
+        tie_col="click_id",
+    )
+    orphan = (
+        F.col("asof_click_ts").isNull()
+        | (F.col("asof_click_ts") < F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+    ).cast("long")
+    return out.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(orphan).cast("long").alias("n_orphans"),
+        F.round(F.sum(orphan) / F.count("*").cast("double"), 6).alias(
+            "orphan_ratio"
+        ),
+    )

@@ -100,6 +100,7 @@ _PRIORITY_NAMES = [
     "st20_spacesaving_topk",
     "io23_xml_roundtrip",
     "m08_cdc_chunking",
+    "x09_temporal_anti_join",
     # newest driver row: round 5 (50 queries)
     "x04_asof_join_tolerance",
     "s01_string_funcs",

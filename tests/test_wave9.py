@@ -272,3 +272,36 @@ def test_cdc_chunking_single_word_docs(spark, tmp_path):
     out = REGISTRY["m08_cdc_chunking"].spark_fn(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0].n_chunks == 20 and out[0].avg_chunk_words == 1.0
+
+
+def test_temporal_anti_join_planted(spark, tmp_path):
+    """Three purchases: click 30 min before (matched), click 2 h before
+    (orphan — outside tolerance), no click at all (orphan)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def ev(eid, uid, ts, typ):
+        return dict(event_id=eid, user_id=uid, ts=ts, value=1.0,
+                    event_type=typ, props="{}")
+
+    rows = [
+        ev(1, 7, t0 - dt.timedelta(minutes=30), "click"),
+        ev(2, 7, t0, "purchase"),                       # matched
+        ev(3, 8, t0 - dt.timedelta(hours=2), "click"),
+        ev(4, 8, t0, "purchase"),                       # stale -> orphan
+        ev(5, 9, t0, "purchase"),                       # no click -> orphan
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in REGISTRY["x09_temporal_anti_join"].spark_fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[7].n_orphans == 0 and out[7].n_purchases == 1
+    assert out[8].n_orphans == 1 and out[8].orphan_ratio == 1.0
+    assert out[9].n_orphans == 1
