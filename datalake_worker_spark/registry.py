@@ -53,71 +53,17 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: therefore a rotation schedule: the ~50-query prefix is this round's
 #: verification budget, rewritten each round to burn the largest
 #: verification debt first.
-#: Round-9 ordering (VERDICT r8 item 1): the 29 queries whose newest
-#: driver row is still r4 lead (the verdict lists them by name and
-#: live-verified 10 of them green), then any new r9 queries, then the
-#: r5 cohort in the driver's recorded run order — 29 + new + ~19 of the
-#: 50 r5 rows fit the budget, so after the r9 driver run no query's
-#: newest CORRECTNESS row predates r5 (29 < 50: the arithmetic works
-#: this round).  The full list is regenerated from the cumulative
-#: CORRECTNESS_r*.json files, stalest cohort first; within a cohort the
-#: prior recorded run order is preserved.
+#: Round-10 ordering (VERDICT r9 item 2): the 34 queries whose newest
+#: driver row is still r5 lead (the verdict lists all 34 by name and
+#: live-verified 8 of them green), then the new r10 queries, then the
+#: r6 cohort in the driver's recorded run order — 34 + new + ~14 of the
+#: 50 r6 rows fit the budget, so after the r10 driver run no query's
+#: newest CORRECTNESS row predates r6 (34 + additions < 50: the
+#: arithmetic works this round).  The full list is regenerated from the
+#: cumulative CORRECTNESS_r*.json files, stalest cohort first; within a
+#: cohort the prior recorded run order is preserved.
 _PRIORITY_NAMES = [
-    # newest driver row: round 4 (29 queries)
-    "v08_pq_quantization_audit",
-    "w12_running_distinct_users",
-    "smp12_leakage_free_split",
-    "st12_dedup_within_watermark",
-    "d16_char_jaccard_pairs",
-    "st10_streaming_cdc_apply",
-    "lk06_time_travel_listing",
-    "v06_cosine_range_search",
-    "io11_dynamic_partition_overwrite",
-    "w09_ewma_smoothing",
-    "d13_near_dup_keep_list",
-    "p04_python_udtf",
-    "m04_audio_window_energy",
-    "io10_corrupt_json_handling",
-    "t17_quality_filter_verdict",
-    "smp08_domain_mixture_resample",
-    "st09_stream_stream_left_join",
-    "a13_content_fingerprint",
-    "io09_sorted_compaction",
-    "io08_merge_upsert",
-    "x05_interval_lookup_join",
-    "smp07_weighted_sample",
-    "d12_url_canonical_dedup",
-    "t16_unicode_normalize",
-    "io06_bucketed_colocated_join",
-    "j10_salted_skew_join",
-    "io07_orc_roundtrip",
-    "w08_time_grid_fill",
-    "d11_semantic_dedup",
-    # new in round 9 (never driver-verified) — inserted here per VERDICT r8
-    # item 1: the 29-row r4 cohort leads, new queries immediately after,
-    # then the oldest r5 cohort fills the remaining ~19-row budget.
-    "a17_ddsketch_quantiles",
-    "st20_spacesaving_topk",
-    "io23_xml_roundtrip",
-    "m08_cdc_chunking",
-    "x09_temporal_anti_join",
-    # newest driver row: round 5 (50 queries)
-    "x04_asof_join_tolerance",
-    "s01_string_funcs",
-    "s02_datetime_funcs",
-    "s03_math_funcs",
-    "s04_array_funcs",
-    "s05_explode_tokens",
-    "s06_posexplode",
-    "s07_json_map",
-    "s08_conditional",
-    "s10_map_funcs",
-    "u01_union_all",
-    "u02_union_distinct",
-    "u03_intersect",
-    "u04_except_all",
-    "u05_except_distinct",
-    "u06_intersect_all",
+    # newest driver row: round 5 (34 queries)
     "j01_left_outer_counts",
     "j02_full_outer",
     "j03_anti_join",
@@ -152,6 +98,11 @@ _PRIORITY_NAMES = [
     "q22_dormant_customers",
     "p01_scalar_pandas_udf",
     "a08_approx_aggregates",
+    # new in round 10 (never driver-verified) — the 34-row r5 cohort leads
+    # (VERDICT r9 item 2), new queries immediately after, then the r6
+    # cohort fills the remaining ~14-row budget.
+    "a18_kmv_distinct_sketch",
+    "t30_bpe_subword_tokens",
     # newest driver row: round 6 (50 queries)
     "a12_grouped_mode",
     "w13_time_weighted_average",
@@ -305,6 +256,57 @@ _PRIORITY_NAMES = [
     "x06_asof_join_nearest",
     "t20_html_strip",
     "j11_not_in_null_aware",
+    # newest driver row: round 9 (50 queries)
+    "v08_pq_quantization_audit",
+    "w12_running_distinct_users",
+    "smp12_leakage_free_split",
+    "st12_dedup_within_watermark",
+    "d16_char_jaccard_pairs",
+    "st10_streaming_cdc_apply",
+    "lk06_time_travel_listing",
+    "v06_cosine_range_search",
+    "io11_dynamic_partition_overwrite",
+    "w09_ewma_smoothing",
+    "d13_near_dup_keep_list",
+    "p04_python_udtf",
+    "m04_audio_window_energy",
+    "io10_corrupt_json_handling",
+    "t17_quality_filter_verdict",
+    "smp08_domain_mixture_resample",
+    "st09_stream_stream_left_join",
+    "a13_content_fingerprint",
+    "io09_sorted_compaction",
+    "io08_merge_upsert",
+    "x05_interval_lookup_join",
+    "smp07_weighted_sample",
+    "d12_url_canonical_dedup",
+    "t16_unicode_normalize",
+    "io06_bucketed_colocated_join",
+    "j10_salted_skew_join",
+    "io07_orc_roundtrip",
+    "w08_time_grid_fill",
+    "d11_semantic_dedup",
+    "a17_ddsketch_quantiles",
+    "st20_spacesaving_topk",
+    "io23_xml_roundtrip",
+    "m08_cdc_chunking",
+    "x09_temporal_anti_join",
+    "x04_asof_join_tolerance",
+    "s01_string_funcs",
+    "s02_datetime_funcs",
+    "s03_math_funcs",
+    "s04_array_funcs",
+    "s05_explode_tokens",
+    "s06_posexplode",
+    "s07_json_map",
+    "s08_conditional",
+    "s10_map_funcs",
+    "u01_union_all",
+    "u02_union_distinct",
+    "u03_intersect",
+    "u04_except_all",
+    "u05_except_distinct",
+    "u06_intersect_all",
 ]
 
 _MODULE_ORDER = [
