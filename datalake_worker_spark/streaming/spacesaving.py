@@ -140,9 +140,23 @@ def run_spacesaving_topk(
         with open(tmp, "w") as fh:
             json.dump({"epoch": e, "top": top, "floor": floor}, fh)
         os.replace(tmp, _state_path(root, e))
+        # prune: epoch e's summary folds everything before it, so only
+        # e and e-1 (replay safety: a re-run of epoch e must still find
+        # a strictly-earlier committed state) need to exist — without
+        # this the directory and the listdir scan above grow with
+        # stream history, contradicting the O(m)-state contract
+        # (ADVICE r9).
+        for f in os.listdir(root):
+            if f.startswith("state_") and f.endswith(".json"):
+                old = int(f[len("state_"):-len(".json")])
+                if old < e - 1:
+                    os.remove(os.path.join(root, f))
         # per-batch latency trace (same contract as incdedup/vecindex:
         # the scale probe asserts per-batch cost stays flat as state
-        # accumulates — here state is O(m) by construction)
+        # accumulates — here state is O(m) by construction). Appends
+        # are NOT idempotent under at-least-once replay; every reader
+        # must keep the LAST line per epoch (tools_scale_probe.py's
+        # per_batch does — ADVICE r9).
         with open(os.path.join(root, "_batch_seconds.jsonl"), "a") as fh:
             fh.write(
                 json.dumps(

@@ -256,6 +256,32 @@ def test_spacesaving_empty_batch(spark, tmp_path):
     assert top == {"alpha": 11, "beta": 11} and floor == 0
 
 
+def test_spacesaving_state_dir_pruned(spark, tmp_path):
+    """ADVICE r9: epoch e's summary folds all history, so after the run
+    only the newest state file and its replay-safety predecessor may
+    remain — the directory (and _read_latest_state's listdir scan) is
+    O(1) in stream length, matching the module's O(m)-forever claim."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [dict(doc_id=d, text=f"tok{d % 5} common") for d in range(60)]
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "docs.parquet")
+    )
+    d = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    batches = [d.filter(F.col("doc_id") % 6 == i) for i in range(6)]
+    top, floor, root = run_spacesaving_topk(spark, batches, m=8)
+    states = sorted(
+        f for f in os.listdir(root)
+        if f.startswith("state_") and f.endswith(".json")
+    )
+    assert len(states) <= 2, states
+    # the survivor IS the newest epoch — the final read still works
+    assert top["common"] == 60 and floor == 0
+
+
 def test_cdc_chunking_single_word_docs(spark, tmp_path):
     """One-word documents: exactly one chunk each regardless of whether
     the word is a cut word (the boundary closes the chunk it ends)."""
