@@ -336,6 +336,7 @@ _MODULE_ORDER = [
     "operators.wave8",
     "operators.wave9",
     "streaming.spacesaving",
+    "operators.wave10",
 ]
 
 
@@ -397,6 +398,7 @@ def _load_all():
     from .operators import wave8  # noqa: F401  (round-8 additions)
     from .operators import wave9  # noqa: F401  (round-9 additions)
     from .streaming import spacesaving  # noqa: F401  (round-9 additions)
+    from .operators import wave10  # noqa: F401  (round-10 additions)
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

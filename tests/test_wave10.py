@@ -1,0 +1,120 @@
+"""Round-10 operator tests: a18 KMV bottom-k distinct sketch (exact
+small-set branch, two-phase bottom-k correctness vs a direct global
+rank, planted set-algebra accuracy under a binding cap, plan gate) and
+t30 BPE subword tokenization."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.operators.wave10 import (
+    KMV_K,
+    kmv_kmin,
+    kmv_set_estimates,
+)
+from datalake_worker_spark.plans.inspect import simple_plan
+from datalake_worker_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def _planted(spark):
+    """A=0..999, B=500..1499, C=1200..1699 — known set algebra."""
+    return (
+        spark.range(0, 1000).select(F.lit("A").alias("s"), F.col("id"))
+        .unionByName(
+            spark.range(500, 1500).select(F.lit("B").alias("s"), F.col("id"))
+        )
+        .unionByName(
+            spark.range(1200, 1700).select(F.lit("C").alias("s"), F.col("id"))
+        )
+    )
+
+
+def test_kmv_two_phase_equals_global_rank(spark):
+    """The bucketed two-phase bottom-k is a parallelism device only:
+    its k-min set must EQUAL the k smallest sha256 digests computed
+    directly in Python over the distinct values."""
+    k = 32
+    kmin = kmv_kmin(_planted(spark), "s", "id", k=k).collect()
+    got = {}
+    for r in kmin:
+        got.setdefault(r.src, []).append((r.rn, r.h))
+    for s, lo, hi in (("A", 0, 1000), ("B", 500, 1500), ("C", 1200, 1700)):
+        want = sorted(
+            hashlib.sha256(str(i).encode()).hexdigest() for i in range(lo, hi)
+        )[:k]
+        rows = sorted(got[s])
+        assert [h for _, h in rows] == want
+        assert [rn for rn, _ in rows] == list(range(1, k + 1))
+
+
+def test_kmv_exact_branch_small_sets(spark):
+    """Sets smaller than k: every estimate is EXACT (the sketch kept
+    every distinct hash)."""
+    est = {
+        (r.src_a, r.src_b): r
+        for r in kmv_set_estimates(
+            kmv_kmin(_planted(spark), "s", "id", k=4096), k=4096
+        ).collect()
+    }
+    A = set(range(0, 1000)); B = set(range(500, 1500)); C = set(range(1200, 1700))
+    for (sa, sb), (a, b) in (
+        (("A", "B"), (A, B)), (("A", "C"), (A, C)), (("B", "C"), (B, C)),
+    ):
+        r = est[(sa, sb)]
+        assert r.est_a == len(a) and r.est_b == len(b)
+        assert r.est_union == len(a | b)
+        assert abs(r.est_intersect - len(a & b)) < 1e-9
+        assert abs(r.est_except_a - len(a - b)) < 1e-9
+
+
+def test_kmv_planted_accuracy_binding_cap(spark):
+    """k=64 binds on all three 500-1500-element sets; every estimate
+    within the KMV 3-sigma bound 3/sqrt(k-2) (union-relative for
+    intersect/except, whose sampling frame is the union)."""
+    k = 64
+    bound = 3.0 / math.sqrt(k - 2)
+    A = set(range(0, 1000)); B = set(range(500, 1500)); C = set(range(1200, 1700))
+    P = {"A": A, "B": B, "C": C}
+    for r in kmv_set_estimates(
+        kmv_kmin(_planted(spark), "s", "id", k=k), k=k
+    ).collect():
+        a, b = P[r.src_a], P[r.src_b]
+        u = len(a | b)
+        assert abs(r.est_a - len(a)) / len(a) <= bound
+        assert abs(r.est_b - len(b)) / len(b) <= bound
+        assert abs(r.est_union - u) / u <= bound
+        assert abs(r.est_intersect - len(a & b)) / u <= bound
+        assert abs(r.est_except_a - len(a - b)) / u <= bound
+
+
+def test_kmv_registry_query_shape(spark, sf_dir):
+    out = REGISTRY["a18_kmv_distinct_sketch"].spark_fn(spark, sf_dir).collect()
+    srcs = {r.src_a for r in out} | {r.src_b for r in out}
+    n = len(srcs)
+    assert len(out) == n * (n - 1) // 2  # every unordered pair
+    for r in out:
+        assert r.src_a < r.src_b
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+        assert r.est_intersect >= -1e-9
+        assert r.est_except_a >= 0.0
+
+
+def test_kmv_plan_gate(spark, sf_dir):
+    """Scale gate: the only data-scale shuffles are the distinct and
+    the two bottom-k phases — Spark 4's WindowGroupLimit prunes each
+    window input to k rows per partition BEFORE its exchange, so no
+    stage ever sorts a full source. All pair algebra on the
+    summary-sized frames must run as broadcast joins: a SortMergeJoin
+    anywhere means a model-state frame got shuffled like data."""
+    df = REGISTRY["a18_kmv_distinct_sketch"].spark_fn(spark, sf_dir)
+    df.collect()
+    plan = simple_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan  # map-side top-k prune engaged
+    assert plan.count("Exchange hashpartitioning") <= 8
+    assert plan.count("ReusedExchange") >= 1  # kmin subtree computed once

@@ -642,8 +642,96 @@ def check_st20(spark):
             "detail": {"runs": runs}}
 
 
+def check_a18(spark):
+    """a18 is ORACLE-BACKED (the k-min summary is deterministic given
+    sha256); this differential pins ACCURACY instead, twice:
+      1. registry query at SF_DIR, where k=128 exceeds every source's
+         distinct count — the exact branch must return EXACTLY the true
+         distinct/intersection counts (zero tolerance);
+      2. planted overlapping integer ranges (A=0..999, B=500..1499,
+         C=1200..1699) under a BINDING k=64 — estimate errors vs exact
+         set algebra within 3/sqrt(k-2) (~38%), the KMV 3-sigma bound
+         (Beyer et al. SIGMOD'07 give sigma ~= 1/sqrt(k-2))."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark.operators.wave10 import (
+        kmv_kmin,
+        kmv_set_estimates,
+    )
+
+    duck = duckdb.connect()
+    exact_rows = duck.execute(
+        f"SELECT DISTINCT event_type, user_id FROM "
+        f"'{SF_DIR}/events.parquet'"
+    ).fetchall()
+    sets: dict[str, set] = {}
+    for t, u in exact_rows:
+        sets.setdefault(t, set()).add(u)
+    out = _run(spark, "a18_kmv_distinct_sketch").collect()
+    exact_errs = 0
+    for r in out:
+        a, b = sets[r.src_a], sets[r.src_b]
+        for est, true in (
+            (r.est_a, len(a)), (r.est_b, len(b)),
+            (r.est_union, len(a | b)), (r.est_intersect, len(a & b)),
+            (r.est_except_a, len(a - b)),
+        ):
+            if abs(est - true) > 1e-9:
+                exact_errs += 1
+
+    # planted binding run: three ranges with known algebra
+    k = 64
+    planted = (
+        spark.range(0, 1000).select(F.lit("A").alias("s"), F.col("id"))
+        .unionByName(
+            spark.range(500, 1500).select(F.lit("B").alias("s"), F.col("id"))
+        )
+        .unionByName(
+            spark.range(1200, 1700).select(F.lit("C").alias("s"), F.col("id"))
+        )
+    )
+    P = {"A": set(range(0, 1000)), "B": set(range(500, 1500)),
+         "C": set(range(1200, 1700))}
+    est_rows = kmv_set_estimates(
+        kmv_kmin(planted, "s", "id", k=k), k=k
+    ).collect()
+    bound = 3.0 / math.sqrt(k - 2)
+    worst = 0.0
+    detail = {}
+    for r in est_rows:
+        a, b = P[r.src_a], P[r.src_b]
+        u = len(a | b)
+        for tag, est, true in (
+            ("a", r.est_a, len(a)), ("b", r.est_b, len(b)),
+            ("union", r.est_union, u),
+        ):
+            rel = abs(est - true) / true
+            worst = max(worst, rel)
+            detail[f"{r.src_a}{r.src_b}/{tag}"] = round(rel, 4)
+        # intersection/difference error measured relative to the UNION
+        # (the estimator's sampling frame — a tiny true intersection has
+        # no relative-error guarantee of its own)
+        for tag, est, true in (
+            ("intersect", r.est_intersect, len(a & b)),
+            ("except_a", r.est_except_a, len(a - b)),
+        ):
+            rel = abs(est - true) / u
+            worst = max(worst, rel)
+            detail[f"{r.src_a}{r.src_b}/{tag}"] = round(rel, 4)
+    return {"signal": "registry run exact-branch mismatches (must be 0) "
+                      "+ worst planted-set estimate error under binding "
+                      "k=64 vs 3/sqrt(k-2)",
+            "value": round(worst, 4), "bound": round(bound, 4),
+            "pass": exact_errs == 0 and worst <= bound,
+            "detail": {"exact_branch_mismatches": exact_errs,
+                       "planted_rel_err": detail}}
+
+
 CHECKS = {
     "a08_approx_aggregates": check_a08,
+    "a18_kmv_distinct_sketch": check_a18,
     "a16_cms_heavy_hitters": check_a16,
     "a17_ddsketch_quantiles": check_a17,
     "st20_spacesaving_topk": check_st20,
