@@ -118,3 +118,99 @@ def test_kmv_plan_gate(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # map-side top-k prune engaged
     assert plan.count("Exchange hashpartitioning") <= 8
     assert plan.count("ReusedExchange") >= 1  # kmin subtree computed once
+
+
+# --------------------------------------------------------------- t30 BPE
+
+def _ref_bpe(word_counts: dict, n: int):
+    """Pure-Python Sennrich BPE: get_stats + greedy left-to-right merge,
+    tie-break (count desc, pair asc) — the semantics bpe_train must
+    reproduce relationally."""
+    from collections import Counter
+
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n):
+        pairs = Counter()
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += word_counts[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (x, y), c = best
+        merges.append((x, y, c))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == x and seq[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def _train_on(spark, word_counts: dict, n: int):
+    from datalake_worker_spark.operators.wave10 import bpe_train
+
+    words = spark.createDataFrame(
+        list(word_counts.items()), "word string, w long"
+    )
+    merges, final = bpe_train(words, n)
+    seqs = {}
+    for r in sorted(final.collect(), key=lambda r: (r.word, r.pos)):
+        seqs.setdefault(r.word, []).append(r.sym)
+    return merges, seqs
+
+
+def test_bpe_matches_python_reference(spark):
+    """8 relational merge rounds == the sequential Sennrich algorithm:
+    identical merge table (pairs AND weighted counts) and identical
+    final symbol sequence for every word."""
+    corpus = {
+        "the": 10, "then": 4, "they": 3, "cat": 6, "cats": 2,
+        "banana": 5, "bandana": 2, "ananas": 1, "aaaa": 3, "aaa": 2,
+        "ab": 7, "abab": 1, "b": 4, "x": 1,
+    }
+    want_merges, want_seqs = _ref_bpe(dict(corpus), 8)
+    got_merges, got_seqs = _train_on(spark, corpus, 8)
+    assert got_merges == want_merges
+    assert got_seqs == want_seqs
+
+
+def test_bpe_greedy_run_parity(spark):
+    """The x==x overlapping-run cases that break naive merge-apply:
+    greedy left-to-right must give aaaa->aa|aa, aaa->aa|a, and
+    resynchronize across non-matches."""
+    corpus = {"aaaa": 5, "aaa": 5, "baaa": 5, "aabaa": 5}
+    want_merges, want_seqs = _ref_bpe(dict(corpus), 1)
+    got_merges, got_seqs = _train_on(spark, corpus, 1)
+    assert got_merges == want_merges  # (a, a) wins round 1
+    assert got_seqs == want_seqs
+    assert got_seqs["aaaa"] == ["aa", "aa"]
+    assert got_seqs["aaa"] == ["aa", "a"]
+    assert got_seqs["baaa"] == ["b", "aa", "a"]
+    assert got_seqs["aabaa"] == ["aa", "b", "aa"]
+
+
+def test_bpe_fewer_pairs_than_rounds(spark):
+    """A vocabulary that runs out of pairs: training stops early
+    instead of looping or corrupting state."""
+    merges, seqs = _train_on(spark, {"ab": 3, "c": 1}, 10)
+    assert [(x, y) for x, y, _ in merges] == [("a", "b")]
+    assert seqs == {"ab": ["ab"], "c": ["c"]}
+
+
+def test_bpe_registry_query_invariants(spark, sf_dir):
+    """Per-language counts are internally consistent: words <= tokens
+    (every word is >= 1 token), the top merged token is >= 2 chars,
+    and every language present in the corpus words appears."""
+    out = REGISTRY["t30_bpe_subword_tokens"].spark_fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_tokens >= r.n_words > 0
+        assert len(r.top_merged) >= 2
+        assert r.top_token_n >= r.top_merged_n > 0
