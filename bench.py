@@ -175,6 +175,14 @@ WAVE9 = [
     "x09_temporal_anti_join",
 ]
 
+# added in round 10 — tenth suite per the same contract (KMV set-algebra
+# sketch + the iterative BPE trainer, whose cost is the fixed N-round
+# job constant, flat in SF).
+WAVE10 = [
+    "a18_kmv_distinct_sketch",
+    "t30_bpe_subword_tokens",
+]
+
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"
 # (q07 0.43->1.13 s) was root-caused in round 7 to ambient run-to-run
 # variance — four same-code runs within round 6 recorded extended totals
@@ -230,6 +238,7 @@ def main() -> None:
     wave7 = _time(WAVE7)
     wave8 = _time(WAVE8)
     wave9 = _time(WAVE9)
+    wave10 = _time(WAVE10)
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -244,6 +253,7 @@ def main() -> None:
     wave7_total = round(sum(wave7.values()), 4)
     wave8_total = round(sum(wave8.values()), 4)
     wave9_total = round(sum(wave9.values()), 4)
+    wave10_total = round(sum(wave10.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -265,6 +275,8 @@ def main() -> None:
         "wave8_value": wave8_total,
         "wave9_queries": wave9,  # round-9 suite (sketch/quantile wave)
         "wave9_value": wave9_total,
+        "wave10_queries": wave10,  # round-10 suite (KMV sketch + BPE trainer)
+        "wave10_value": wave10_total,
         "sf": sf,
     }
     if duck:
@@ -302,6 +314,8 @@ def main() -> None:
                 "wave8_queries": len(wave8),
                 "wave9_value": wave9_total,
                 "wave9_queries": len(wave9),
+                "wave10_value": wave10_total,
+                "wave10_queries": len(wave10),
             }
         )
     )

@@ -70,6 +70,8 @@ PROBE = [
     "io22_python_datasource_scan",   # Python DataSource row-group partitions (r8)
     "a17_ddsketch_quantiles",        # DDSketch counter build + window (r9)
     "m08_cdc_chunking",              # CDC word chunking + distinct-sha audit (r9)
+    "a18_kmv_distinct_sketch",       # bottom-k distinct set algebra (r10)
+    "t30_bpe_subword_tokens",        # iterative BPE trainer — N bounded jobs (r10)
 ]
 
 
@@ -237,6 +239,74 @@ def t27_skew_probe(spark, n_small: int = 40_000, runs: int = 3) -> dict:
     return out
 
 
+def t06_skew_probe(spark, n_small: int = 40_000, runs: int = 3) -> dict:
+    """VERDICT r9 item 4: the r9 Zipfian audit SALTED the
+    occurrence⋈frequency joins (t06/t10/t25/smp10/d15) but never probed
+    one on a hot-TOKEN corpus — t27 (join eliminated) got `t27_skew`,
+    the salted family did not. Here ~30% of all token occurrences are
+    ONE token ("hot", 16x repeated in 30% of docs), so the unsalted
+    plan would put 30% of the occurrence⋈df join on one task; the
+    salted join must keep the 10x ratio in the uniform family's band."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark import registry
+
+    def build(n_docs: int) -> str:
+        root = tempfile.mkdtemp(prefix=f"dlw_t06skew_{n_docs}_")
+        uniq = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.concat(
+                    F.lit("u"), F.col("doc_id"), F.lit("x"), j
+                ),
+            ),
+        )
+        hot = F.concat_ws(
+            " ", F.array_repeat(F.lit("hot"), 16)
+        )
+        (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 10 < 3, hot).otherwise(uniq).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("synth").alias("source"),
+            )
+            .withColumn("n_chars", F.length("text"))
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "documents.parquet"))
+        )
+        return root
+
+    fn = registry.queries()["t06_tfidf_top_terms"]
+    out = {}
+    roots = []
+    for label, n in (("small", n_small), ("big", n_small * COPIES)):
+        root = build(n)
+        roots.append(root)
+        fn(spark, root).count()  # warm-up
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, root).count()
+            samples.append(time.perf_counter() - t0)
+        out[f"{label}_s"] = round(statistics.median(samples), 3)
+        print(f"t06_skew {label} ({n} docs): {out[f'{label}_s']:.3f}s",
+              flush=True)
+    out["ratio"] = (
+        round(out["big_s"] / out["small_s"], 2) if out["small_s"] else None
+    )
+    out["hot_token_occurrence_share"] = 0.3
+    for root in roots:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def time_queries(spark, qs, sf_dir, names, runs=3) -> dict[str, float]:
     out = {}
     for n in names:
@@ -267,12 +337,14 @@ def main() -> None:
     big = time_queries(spark, qs, SF_BIG, PROBE)
     streaming = streaming_per_batch_probe(spark, SF_BIG)
     t27_skew = t27_skew_probe(spark)
+    t06_skew = t06_skew_probe(spark)
     report = {
         "copies": COPIES,
         "small_dir": SF_SRC,
         "big_dir": SF_BIG,
         "streaming_per_batch": streaming,
         "t27_skew_probe": t27_skew,
+        "t06_skew_probe": t06_skew,
         "queries": {
             n: {
                 "small_s": small[n],
