@@ -181,6 +181,7 @@ WAVE9 = [
 WAVE10 = [
     "a18_kmv_distinct_sketch",
     "t30_bpe_subword_tokens",
+    "st21_rocksdb_stateful_totals",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

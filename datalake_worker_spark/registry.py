@@ -103,6 +103,7 @@ _PRIORITY_NAMES = [
     # cohort fills the remaining ~14-row budget.
     "a18_kmv_distinct_sketch",
     "t30_bpe_subword_tokens",
+    "st21_rocksdb_stateful_totals",
     # newest driver row: round 6 (50 queries)
     "a12_grouped_mode",
     "w13_time_weighted_average",

@@ -70,6 +70,10 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     ),
 )
 def st06_stateful_user_totals(spark, sf_dir):
+    return _stateful_user_totals(spark, sf_dir)
+
+
+def _stateful_user_totals(spark, sf_dir):
     from .ops import _events_stream, run_to_memory
 
     s = _events_stream(spark, sf_dir)
@@ -84,3 +88,36 @@ def st06_stateful_user_totals(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register(
+    "st21_rocksdb_stateful_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    category="streaming",
+    doc=(
+        "st06's applyInPandasWithState operator executed under the "
+        "RocksDB state store provider (streaming/statestore.py; "
+        "VERDICT r9 item 1 / SURVEY §7 M4) — the reference's own "
+        "storage backend (src/rocksdb_storage_engine.rs:16-19) as "
+        "Spark's streaming-state backend, DRIVER-verified against the "
+        "same batch oracle, not just pytest-asserted: per-key state "
+        "lives in native RocksDB (memtable + SST, checkpointed), so "
+        "state scales with executor local disk instead of JVM heap — "
+        "the 100 TB configuration. The provider must be a pure "
+        "storage swap: identical hash to st06."
+    ),
+)
+def st21_rocksdb_stateful_totals(spark, sf_dir):
+    from .statestore import rocksdb_state_store
+
+    # the stream starts AND terminates inside the scope (run_to_memory
+    # awaits availableNow completion), so the provider pin applies to
+    # exactly this query and the session conf is restored afterwards
+    with rocksdb_state_store(spark):
+        return _stateful_user_totals(spark, sf_dir)

@@ -101,3 +101,17 @@ def test_scoped_conf_restored(spark):
     with rocksdb_state_store(spark):
         assert spark.conf.get(STATE_STORE_CONF) == ROCKSDB_PROVIDER
     assert _conf(spark) == before
+
+
+def test_st21_registry_query_matches_st06(spark, sf_dir):
+    """The driver-facing RocksDB query: identical rows to st06 (same
+    operator, different state backend) — the pure-storage-swap
+    contract, driver-verifiable via the shared batch oracle."""
+    a = sorted(
+        map(tuple, REGISTRY["st06_stateful_user_totals"].spark_fn(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, REGISTRY["st21_rocksdb_stateful_totals"].spark_fn(spark, sf_dir).collect())
+    )
+    assert a == b and len(b) > 0
+    assert _conf(spark) != ROCKSDB_PROVIDER  # scope restored
