@@ -244,35 +244,41 @@ def t06_skew_probe(spark, n_small: int = 40_000, runs: int = 3) -> dict:
     occurrence⋈frequency joins (t06/t10/t25/smp10/d15) but never probed
     one on a hot-TOKEN corpus — t27 (join eliminated) got `t27_skew`,
     the salted family did not. Here ~30% of all token occurrences are
-    ONE token ("hot", 16x repeated in 30% of docs), so the unsalted
-    plan would put 30% of the occurrence⋈df join on one task; the
-    salted join must keep the 10x ratio in the uniform family's band."""
+    ONE token ("hot", 16x repeated in 30% of docs) drawn against a
+    BOUNDED 50k filler vocabulary — bounded so the probe isolates the
+    hot KEY (unique-per-doc fillers à la t27's corpus make the
+    vocabulary corpus-sized, and the salt's 8x replication of a
+    corpus-sized df table dominates the timing — measuring vocabulary
+    growth, not skew; the first r10 probe run demonstrated exactly
+    that). Recorded alongside: the UNSALTED plain-join A/B on the same
+    big corpus, so the record shows what the salt buys or costs at
+    this scale."""
     import shutil
     import tempfile
 
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from datalake_worker_spark import registry
 
     def build(n_docs: int) -> str:
         root = tempfile.mkdtemp(prefix=f"dlw_t06skew_{n_docs}_")
-        uniq = F.concat_ws(
+        filler = F.concat_ws(
             " ",
             F.transform(
                 F.sequence(F.lit(0), F.lit(15)),
                 lambda j: F.concat(
-                    F.lit("u"), F.col("doc_id"), F.lit("x"), j
+                    F.lit("u"),
+                    F.pmod(F.col("doc_id") * 16 + j, F.lit(50_000)),
                 ),
             ),
         )
-        hot = F.concat_ws(
-            " ", F.array_repeat(F.lit("hot"), 16)
-        )
+        hot = F.concat_ws(" ", F.array_repeat(F.lit("hot"), 16))
         (
             spark.range(n_docs)
             .select(
                 F.col("id").alias("doc_id"),
-                F.when(F.col("id") % 10 < 3, hot).otherwise(uniq).alias("text"),
+                F.when(F.col("id") % 10 < 3, hot).otherwise(filler).alias("text"),
                 F.lit("en").alias("lang"),
                 F.lit("synth").alias("source"),
             )
@@ -283,12 +289,35 @@ def t06_skew_probe(spark, n_small: int = 40_000, runs: int = 3) -> dict:
         )
         return root
 
+    def unsalted_t06(spark_, root):
+        """t06 with the salt removed (plain tf⋈df join) — the A/B arm."""
+        from datalake_worker_spark.functions.text import explode_tokens
+        from datalake_worker_spark.sources import load_table
+
+        d = load_table(spark_, root, "documents")
+        tok = explode_tokens(d)
+        tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+        df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+        n = d.agg(F.count("*").cast("double").alias("n_docs"))
+        scored = tf.join(df, "tok").crossJoin(F.broadcast(n)).select(
+            "doc_id", "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+        w = W.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc(), F.col("tok").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+        )
+
     fn = registry.queries()["t06_tfidf_top_terms"]
     out = {}
-    roots = []
+    roots = {}
     for label, n in (("small", n_small), ("big", n_small * COPIES)):
         root = build(n)
-        roots.append(root)
+        roots[label] = root
         fn(spark, root).count()  # warm-up
         samples = []
         for _ in range(runs):
@@ -301,10 +330,21 @@ def t06_skew_probe(spark, n_small: int = 40_000, runs: int = 3) -> dict:
     out["ratio"] = (
         round(out["big_s"] / out["small_s"], 2) if out["small_s"] else None
     )
+    # unsalted A/B on the big corpus only (the scale where skew matters)
+    unsalted_t06(spark, roots["big"]).count()
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        unsalted_t06(spark, roots["big"]).count()
+        samples.append(time.perf_counter() - t0)
+    out["unsalted_big_s"] = round(statistics.median(samples), 3)
+    print(f"t06_skew big UNSALTED: {out['unsalted_big_s']:.3f}s", flush=True)
     out["hot_token_occurrence_share"] = 0.3
-    for root in roots:
+    out["filler_vocab"] = 50_000
+    for root in roots.values():
         shutil.rmtree(root, ignore_errors=True)
     return out
+
 
 
 def time_queries(spark, qs, sf_dir, names, runs=3) -> dict[str, float]:
