@@ -182,6 +182,8 @@ WAVE10 = [
     "a18_kmv_distinct_sketch",
     "t30_bpe_subword_tokens",
     "st21_rocksdb_stateful_totals",
+    "t31_quality_logreg",
+    "v12_exact_knn_join",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

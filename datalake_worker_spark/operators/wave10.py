@@ -557,3 +557,355 @@ def t30_bpe_subword_tokens(spark, sf_dir):
         )
     )
     return tok_lang.join(top, "lang").join(topm, "lang")
+
+
+# ---------------------------------------------------------------------------
+# t31: trained quality classifier — relational batch gradient descent
+# ---------------------------------------------------------------------------
+
+#: gradient-descent rounds. Each round is ONE corpus aggregation whose
+#: map-side partial sums ARE the gradient merge; the driver receives a
+#: single 4-value row per round (model state, the t30/a16 literal
+#: discipline).
+T_LOGREG = 5
+
+#: learning rate — an exact power of two, so the driver-side weight
+#: update w - LR*g is EXACT IEEE arithmetic (no rounding surface): the
+#: oracle replays the identical update in SQL doubles and lands on the
+#: bit-identical weight.
+LR_LOGREG = 0.25
+
+
+def _logreg_features(df):
+    """Per-doc features + label, every float rounded to 6 dp at birth
+    (the a17 cross-engine recipe). Scales are fixed constants chosen so
+    mean(x_j^2) <= ~1: the logloss Hessian bound L = max_j E[x_j^2]/4
+    stays ~0.5, hence LR=0.25 < 1/L gives monotone descent — pinned by
+    the pytest loss test, not hoped for."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    base = (
+        df.select(
+            "doc_id",
+            "n_chars",
+            F.size(toks).alias("n_tok"),
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+            .alias("n_letters"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+            ).alias("n_punct"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    return base.select(
+        "doc_id",
+        F.round(F.log(F.lit(1.0) + F.col("n_tok")) / 6, 6).alias("x1"),
+        F.round(F.col("n_letters").cast("double") / F.col("n_tok") / 10, 6)
+        .alias("x2"),
+        F.round(F.col("n_punct").cast("double") / F.col("n_chars"), 6)
+        .alias("x3"),
+        F.when(F.col("n_chars") >= 300, F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def _logreg_p(w):
+    """sigmoid(round(w·x, 6)) rounded to 6 dp — round INPUT and OUTPUT
+    of the libm exp so both engines evaluate exp on the identical
+    double and agree after the cut (the a17 LN recipe)."""
+    b, c1, c2, c3 = w
+    z = F.round(
+        F.lit(b)
+        + F.lit(c1) * F.col("x1")
+        + F.lit(c2) * F.col("x2")
+        + F.lit(c3) * F.col("x3"),
+        6,
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def logreg_train(feat, t: int = T_LOGREG, lr: float = LR_LOGREG):
+    """Train logistic-regression weights by full-batch GD, relationally.
+
+    Per round: p = sigmoid(w·x) per row, gradient g_j =
+    round(mean((p-y)*x_j), 6) via per-row 9-dp DECIMAL(28,9) contributions
+    summed exactly (order-independent — the repo's standard float-agg
+    determinism device), then w_j -= lr*g_j driver-side (exact IEEE,
+    lr a power of two). Driver traffic: ONE 4-value row per round."""
+    w = (0.0, 0.0, 0.0, 0.0)
+    xs = (F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"))
+    for _ in range(t):
+        r = (_logreg_p(w) - F.col("y")).alias("r")
+        agg = feat.select(r, "x1", "x2", "x3").agg(
+            *[
+                F.sum(
+                    F.round(F.col("r") * x, 9).cast("decimal(28,9)")
+                ).alias(f"s{j}")
+                for j, x in enumerate(xs)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        g = agg.select(
+            *[
+                F.round(F.col(f"s{j}").cast("double") / F.col("n"), 6).alias(
+                    f"g{j}"
+                )
+                for j in range(4)
+            ]
+        ).collect()[0]
+        w = tuple(w[j] - lr * g[f"g{j}"] for j in range(4))
+    return w
+
+
+def _logreg_iter_ctes(i: int) -> str:
+    """One unrolled GD round for the DuckDB oracle — identical scoring,
+    9-dp DECIMAL gradient sums and power-of-two weight update."""
+    sig = (
+        "ROUND(CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE) + exp(-ROUND("
+        f"w.b + w.c1*f.x1 + w.c2*f.x2 + w.c3*f.x3, 6))), 6)"
+    )
+    gsum = (
+        "ROUND(CAST(SUM(CAST(ROUND((p - y){mul}, 9) AS DECIMAL(28,9))) "
+        "AS DOUBLE)/(SELECT n FROM nn), 6)"
+    )
+    return f""",
+    p{i} AS MATERIALIZED (
+        SELECT f.doc_id, f.x1, f.x2, f.x3, f.y, {sig} AS p
+        FROM feat f, w{i} w
+    ),
+    g{i} AS (
+        SELECT {gsum.format(mul="")} AS g0,
+               {gsum.format(mul="*x1")} AS g1,
+               {gsum.format(mul="*x2")} AS g2,
+               {gsum.format(mul="*x3")} AS g3
+        FROM p{i}
+    ),
+    w{i + 1} AS (
+        SELECT w.b - CAST(0.25 AS DOUBLE)*g.g0 AS b,
+               w.c1 - CAST(0.25 AS DOUBLE)*g.g1 AS c1,
+               w.c2 - CAST(0.25 AS DOUBLE)*g.g2 AS c2,
+               w.c3 - CAST(0.25 AS DOUBLE)*g.g3 AS c3
+        FROM w{i} w, g{i} g
+    )"""
+
+
+def _logreg_oracle_sql(t: int = T_LOGREG) -> str:
+    head = """
+    WITH feat AS MATERIALIZED (
+        SELECT doc_id,
+               ROUND(ln(CAST(1 AS DOUBLE) + n_tok)/6, 6) AS x1,
+               ROUND(CAST(n_letters AS DOUBLE)/n_tok/10, 6) AS x2,
+               ROUND(CAST(n_punct AS DOUBLE)/n_chars, 6) AS x3,
+               CASE WHEN n_chars >= 300 THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS y
+        FROM (
+            SELECT doc_id, n_chars,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       w -> w <> '')) AS n_tok,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                       AS n_letters,
+                   length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+                       'g')) AS n_punct
+            FROM documents
+        ) WHERE n_tok > 0
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
+    w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS c1,
+                  CAST(0 AS DOUBLE) AS c2, CAST(0 AS DOUBLE) AS c3)"""
+    body = "".join(_logreg_iter_ctes(i) for i in range(t))
+    tail = f"""
+    SELECT f.doc_id,
+           ROUND(CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE) + exp(-ROUND(
+               w.b + w.c1*f.x1 + w.c2*f.x2 + w.c3*f.x3, 6))), 6) AS p_quality,
+           CAST(CASE WHEN ROUND(CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE) +
+               exp(-ROUND(w.b + w.c1*f.x1 + w.c2*f.x2 + w.c3*f.x3, 6))), 6)
+               >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS predicted,
+           CAST(f.y AS BIGINT) AS label
+    FROM feat f, w{t} w"""
+    return head + body + tail
+
+
+@register(
+    "t31_quality_logreg",
+    _logreg_oracle_sql(),
+    category="text",
+    doc=(
+        "TRAINED quality classifier — the repo's first model-TRAINING "
+        "operator: full-batch logistic-regression gradient descent "
+        "expressed relationally (the LLM-pipeline step after t02/t17's "
+        "heuristic scores: fit a model to labels, score every doc). "
+        f"{T_LOGREG} rounds; per round ONE corpus aggregation whose "
+        "map-side partial DECIMAL(28,9) sums ARE the gradient merge "
+        "(order-independent, the a17 discipline), one 4-value row to "
+        "the driver, an exact power-of-two weight update re-entering "
+        "the next plan as literals. Oracle: DuckDB replays the "
+        "identical unrolled rounds — same 6-dp sigmoid cut, same "
+        "DECIMAL gradient sums, bit-identical weights — so per-doc "
+        "scores hash-match. 100 TB shape: training state is 4 doubles; "
+        "the feature frame is computed once and persisted DISK_ONLY "
+        "(recomputable, the r9 cache class); each round = one scan + "
+        "one 1-row exchange; scoring is a narrow map with no shuffle."
+    ),
+)
+def t31_quality_logreg(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    feat = _logreg_features(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.DISK_ONLY
+    )
+    w = logreg_train(feat, T_LOGREG, LR_LOGREG)
+    p = _logreg_p(w)
+    return feat.select(
+        "doc_id",
+        p.alias("p_quality"),
+        F.when(p >= 0.5, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("predicted"),
+        F.col("y").cast("long").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# v12: exact kNN JOIN — both sides large, grid-blocked (no broadcast)
+# ---------------------------------------------------------------------------
+
+#: grid shape: queries split into A row-blocks, corpus into B
+#: column-blocks; every (a, b) cell gets |Q|/A queries x |C|/B corpus
+#: vectors. Communication = B*|Q| + A*|C| rows through ONE shuffle —
+#: the 1-Bucket-Theta replication grid (Okcan & Riedewald, SIGMOD'11);
+#: at 100 TB pick A, B proportional to sqrt(cluster parallelism) so
+#: replication grows as sqrt, never |Q|x|C|. v01's broadcast path
+#: needs the whole query set on every executor; this path needs no
+#: side to fit anywhere.
+KNN_A = 4
+KNN_B = 8
+KNN_K = 3
+#: per-cell candidates kept per query: K plus slack so rounded-cosine
+#: ties crossing a cell boundary can never starve the global top-K.
+_KNN_CELL_K = KNN_K + 4
+
+_V12_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv, e.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+        FROM q JOIN e ON q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+        FROM scored)
+    WHERE rn <= {KNN_K}
+"""
+
+
+def _knn_cell_fn(left, right):
+    """One grid cell: |Q|/A queries x |C|/B corpus vectors -> per-query
+    top (K + slack) candidates by (half-up-rounded cosine desc,
+    neighbor_id asc) — the global ranking's own key, so the union of
+    cells provably contains the global top-K. Raw float64 cosines are
+    emitted; the single authoritative 6-dp cut happens in Spark
+    (decimal-exact F.round), matching the oracle's ROUND."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+    if len(left) == 0 or len(right) == 0:
+        return empty
+    qm = np.array(left["v"].tolist(), dtype=np.float64)
+    cm = np.array(right["cv"].tolist(), dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    scores = (qm @ cm.T) / (qn[:, None] * cn[None, :])
+    # half-up (away-from-zero) 6-dp rounding for SELECTION ordering only
+    sel_key = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6
+    qid = left["query_id"].to_numpy()
+    cid = right["vec_id"].to_numpy()
+    out = []
+    for i in range(len(qid)):
+        mask = cid != qid[i]
+        idx = np.flatnonzero(mask)
+        order = np.lexsort((cid[idx], -sel_key[i, idx]))[:_KNN_CELL_K]
+        keep = idx[order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid[i],
+                    "neighbor_id": cid[keep],
+                    "cosine": scores[i, keep],
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True) if out else empty
+
+
+@register(
+    "v12_exact_knn_join",
+    _V12_ORACLE,
+    category="llm-similarity",
+    doc=(
+        "exact cosine kNN JOIN with BOTH sides large — the shape v01 "
+        "cannot serve: v01 broadcasts the query set, which dies when "
+        "the queries are themselves a corpus (self-join dedup prep, "
+        "corpus-vs-corpus linking). Queries (every 10th vector) and "
+        "corpus are tiled into a 4x8 replication grid (1-Bucket-Theta, "
+        "Okcan & Riedewald SIGMOD'11): one co-partitioned shuffle, "
+        "each cell an Arrow-batched numpy matmul emitting per-query "
+        "top-(K+slack) by the global ranking key, then one window "
+        "takes the exact global top-3. Communication B*|Q| + A*|C| "
+        "rows — sqrt-scaling replication, never |Q|x|C| pairs and "
+        "never a broadcast. ORACLE-BACKED: raw float64 cosines get "
+        "their single 6-dp cut in Spark's decimal-exact round, "
+        "matching DuckDB's brute-force join bit-for-bit (v01's "
+        "recipe)."
+    ),
+)
+def v12_exact_knn_join(spark, sf_dir):
+    from ..functions.similarity import to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "v",
+        (F.col("vec_id") % KNN_A).cast("int").alias("qb"),
+    )
+    cb_dim = spark.range(KNN_B).select(F.col("id").cast("int").alias("cb"))
+    qb_dim = spark.range(KNN_A).select(F.col("id").cast("int").alias("qb"))
+    q_rep = q.crossJoin(F.broadcast(cb_dim))
+    c_rep = e.select(
+        F.col("vec_id"),
+        F.col("v").alias("cv"),
+        (F.col("vec_id") % KNN_B).cast("int").alias("cb"),
+    ).crossJoin(F.broadcast(qb_dim))
+    cells = (
+        q_rep.groupBy("qb", "cb")
+        .cogroup(c_rep.groupBy("qb", "cb"))
+        .applyInPandas(
+            _knn_cell_fn,
+            "query_id long, neighbor_id long, cosine double",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cells.select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= KNN_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

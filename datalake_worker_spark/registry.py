@@ -104,6 +104,8 @@ _PRIORITY_NAMES = [
     "a18_kmv_distinct_sketch",
     "t30_bpe_subword_tokens",
     "st21_rocksdb_stateful_totals",
+    "t31_quality_logreg",
+    "v12_exact_knn_join",
     # newest driver row: round 6 (50 queries)
     "a12_grouped_mode",
     "w13_time_weighted_average",

@@ -214,3 +214,189 @@ def test_bpe_registry_query_invariants(spark, sf_dir):
         assert r.n_tokens >= r.n_words > 0
         assert len(r.top_merged) >= 2
         assert r.top_token_n >= r.top_merged_n > 0
+
+
+# ----------------------------------------------------------- t31 logreg
+def _collect_feat(spark, sf_dir):
+    import numpy as np
+
+    from datalake_worker_spark.operators.wave10 import _logreg_features
+    from datalake_worker_spark.sources import load_table
+
+    rows = _logreg_features(load_table(spark, sf_dir, "documents")).collect()
+    X = np.array([[1.0, r.x1, r.x2, r.x3] for r in rows])
+    y = np.array([r.y for r in rows])
+    return X, y
+
+
+def test_logreg_first_step_matches_numpy(spark, sf_dir):
+    """One GD round from w=0 must land within float-noise of the
+    straight numpy gradient step (bit-exactness is the ORACLE's job;
+    this pins the math itself — sign, scale, mean-not-sum)."""
+    import numpy as np
+
+    from datalake_worker_spark.operators.wave10 import (
+        _logreg_features,
+        logreg_train,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    feat = _logreg_features(load_table(spark, sf_dir, "documents"))
+    w1 = np.array(logreg_train(feat, t=1))
+    X, y = _collect_feat(spark, sf_dir)
+    g = (0.5 - y) @ X / len(y)  # sigmoid(0) = 0.5 exactly
+    np.testing.assert_allclose(w1, -0.25 * g, atol=1e-5)
+
+
+def test_logreg_loss_decreases(spark, sf_dir):
+    """5 rounds at LR=0.25 must strictly reduce logloss vs w=0 (ln 2):
+    the feature scaling fixes the Hessian bound L ~ 0.5, so LR < 1/L
+    guarantees descent — measured, not assumed."""
+    import numpy as np
+
+    from datalake_worker_spark.operators.wave10 import (
+        _logreg_features,
+        logreg_train,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    feat = _logreg_features(load_table(spark, sf_dir, "documents"))
+    w = np.array(logreg_train(feat, t=5))
+    X, y = _collect_feat(spark, sf_dir)
+    p = 1.0 / (1.0 + np.exp(-(X @ w)))
+    loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    assert loss < np.log(2.0) * 0.999, loss
+
+
+def test_logreg_plan_gates(spark, sf_dir):
+    """Gradient round = ONE exchange (map-side partial DECIMAL sums
+    are the merge); final scoring = ZERO exchanges (narrow map over
+    the persisted feature frame)."""
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark.operators.wave10 import (
+        _logreg_features,
+        _logreg_p,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    feat = _logreg_features(load_table(spark, sf_dir, "documents"))
+    r = (_logreg_p((0.0, 0.0, 0.0, 0.0)) - F.col("y")).alias("r")
+    agg = feat.select(r, "x1").agg(
+        F.sum(F.round(F.col("r") * F.col("x1"), 9).cast("decimal(28,9)"))
+    )
+    plan = simple_plan(agg).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
+    scored = REGISTRY["t31_quality_logreg"].spark_fn(spark, sf_dir)
+    splan = simple_plan(scored).split("== Initial Plan ==")[0]
+    assert "Exchange" not in splan, splan
+
+
+# ----------------------------------------------------------- v12 knn join
+def test_v12_equals_broadcast_exact(spark, sf_dir):
+    """The grid-blocked join is a parallelism device only: rows must
+    EQUAL v01's broadcast exact path on the same query set."""
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark.functions.similarity import (
+        exact_topk,
+        to_double_array,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    want = sorted(map(tuple, exact_topk(e, q, k=3).collect()))
+    got = sorted(
+        map(
+            tuple,
+            REGISTRY["v12_exact_knn_join"].spark_fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_v12_cross_cell_ties(spark):
+    """All-identical vectors: every cosine rounds to 1.0, so the
+    global top-3 is decided purely by neighbor_id ASC across ALL grid
+    cells — the cell-boundary tie case the per-cell slack must
+    survive. 64 ids spread over every (qb, cb) cell."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark.operators.wave10 import _knn_cell_fn
+
+    # direct cell check: ties keep smallest neighbor ids
+    left = pd.DataFrame(
+        {"query_id": [0], "v": [[1.0, 0.0]], "qb": [0], "cb": [0]}
+    )
+    right = pd.DataFrame(
+        {
+            "vec_id": [9, 3, 5, 0, 7],
+            "cv": [[2.0, 0.0]] * 5,
+            "cb": [0] * 5,
+            "qb": [0] * 5,
+        }
+    )
+    out = _knn_cell_fn(left, right)
+    assert list(out["neighbor_id"][:3]) == [3, 5, 7]  # self (0) excluded
+    # end-to-end: registry-shaped frame with identical vectors
+    root = str(spark._jvm.java.lang.System.getProperty("java.io.tmpdir"))
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dlw_v12_ties_")
+    n = 64
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array([F.lit(1.0)] * 8).cast("array<float>").alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "embeddings.parquet"))
+    )
+    rows = REGISTRY["v12_exact_knn_join"].spark_fn(spark, root).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rn, r.neighbor_id, r.cosine))
+    for qid, nbrs in by_q.items():
+        expect = [i for i in range(n) if i != qid][:3]
+        assert [x[1] for x in sorted(nbrs)] == expect, (qid, nbrs)
+        assert all(abs(x[2] - 1.0) < 1e-9 for x in nbrs)
+    assert len(by_q) == len([i for i in range(0, n, 10)])
+
+
+def test_v12_empty_cell_sides(spark):
+    import pandas as pd
+
+    from datalake_worker_spark.operators.wave10 import _knn_cell_fn
+
+    empty_l = pd.DataFrame({"query_id": [], "v": [], "qb": [], "cb": []})
+    right = pd.DataFrame(
+        {"vec_id": [1], "cv": [[1.0]], "cb": [0], "qb": [0]}
+    )
+    assert len(_knn_cell_fn(empty_l, right)) == 0
+    empty_r = pd.DataFrame({"vec_id": [], "cv": [], "cb": [], "qb": []})
+    left = pd.DataFrame(
+        {"query_id": [1], "v": [[1.0]], "qb": [0], "cb": [0]}
+    )
+    assert len(_knn_cell_fn(left, empty_r)) == 0
+
+
+def test_v12_plan_gate(spark, sf_dir):
+    """Grid join shape: one cogrouped Arrow stage (both sides
+    co-partitioned exchanges), partial top-k pushed below the final
+    window shuffle (WindowGroupLimit map- AND reduce-side), and the
+    only broadcasts are the 4/8-row grid dims (BNLJ count == 2)."""
+    df = REGISTRY["v12_exact_knn_join"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df).split("== Initial Plan ==")[0]
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan

@@ -72,6 +72,8 @@ PROBE = [
     "m08_cdc_chunking",              # CDC word chunking + distinct-sha audit (r9)
     "a18_kmv_distinct_sketch",       # bottom-k distinct set algebra (r10)
     "t30_bpe_subword_tokens",        # iterative BPE trainer — N bounded jobs (r10)
+    "t31_quality_logreg",            # relational GD trainer — T bounded rounds (r10)
+    "v12_exact_knn_join",            # 1-bucket-theta grid kNN join (r10)
 ]
 
 
