@@ -184,6 +184,10 @@ WAVE10 = [
     "st21_rocksdb_stateful_totals",
     "t31_quality_logreg",
     "v12_exact_knn_join",
+    # second wave (same round): published LLM-pipeline trio
+    "t32_repetition_filter",
+    "d18_substring_dedup_spans",
+    "v13_kmeans_clusters",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

@@ -1,0 +1,574 @@
+"""Round-10 second wave: the three published LLM-pipeline operators the
+surface still lacked — Gopher repetition filtering, exact substring-
+dedup spans, and fully-relational k-means clustering.
+
+- t32 Gopher-style repetition filter (Rae et al. 2021, "Scaling
+  Language Models: ... Gopher", Table A1): per-document repetition
+  metrics over word n-grams — the fraction of characters claimed by
+  the single most frequent 2-gram / 3-gram, and the character mass in
+  duplicated 5-grams — plus the keep/drop decision. The corpus here is
+  single-line word streams, so the paper's line-based rules are
+  inapplicable and the n-gram family is the operative one. The
+  duplicated-5-gram mass counts every occurrence (count x gram chars)
+  WITHOUT the paper's sequential overlap de-marking (that is a per-doc
+  scan; the relational variant is a documented upper bound, capped at
+  1.0), so the drop threshold is calibrated accordingly. All
+  numerators are exact integers; the only float op is one final
+  divide + 6-dp round — cross-engine deterministic, ORACLE-BACKED.
+
+  100 TB shape: every shuffle key contains doc_id — (doc_id, n, gram)
+  for the occurrence count, doc_id for the roll-up and the final left
+  join — so there is no corpus-frequency key anywhere: no Zipfian
+  join-back, no hot key possible, map-side partial aggregation on
+  both groupBys. Cost is one explode + two partial-agg exchanges.
+
+- d18 exact substring-dedup spans (Lee et al. ACL'22, "Deduplicating
+  Training Data Makes Language Models Better"): their suffix-array
+  pass marks every substring of length >= L that occurs twice anywhere
+  in the corpus. Relationally: explode char L-grams with positions,
+  keep positions whose gram is corpus-duplicated, and merge each doc's
+  surviving [pos, pos+L-1] intervals into maximal spans (the w18
+  sweep-line island device: a new span starts where pos overshoots the
+  running max end + 1). Span coverage inside an island is contiguous
+  by construction, so covered chars = max(end) - min(start) + 1
+  exactly — no double counting, unlike t32's documented estimator.
+  Output: per-doc span count, deduped char mass, char fraction.
+
+  100 TB shape: the corpus-frequency table IS Zipfian (hot boilerplate
+  grams are the point), so the position->dup-flag join-back goes
+  through the audited ``salted_join`` (skew.py; the r9 audit's tool)
+  with the dup-gram table key-collapsed to one row per gram; the
+  frequency groupBy itself absorbs hot grams map-side. Windows and
+  the final roll-up partition by doc_id. L-grams shuffle as 20-char
+  strings (not hashes) so the oracle is EXACT — no collision caveat.
+
+- v13 relational k-means (Lloyd's algorithm) — the clustering step
+  SemDeDup/IVF currently fit driver-side on a sample (similarity.py:
+  ~100k sha-ranked rows) becomes a full-corpus distributed training
+  loop, the t30/t31 iterative pattern: per round ONE vec_id-keyed
+  aggregation computes all k distances (centroids enter the plan as
+  LITERAL arrays — no join), a when-chain argmin assigns, one
+  (cluster, dim) aggregation re-estimates means, and k x dim rounded
+  values return to the driver as the only model state. Determinism is
+  the t31/a17 discipline taken one step FURTHER: 6-dp-rounded inputs
+  cast to DECIMAL(12,6) and squared EXACTLY (DECIMAL(26,12) products,
+  no intermediate rounding anywhere — ROUND(double, 9) per term is
+  not cross-engine safe at this op's ~2M roundings per run), exact
+  order-independent sums, DECIMAL(18,6) mean numerators, 6-dp
+  centroid round, argmin ties broken by lowest cluster id on EXACT
+  decimal distances. The DuckDB oracle replays the identical unrolled rounds
+  from the identical sha256-ranked init — bit-identical centroids —
+  so per-vector assignments hash-match: ORACLE-BACKED, like t31 and
+  unlike every sampled/driver-fit model in the v-family.
+
+  100 TB shape: per round = one scan of the exploded (vec_id, dim, x)
+  frame (persisted DISK_ONLY, recomputable — the r9 cache class), one
+  vec_id exchange for distances, one vec_id-keyed join + one
+  (cluster, dim) partial agg for means; driver traffic k*dim doubles.
+  No broadcast of anything data-sized; no all-pairs anywhere.
+
+Reference parity note: the reference (696-LoC Rust chunk store,
+src/lib.rs) has no analytics surface; these extend SURVEY §2.2's
+beyond-reference LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .skew import salted_join
+
+# ---------------------------------------------------------------------------
+# t32: Gopher repetition filter
+# ---------------------------------------------------------------------------
+
+#: Gopher Table A1 thresholds for the top-n-gram character fractions.
+T32_TOP2_MAX = 0.20
+T32_TOP3_MAX = 0.18
+#: duplicated-5-gram char-mass bound — calibrated for the overlap-
+#: counting relational estimator (the paper's 0.15 assumes de-marked
+#: overlaps; every occurrence counted inflates repeated text ~Lx).
+T32_DUP5_MAX = 0.60
+
+_T32_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, 2 AS n, array_to_string(w[i:i+1], ' ') AS gram
+        FROM d, UNNEST(range(1, len(w) - 2 + 2)) AS t(i)
+        UNION ALL
+        SELECT doc_id, 3 AS n, array_to_string(w[i:i+2], ' ') AS gram
+        FROM d, UNNEST(range(1, len(w) - 3 + 2)) AS t(i)
+        UNION ALL
+        SELECT doc_id, 5 AS n, array_to_string(w[i:i+4], ' ') AS gram
+        FROM d, UNNEST(range(1, len(w) - 5 + 2)) AS t(i)
+    ),
+    c AS (
+        SELECT doc_id, n, gram, COUNT(*) AS c,
+               COUNT(*) * length(gram) AS mass
+        FROM g GROUP BY doc_id, n, gram
+    ),
+    m AS (
+        SELECT doc_id,
+               MAX(CASE WHEN n = 2 THEN mass END) AS m2,
+               MAX(CASE WHEN n = 3 THEN mass END) AS m3,
+               SUM(CASE WHEN n = 5 AND c >= 2 THEN mass ELSE 0 END) AS m5
+        FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(LEAST(COALESCE(m.m2, 0) / CAST(d.n_chars AS DOUBLE),
+                       1.0), 6) AS top2gram_frac,
+           ROUND(LEAST(COALESCE(m.m3, 0) / CAST(d.n_chars AS DOUBLE),
+                       1.0), 6) AS top3gram_frac,
+           ROUND(LEAST(COALESCE(m.m5, 0) / CAST(d.n_chars AS DOUBLE),
+                       1.0), 6) AS dup5gram_frac,
+           CAST(CASE WHEN
+                LEAST(COALESCE(m.m2, 0) / CAST(d.n_chars AS DOUBLE), 1.0)
+                    > {T32_TOP2_MAX}
+                OR LEAST(COALESCE(m.m3, 0) / CAST(d.n_chars AS DOUBLE), 1.0)
+                    > {T32_TOP3_MAX}
+                OR LEAST(COALESCE(m.m5, 0) / CAST(d.n_chars AS DOUBLE), 1.0)
+                    > {T32_DUP5_MAX}
+                THEN 0 ELSE 1 END AS BIGINT) AS keep
+    FROM d LEFT JOIN m USING (doc_id)
+"""
+
+
+def _word_grams(d, n: int):
+    """Word n-grams of the pre-split array `w` as space-joined strings.
+
+    The sequence is guarded: Spark's sequence(1, stop) DESCENDS when
+    stop < 1 (unlike DuckDB's empty range), so short docs must yield
+    zero grams explicitly.
+    """
+    seq = F.when(
+        F.size("w") >= n, F.sequence(F.lit(1), F.size("w") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return d.select(
+        "doc_id",
+        F.lit(n).alias("n"),
+        F.explode(
+            F.transform(seq, lambda i: F.concat_ws(" ", F.slice("w", i, n)))
+        ).alias("gram"),
+    )
+
+
+@register(
+    "t32_repetition_filter",
+    _T32_ORACLE,
+    category="llm-text",
+    doc=(
+        "Gopher-style repetition filter (Rae et al. 2021 Table A1): "
+        "per-doc top-2-gram / top-3-gram char fraction and duplicated-"
+        "5-gram char mass (documented overlap-counting upper bound, "
+        "capped at 1), plus the keep decision. Exact integer "
+        "numerators, one 6-dp divide. Every shuffle key contains "
+        "doc_id — no corpus-frequency key, no Zipfian join-back "
+        "possible; two partial-agg exchanges + one doc_id join."
+    ),
+)
+def t32_repetition_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "n_chars", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    g = (
+        _word_grams(d, 2)
+        .unionByName(_word_grams(d, 3))
+        .unionByName(_word_grams(d, 5))
+    )
+    c = g.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"),
+        (F.count(F.lit(1)) * F.length("gram")).alias("mass"),
+    )
+    m = c.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("mass"))).alias("m2"),
+        F.max(F.when(F.col("n") == 3, F.col("mass"))).alias("m3"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("mass"))
+            .otherwise(F.lit(0))
+        ).alias("m5"),
+    )
+    nc = F.col("n_chars").cast("double")
+    fracs = {
+        name: F.round(
+            F.least(F.coalesce(F.col(src), F.lit(0)) / nc, F.lit(1.0)), 6
+        )
+        for name, src in (
+            ("top2gram_frac", "m2"),
+            ("top3gram_frac", "m3"),
+            ("dup5gram_frac", "m5"),
+        )
+    }
+    drop = (
+        (fracs["top2gram_frac"] > T32_TOP2_MAX)
+        | (fracs["top3gram_frac"] > T32_TOP3_MAX)
+        | (fracs["dup5gram_frac"] > T32_DUP5_MAX)
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            fracs["top2gram_frac"].alias("top2gram_frac"),
+            fracs["top3gram_frac"].alias("top3gram_frac"),
+            fracs["dup5gram_frac"].alias("dup5gram_frac"),
+            F.when(drop, F.lit(0)).otherwise(F.lit(1)).cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d18: exact substring-dedup spans
+# ---------------------------------------------------------------------------
+
+#: marked-substring length (Lee et al. use 50 BPE tokens on web text;
+#: 20 chars is the same ~4-5-word granularity on this corpus's short
+#: synthetic docs).
+D18_L = 20
+
+_D18_ORACLE = f"""
+    WITH d AS (SELECT doc_id, text, n_chars FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               substr(text, CAST(i AS INTEGER), {D18_L}) AS gram
+        FROM d, UNNEST(range(1, length(text) - {D18_L} + 2)) AS t(i)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    p AS (
+        SELECT g.doc_id, g.pos, g.pos + {D18_L} - 1 AS e
+        FROM g JOIN dup USING (gram)
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN MAX(e) OVER w1 IS NULL
+                         OR pos > MAX(e) OVER w1 + 1
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM p
+        WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    spans AS (
+        SELECT doc_id, isl, MAX(e) - MIN(pos) + 1 AS covered
+        FROM (
+            SELECT doc_id, pos, e,
+                   SUM(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM isl
+        ) GROUP BY doc_id, isl
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(covered) AS BIGINT) AS dup_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.dup_chars, 0) AS dup_chars,
+           ROUND(COALESCE(a.dup_chars, 0) / CAST(d.n_chars AS DOUBLE),
+                 6) AS dup_frac
+    FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "d18_substring_dedup_spans",
+    _D18_ORACLE,
+    category="llm-dedup",
+    doc=(
+        "exact substring-dedup span marking (Lee et al. ACL'22): every "
+        f"char {D18_L}-gram duplicated anywhere in the corpus marks its "
+        "[pos, pos+L-1] interval; per-doc intervals merge into maximal "
+        "spans via the w18 sweep-line island window, coverage exact "
+        "(contiguous within an island by construction). The Zipfian "
+        "gram join-back (hot boilerplate grams are the point of the "
+        "op) goes through the audited salted_join with a key-collapsed "
+        "dup-gram table; the frequency groupBy absorbs hot grams in "
+        "map-side partials. Grams shuffle as the raw 20-char strings, "
+        "so the DuckDB oracle is exact — no hash-collision caveat."
+    ),
+)
+def d18_substring_dedup_spans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= D18_L,
+                F.sequence(F.lit(1), F.length("text") - D18_L + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"substring(text, pos, {D18_L})").alias("gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    p = salted_join(g, dup, "gram", how="inner").select(
+        "doc_id", "pos", (F.col("pos") + D18_L - 1).alias("e")
+    )
+    w1 = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w2 = W.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        p.withColumn("prev_e", F.max("e").over(w1))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev_e").isNull()
+                | (F.col("pos") > F.col("prev_e") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w2))
+        .groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("pos") + 1).alias("covered"))
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("covered").alias("dup_chars"),
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long")
+            .alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.col("n_chars").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# v13: relational k-means (Lloyd's), oracle-backed
+# ---------------------------------------------------------------------------
+
+KM_K = 4
+KM_ITERS = 3
+KM_DIM = 64
+
+
+def _km_exploded(spark, sf_dir):
+    """(vec_id, d, x): 1-based dimension index, 6-dp-rounded double."""
+    from ..functions.similarity import to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    return e.select(
+        "vec_id", F.posexplode("v").alias("p", "xr")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("d"),
+        F.round("xr", 6).alias("x"),
+    )
+
+
+def _km_init(ex) -> dict[int, list[float]]:
+    """Initial centroids: the KM_K vectors with the smallest
+    sha256(vec_id) digests, cluster id = digest rank — deterministic
+    and sha-scattered (the similarity.py sampling convention), and
+    exactly replayable in the oracle's ROW_NUMBER OVER (ORDER BY
+    sha256)."""
+    ids = [
+        r.vec_id
+        for r in ex.select("vec_id")
+        .distinct()
+        .select(
+            "vec_id", F.sha2(F.col("vec_id").cast("string"), 256).alias("h")
+        )
+        .orderBy("h")
+        .limit(KM_K)
+        .collect()
+    ]
+    rows = ex.filter(F.col("vec_id").isin(ids)).collect()
+    by_id: dict[int, list[float]] = {i: [0.0] * KM_DIM for i in ids}
+    for r in rows:
+        by_id[r.vec_id][r.d - 1] = r.x
+    return {j: by_id[i] for j, i in enumerate(ids)}
+
+
+def _km_dists(ex, cents: dict[int, list[float]]):
+    """One vec_id-keyed aggregation computing ALL k squared distances:
+    centroids are literal arrays (no join). The arithmetic is PURE
+    DECIMAL end-to-end — 6-dp inputs cast to DECIMAL(12,6), exact
+    products DECIMAL(26,12), exact order-independent sums — because
+    ROUND(double, 9) per term is NOT cross-engine safe: Spark rounds
+    the shortest decimal representation (BigDecimal.valueOf), DuckDB
+    the full binary expansion, and at ~2M roundings per run a 1e-9
+    disagreement is likely (one flipped a sum's 6th decimal at
+    sf0.1). Exact products have no rounding step to disagree on."""
+    aggs = []
+    for j in range(KM_K):
+        carr = F.array(*[F.lit(v) for v in cents[j]])
+        diff = F.col("x").cast("decimal(12,6)") - F.element_at(
+            carr, F.col("d")
+        ).cast("decimal(12,6)")
+        aggs.append(F.sum(diff * diff).alias(f"d{j}"))
+    return ex.groupBy("vec_id").agg(*aggs)
+
+
+def _km_assign(dists):
+    """Argmin over the k exact-decimal distance columns; the when-chain
+    takes the LOWEST cluster id on ties (the oracle's ORDER BY dist,
+    cl)."""
+    dcols = [F.col(f"d{j}") for j in range(KM_K)]
+    m = F.least(*dcols)
+    cl = F.lit(None)
+    for j in reversed(range(KM_K)):
+        cl = F.when(dcols[j] == m, F.lit(j)).otherwise(cl)
+    return dists.select(
+        "vec_id", cl.cast("long").alias("cluster"), m.alias("mdist")
+    )
+
+
+def kmeans_train(ex, iters: int = KM_ITERS) -> dict[int, list[float]]:
+    """Lloyd's: per round one distance aggregation, one argmin, one
+    (cluster, dim) mean — k*dim rounded doubles to the driver. Empty
+    clusters keep their previous centroid."""
+    cents = _km_init(ex)
+    for _ in range(iters):
+        assign = _km_assign(_km_dists(ex, cents))
+        upd = (
+            ex.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c")
+            )
+            .collect()
+        )
+        nxt = {j: list(cents[j]) for j in range(KM_K)}
+        for r in upd:
+            nxt[r.cluster][r.d - 1] = r.c
+        cents = nxt
+    return cents
+
+
+def _km_iter_ctes(i: int) -> str:
+    """One unrolled Lloyd round for the DuckDB oracle: identical exact
+    DECIMAL distance sums, (dist, cl) argmin, DECIMAL mean numerators
+    and 6-dp centroid round; empty clusters carry c{i} forward."""
+    return f""",
+    dist{i} AS MATERIALIZED (
+        SELECT e.vec_id, c.cl,
+               SUM((CAST(e.x AS DECIMAL(12,6)) - CAST(c.c AS DECIMAL(12,6)))
+                   * (CAST(e.x AS DECIMAL(12,6))
+                      - CAST(c.c AS DECIMAL(12,6)))) AS dist
+        FROM e JOIN c{i} c USING (d) GROUP BY e.vec_id, c.cl
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+            FROM dist{i}) WHERE rn = 1
+    ),
+    c{i + 1} AS MATERIALIZED (
+        SELECT c.cl, c.d, COALESCE(u.c2, c.c) AS c
+        FROM c{i} c LEFT JOIN (
+            SELECT a.cl, e.d,
+                   ROUND(CAST(SUM(CAST(e.x AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS c2
+            FROM a{i} a JOIN e USING (vec_id) GROUP BY a.cl, e.d
+        ) u ON u.cl = c.cl AND u.d = c.d
+    )"""
+
+
+def _km_oracle_sql(iters: int = KM_ITERS) -> str:
+    head = f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(t.d + 1 AS INTEGER) AS d,
+               ROUND(CAST(embedding[CAST(t.d + 1 AS INTEGER)] AS DOUBLE),
+                     6) AS x
+        FROM embeddings, UNNEST(range(0, {KM_DIM})) AS t(d)
+    ),
+    init AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY sha256(CAST(vec_id AS VARCHAR))) - 1 AS INTEGER) AS cl
+        FROM (SELECT DISTINCT vec_id FROM embeddings)
+        QUALIFY cl < {KM_K}
+    ),
+    c0 AS MATERIALIZED (
+        SELECT i.cl, e.d, e.x AS c FROM init i JOIN e USING (vec_id)
+    )"""
+    body = "".join(_km_iter_ctes(i) for i in range(iters))
+    tail = f""",
+    distF AS (
+        SELECT e.vec_id, c.cl,
+               SUM((CAST(e.x AS DECIMAL(12,6)) - CAST(c.c AS DECIMAL(12,6)))
+                   * (CAST(e.x AS DECIMAL(12,6))
+                      - CAST(c.c AS DECIMAL(12,6)))) AS dist
+        FROM e JOIN c{iters} c USING (d) GROUP BY e.vec_id, c.cl
+    )
+    SELECT vec_id, CAST(cl AS BIGINT) AS cluster,
+           CAST(ROUND(dist, 6) AS DOUBLE) AS dist
+    FROM (
+        SELECT vec_id, cl, dist, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+        FROM distF) WHERE rn = 1"""
+    return head + body + tail
+
+
+@register(
+    "v13_kmeans_clusters",
+    _km_oracle_sql(),
+    category="llm-similarity",
+    doc=(
+        "fully-relational k-means (Lloyd's) — distributed model "
+        f"TRAINING like t31, not a driver-side sample fit: {KM_ITERS} "
+        "rounds, each ONE vec_id-keyed aggregation computing all "
+        f"{KM_K} squared distances with centroids as literal arrays "
+        "(no join), a when-chain argmin (lowest cluster on ties), one "
+        "(cluster, dim) DECIMAL mean; k*dim rounded doubles of driver "
+        "state per round. Exact DECIMAL(26,12) squared-term products "
+        "make every distance exact and order-independent; the DuckDB "
+        "oracle replays identical unrolled rounds from the identical "
+        "sha256-ranked init — bit-identical centroids, hash-green "
+        "assignments. 100 TB: exploded frame persists DISK_ONLY "
+        "(recomputable); per round one scan + one vec_id exchange + "
+        "one bounded (cluster, dim) partial agg; no broadcast of "
+        "anything data-sized."
+    ),
+)
+def v13_kmeans_clusters(spark, sf_dir):
+    ex = _km_exploded(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    cents = kmeans_train(ex, KM_ITERS)
+    out = _km_assign(_km_dists(ex, cents))
+    # round the exact DECIMAL, THEN cast: rounding after a double cast
+    # loses the half-way cases a 9-dp decimal can park exactly on the
+    # 6th decimal (one row at sf0.1 did: ....8425 -> engines disagree
+    # on the double's nearest 6-dp neighbour; the decimal rounds
+    # identically HALF_UP in both).
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.round(F.col("mdist"), 6).cast("double").alias("dist"),
+    )

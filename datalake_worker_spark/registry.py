@@ -106,6 +106,9 @@ _PRIORITY_NAMES = [
     "st21_rocksdb_stateful_totals",
     "t31_quality_logreg",
     "v12_exact_knn_join",
+    "t32_repetition_filter",
+    "d18_substring_dedup_spans",
+    "v13_kmeans_clusters",
     # newest driver row: round 6 (50 queries)
     "a12_grouped_mode",
     "w13_time_weighted_average",
@@ -340,6 +343,7 @@ _MODULE_ORDER = [
     "operators.wave9",
     "streaming.spacesaving",
     "operators.wave10",
+    "operators.wave11",
 ]
 
 
@@ -402,6 +406,7 @@ def _load_all():
     from .operators import wave9  # noqa: F401  (round-9 additions)
     from .streaming import spacesaving  # noqa: F401  (round-9 additions)
     from .operators import wave10  # noqa: F401  (round-10 additions)
+    from .operators import wave11  # noqa: F401  (round-10 second wave)
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

@@ -1,0 +1,280 @@
+"""Round-10 second-wave tests: t32 Gopher repetition filter (hand-
+computed metrics, planted drop/keep), d18 substring-dedup spans
+(planted cross-doc + intra-doc duplicates, overlap merging, zero
+rows), v13 relational k-means (python-reference replay, Lloyd descent,
+tie-break, plan gates)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.operators.wave11 import (
+    D18_L,
+    KM_DIM,
+    KM_K,
+    _km_assign,
+    _km_dists,
+    kmeans_train,
+)
+from datalake_worker_spark.plans.inspect import simple_plan
+from datalake_worker_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.Table.from_pylist(
+        [
+            dict(
+                doc_id=i, text=s, lang="en", source="s", n_chars=len(s)
+            )
+            for i, s in enumerate(texts)
+        ]
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# t32
+# ---------------------------------------------------------------------------
+
+
+def test_t32_hand_computed_metrics(spark, tmp_path):
+    """doc 'x y x y z' (9 chars): top 2-gram 'x y' count 2, mass 6 ->
+    6/9; top 3-gram mass 5 -> 5/9; no duplicated 5-gram -> 0."""
+    sf = _write_docs(tmp_path, ["x y x y z"])
+    r = REGISTRY["t32_repetition_filter"].spark_fn(spark, sf).collect()[0]
+    assert r.top2gram_frac == round(6 / 9, 6)
+    assert r.top3gram_frac == round(5 / 9, 6)
+    assert r.dup5gram_frac == 0.0
+    assert r.keep == 0  # 0.667 > 0.20
+
+
+def test_t32_planted_drop_and_keep(spark, tmp_path):
+    """A pathological repeater is dropped; a diverse doc is kept; a doc
+    too short for any 2-gram gets zero metrics and is kept."""
+    rep = "spam ham " * 30  # one dominant 2-gram
+    div = " ".join(f"w{i:03d}" for i in range(60))  # all grams unique
+    sf = _write_docs(tmp_path, [rep.strip(), div, "one"])
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["t32_repetition_filter"].spark_fn(spark, sf).collect()
+    }
+    assert out[0].keep == 0 and out[0].top2gram_frac > 0.5
+    # duplicated 5-grams cover the whole repeated doc (capped at 1)
+    assert out[0].dup5gram_frac == 1.0
+    assert out[1].keep == 1
+    assert out[1].dup5gram_frac == 0.0
+    assert out[2].keep == 1
+    assert out[2].top2gram_frac == 0.0
+
+
+def test_t32_no_join_on_gram_keys(spark, sf_dir):
+    """Every shuffle key contains doc_id — the plan must contain no
+    join at all except the final doc_id left join (no Zipfian
+    gram-keyed join-back possible)."""
+    plan = simple_plan(REGISTRY["t32_repetition_filter"].spark_fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # gram never appears as a join key: the only join keys are doc_id
+    for line in plan.splitlines():
+        if "Join" in line and "gram" in line:
+            raise AssertionError(f"gram-keyed join found: {line}")
+
+
+# ---------------------------------------------------------------------------
+# d18
+# ---------------------------------------------------------------------------
+
+
+def test_d18_planted_cross_doc_duplicate(spark, tmp_path):
+    """Two docs share a 30-char run -> both get one span covering the
+    run (plus the following space, which both docs also share — the
+    span is the maximal common substring, not the planted phrase); a
+    unique doc gets zeros."""
+    shared = "The quick brown fox jumps over"  # 30 chars
+    a = shared + " the lazy dog in doc zero padding text"
+    b = "doc one opens differently " + shared + " and then diverges"
+    c = "totally unique content with no twenty char repeats anywhere"
+    sf = _write_docs(tmp_path, [a, b, c])
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["d18_substring_dedup_spans"].spark_fn(spark, sf).collect()
+    }
+    assert out[0].n_spans == 1 and out[0].dup_chars == len(shared) + 1
+    assert out[1].n_spans == 1 and out[1].dup_chars == len(shared) + 1
+    assert out[2].n_spans == 0 and out[2].dup_chars == 0
+    assert out[2].dup_frac == 0.0
+
+
+def test_d18_intra_doc_duplicate_and_merge(spark, tmp_path):
+    """A doc repeating its own 25-char phrase marks BOTH occurrences;
+    overlapping marked intervals merge into maximal spans with exact
+    (non-double-counted) coverage."""
+    phrase = "abcdefghijklmnopqrstuvwxy"  # 25 chars
+    gap = " 123 456 789 012 345 678 "
+    text = phrase + gap + phrase
+    sf = _write_docs(tmp_path, [text])
+    r = REGISTRY["d18_substring_dedup_spans"].spark_fn(spark, sf).collect()[0]
+    # every L-gram inside each phrase occurrence is duplicated (the
+    # other occurrence has it), so each occurrence is one 25-char span
+    assert r.n_spans == 2
+    assert r.dup_chars == 2 * len(phrase)
+    assert r.dup_frac == round(2 * len(phrase) / len(text), 6)
+
+
+def test_d18_full_doc_duplicate(spark, tmp_path):
+    """Verbatim duplicate docs are fully covered (dup_frac 1.0) — the
+    Lee et al. motivating case."""
+    t = "exact duplicate document body used twice for the span test"
+    sf = _write_docs(tmp_path, [t, t])
+    for r in REGISTRY["d18_substring_dedup_spans"].spark_fn(spark, sf).collect():
+        assert r.n_spans == 1
+        assert r.dup_chars == len(t)
+        assert r.dup_frac == 1.0
+
+
+def test_d18_salted_join_in_plan(spark, sf_dir):
+    """The Zipfian gram join-back must go through salted_join: the join
+    key list includes the _salt column."""
+    plan = simple_plan(
+        REGISTRY["d18_substring_dedup_spans"].spark_fn(spark, sf_dir)
+    )
+    assert "_salt" in plan
+
+
+# ---------------------------------------------------------------------------
+# v13
+# ---------------------------------------------------------------------------
+
+
+def _blob_of():
+    """Blob membership keyed off the sha256 init ranking so the 4
+    seeds (the sha-smallest ids) land one per blob — with seeds
+    spread, Lloyd provably recovers tight well-separated blobs."""
+    order = sorted(
+        range(16), key=lambda v: hashlib.sha256(str(v).encode()).hexdigest()
+    )
+    return {vid: i % 4 for i, vid in enumerate(order)}, {
+        vid: i // 4 for i, vid in enumerate(order)
+    }
+
+
+def _planted_ex(spark):
+    """16 vectors in 4 tight blobs on the first two dims (all other
+    dims zero): blob b at (10b + off*0.1, 10b)."""
+    blob, off = _blob_of()
+    rows = []
+    for vid in range(16):
+        b, j = blob[vid], off[vid]
+        for d in range(1, KM_DIM + 1):
+            x = 0.0
+            if d == 1:
+                x = 10.0 * b + 0.1 * j
+            elif d == 2:
+                x = 10.0 * b
+            rows.append((vid, d, x))
+    return spark.createDataFrame(rows, "vec_id long, d int, x double")
+
+
+def _py_kmeans(rows, iters):
+    """Plain-python replay of the relational algorithm (float math is
+    fine here: the planted values are exact in binary and widely
+    separated, so decimal-vs-float differences cannot flip anything)."""
+    vecs = {}
+    for vid, d, x in rows:
+        vecs.setdefault(vid, [0.0] * KM_DIM)[d - 1] = x
+    ids = sorted(vecs, key=lambda v: hashlib.sha256(str(v).encode()).hexdigest())[
+        :KM_K
+    ]
+    cents = {j: list(vecs[i]) for j, i in enumerate(ids)}
+    for _ in range(iters):
+        assign = {}
+        for vid, v in vecs.items():
+            dists = [
+                (sum((a - b) ** 2 for a, b in zip(v, cents[j])), j)
+                for j in range(KM_K)
+            ]
+            assign[vid] = min(dists)[1]
+        for j in range(KM_K):
+            members = [vecs[v] for v, c in assign.items() if c == j]
+            if members:
+                cents[j] = [
+                    round(sum(col) / len(members), 6) for col in zip(*members)
+                ]
+    return cents, assign
+
+
+def test_v13_matches_python_reference(spark):
+    ex = _planted_ex(spark)
+    rows = [(r.vec_id, r.d, r.x) for r in ex.collect()]
+    want_cents, want_assign = _py_kmeans(rows, 2)
+    cents = kmeans_train(ex, iters=2)
+    for j in range(KM_K):
+        assert cents[j] == want_cents[j], f"cluster {j}"
+    got = {
+        r.vec_id: r.cluster
+        for r in _km_assign(_km_dists(ex, cents)).collect()
+    }
+    assert got == want_assign
+
+
+def test_v13_blobs_recovered(spark):
+    """After 2 rounds the 4 planted blobs are exactly the 4 clusters."""
+    ex = _planted_ex(spark)
+    blob, _ = _blob_of()
+    cents = kmeans_train(ex, iters=2)
+    a = {r.vec_id: r.cluster for r in _km_assign(_km_dists(ex, cents)).collect()}
+    for b in range(4):
+        got = {a[v] for v in range(16) if blob[v] == b}
+        assert len(got) == 1, f"blob {b} split across clusters: {got}"
+
+
+def test_v13_lloyd_descent(spark, sf_dir):
+    """Within-cluster SSE is non-increasing across rounds (6-dp
+    centroid rounding can wiggle the tail, hence the epsilon)."""
+    from datalake_worker_spark.operators.wave11 import _km_exploded
+
+    ex = _km_exploded(spark, sf_dir).cache()
+    sses = []
+    for iters in (0, 1, 2, 3):
+        cents = kmeans_train(ex, iters=iters)
+        sse = (
+            _km_assign(_km_dists(ex, cents))
+            .agg(F.sum(F.col("mdist").cast("double")))
+            .collect()[0][0]
+        )
+        sses.append(sse)
+    ex.unpersist()
+    for a, b in zip(sses, sses[1:]):
+        assert b <= a + 1e-6, sses
+
+
+def test_v13_argmin_tie_takes_lowest_cluster(spark):
+    """A vector exactly between two centroids lands in the lower id."""
+    rows = [(0, d, 0.0) for d in range(1, KM_DIM + 1)]
+    ex = spark.createDataFrame(rows, "vec_id long, d int, x double")
+    cents = {j: [0.0] * KM_DIM for j in range(KM_K)}
+    cents[1][0] = 1.0
+    cents[2][0] = 1.0  # clusters 1 and 2 equidistant; 0 and 3 at 0
+    cents[0][0] = 1.0
+    cents[3][0] = 1.0  # all four equidistant now
+    got = _km_assign(_km_dists(ex, cents)).collect()[0]
+    assert got.cluster == 0
+
+
+def test_v13_distance_plan_no_join_one_exchange(spark, sf_dir):
+    """Centroids enter as literals: the distance aggregation plan has
+    NO join and exactly one exchange (the vec_id groupBy)."""
+    from datalake_worker_spark.operators.wave11 import _km_exploded, _km_init
+
+    ex = _km_exploded(spark, sf_dir)
+    cents = _km_init(ex)
+    plan = simple_plan(_km_dists(ex, cents))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

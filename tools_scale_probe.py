@@ -74,6 +74,9 @@ PROBE = [
     "t30_bpe_subword_tokens",        # iterative BPE trainer — N bounded jobs (r10)
     "t31_quality_logreg",            # relational GD trainer — T bounded rounds (r10)
     "v12_exact_knn_join",            # 1-bucket-theta grid kNN join (r10)
+    "t32_repetition_filter",         # doc-local n-gram repetition metrics (r10)
+    "d18_substring_dedup_spans",     # corpus-dup L-gram spans, salted join-back (r10)
+    "v13_kmeans_clusters",           # relational Lloyd — per-round vec_id agg (r10)
 ]
 
 
