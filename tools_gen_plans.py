@@ -55,6 +55,12 @@ FLAGSHIP = [
     ("a17_ddsketch_quantiles", "DDSketch: partial-agg counter merge, window over counter rows, final agg reuses the g-partitioning — two exchanges total"),
     ("m08_cdc_chunking", "CDC chunking: one posexplode, per-doc boundary windows, (doc,chunk) rebuild, distinct-sha wide stage"),
     ("t10_unigram_logprob", "salted Zipfian token join: freq table replicated 8x, hot tokens spread over (tok, salt) reducers"),
+    # round-10 additions
+    ("a18_kmv_distinct_sketch", "KMV sketch: one distinct + bucketed two-phase bottom-k; set algebra on model-sized frames"),
+    ("v12_exact_knn_join", "kNN join: 4x8 replication grid, ONE cogroup shuffle, per-cell Arrow matmul, global window top-3"),
+    ("t32_repetition_filter", "repetition filter: every shuffle key contains doc_id — no corpus-frequency key anywhere"),
+    ("d18_substring_dedup_spans", "substring spans: gram partial-agg, salted dup join-back, doc-local island windows"),
+    ("v13_kmeans_clusters", "k-means: literal centroids (no join), ONE vec_id exchange per round, exact decimal distances"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
