@@ -16,11 +16,18 @@ dedup spans, and fully-relational k-means clustering.
   numerators are exact integers; the only float op is one final
   divide + 6-dp round — cross-engine deterministic, ORACLE-BACKED.
 
+  "Top n-gram" is the MOST FREQUENT gram (max count; max char mass
+  among count ties — a lexicographic struct max in both engines), not
+  the max of count*len over all grams, which would let a long
+  once-occurring gram outweigh a repeated short one.
+
   100 TB shape: every shuffle key contains doc_id — (doc_id, n, gram)
   for the occurrence count, doc_id for the roll-up and the final left
   join — so there is no corpus-frequency key anywhere: no Zipfian
   join-back, no hot key possible, map-side partial aggregation on
-  both groupBys. Cost is one explode + two partial-agg exchanges.
+  both groupBys. All three gram orders are emitted as (n, gram)
+  structs concatenated before ONE explode, so the corpus is scanned
+  once: one explode + two partial-agg exchanges total.
 
 - d18 exact substring-dedup spans (Lee et al. ACL'22, "Deduplicating
   Training Data Makes Language Models Better"): their suffix-array
@@ -116,33 +123,43 @@ _T32_ORACLE = rf"""
         FROM g GROUP BY doc_id, n, gram
     ),
     m AS (
+        -- (max count, then max mass) argmax as ONE integer max:
+        -- c*10^12 + mass orders identically to the lexicographic
+        -- (c, mass) struct max Spark runs (DuckDB's struct-max
+        -- aggregate measured 160x slower at the 10x corpus; valid
+        -- while per-doc mass < 10^12 and c < 9.2e6 — documents
+        -- orders of magnitude beyond any real doc)
         SELECT doc_id,
-               MAX(CASE WHEN n = 2 THEN mass END) AS m2,
-               MAX(CASE WHEN n = 3 THEN mass END) AS m3,
+               MAX(CASE WHEN n = 2 THEN c * 1000000000000 + mass END)
+                   % 1000000000000 AS m2,
+               MAX(CASE WHEN n = 3 THEN c * 1000000000000 + mass END)
+                   % 1000000000000 AS m3,
                SUM(CASE WHEN n = 5 AND c >= 2 THEN mass ELSE 0 END) AS m5
         FROM c GROUP BY doc_id
+    ),
+    f AS (
+        SELECT d.doc_id,
+               ROUND(LEAST(COALESCE(m.m2, 0) / CAST(d.n_chars AS DOUBLE),
+                           1.0), 6) AS top2gram_frac,
+               ROUND(LEAST(COALESCE(m.m3, 0) / CAST(d.n_chars AS DOUBLE),
+                           1.0), 6) AS top3gram_frac,
+               ROUND(LEAST(COALESCE(m.m5, 0) / CAST(d.n_chars AS DOUBLE),
+                           1.0), 6) AS dup5gram_frac
+        FROM d LEFT JOIN m USING (doc_id)
     )
-    SELECT d.doc_id,
-           ROUND(LEAST(COALESCE(m.m2, 0) / CAST(d.n_chars AS DOUBLE),
-                       1.0), 6) AS top2gram_frac,
-           ROUND(LEAST(COALESCE(m.m3, 0) / CAST(d.n_chars AS DOUBLE),
-                       1.0), 6) AS top3gram_frac,
-           ROUND(LEAST(COALESCE(m.m5, 0) / CAST(d.n_chars AS DOUBLE),
-                       1.0), 6) AS dup5gram_frac,
-           CAST(CASE WHEN
-                LEAST(COALESCE(m.m2, 0) / CAST(d.n_chars AS DOUBLE), 1.0)
-                    > {T32_TOP2_MAX}
-                OR LEAST(COALESCE(m.m3, 0) / CAST(d.n_chars AS DOUBLE), 1.0)
-                    > {T32_TOP3_MAX}
-                OR LEAST(COALESCE(m.m5, 0) / CAST(d.n_chars AS DOUBLE), 1.0)
-                    > {T32_DUP5_MAX}
+    SELECT doc_id, top2gram_frac, top3gram_frac, dup5gram_frac,
+           CAST(CASE WHEN top2gram_frac > {T32_TOP2_MAX}
+                     OR top3gram_frac > {T32_TOP3_MAX}
+                     OR dup5gram_frac > {T32_DUP5_MAX}
                 THEN 0 ELSE 1 END AS BIGINT) AS keep
-    FROM d LEFT JOIN m USING (doc_id)
+    FROM f
 """
 
 
-def _word_grams(d, n: int):
-    """Word n-grams of the pre-split array `w` as space-joined strings.
+def _gram_structs(n: int):
+    """(n, gram) structs for all word n-grams of the pre-split array
+    `w` — one array expression per gram order, concatenated so ALL
+    orders come out of ONE explode over ONE scan.
 
     The sequence is guarded: Spark's sequence(1, stop) DESCENDS when
     stop < 1 (unlike DuckDB's empty range), so short docs must yield
@@ -151,12 +168,12 @@ def _word_grams(d, n: int):
     seq = F.when(
         F.size("w") >= n, F.sequence(F.lit(1), F.size("w") - n + 1)
     ).otherwise(F.array().cast("array<int>"))
-    return d.select(
-        "doc_id",
-        F.lit(n).alias("n"),
-        F.explode(
-            F.transform(seq, lambda i: F.concat_ws(" ", F.slice("w", i, n)))
-        ).alias("gram"),
+    return F.transform(
+        seq,
+        lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice("w", i, n)).alias("gram"),
+        ),
     )
 
 
@@ -179,18 +196,24 @@ def t32_repetition_filter(spark, sf_dir):
     d = docs.select(
         "doc_id", "n_chars", F.split(F.trim("text"), r"\s+").alias("w")
     )
-    g = (
-        _word_grams(d, 2)
-        .unionByName(_word_grams(d, 3))
-        .unionByName(_word_grams(d, 5))
-    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(_gram_structs(2), _gram_structs(3), _gram_structs(5))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     c = g.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("c"),
         (F.count(F.lit(1)) * F.length("gram")).alias("mass"),
     )
+    # the TOP gram is the MOST FREQUENT one (max count, max mass among
+    # count ties) — a lexicographic struct max, NOT max(mass), which
+    # would let a long once-occurring gram outweigh a repeated short
+    # one and mis-drop repetition-free docs
+    top = F.struct(F.col("c"), F.col("mass"))
     m = c.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 2, F.col("mass"))).alias("m2"),
-        F.max(F.when(F.col("n") == 3, F.col("mass"))).alias("m3"),
+        F.max(F.when(F.col("n") == 2, top)).getField("mass").alias("m2"),
+        F.max(F.when(F.col("n") == 3, top)).getField("mass").alias("m3"),
         F.sum(
             F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("mass"))
             .otherwise(F.lit(0))
@@ -300,6 +323,10 @@ def d18_substring_dedup_spans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
+    # the exploded L-gram frame is consumed twice (corpus-frequency
+    # groupBy + salted join-back probe side): persist DISK_ONLY so the
+    # dominant explode+substring pass runs once (recomputable — the r9
+    # cache class, wave8 a16 precedent)
     g = docs.select(
         "doc_id",
         F.explode(
@@ -313,7 +340,7 @@ def d18_substring_dedup_spans(spark, sf_dir):
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
         F.expr(f"substring(text, pos, {D18_L})").alias("gram"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     dup = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -423,9 +450,13 @@ def _km_dists(ex, cents: dict[int, list[float]]):
     the full binary expansion, and at ~2M roundings per run a 1e-9
     disagreement is likely (one flipped a sum's 6th decimal at
     sf0.1). Exact products have no rounding step to disagree on."""
+    from ..functions.similarity import lit_matrix
+
     aggs = []
     for j in range(KM_K):
-        carr = F.array(*[F.lit(v) for v in cents[j]])
+        # lit_matrix: ONE parsed literal per centroid, not dim F.lit
+        # Py4J calls (similarity.py:32 — measured plan-build cost)
+        carr = lit_matrix(cents[j])
         diff = F.col("x").cast("decimal(12,6)") - F.element_at(
             carr, F.col("d")
         ).cast("decimal(12,6)")

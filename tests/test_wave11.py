@@ -75,6 +75,17 @@ def test_t32_planted_drop_and_keep(spark, tmp_path):
     assert out[2].top2gram_frac == 0.0
 
 
+def test_t32_top_gram_is_most_frequent_not_longest(spark, tmp_path):
+    """A long once-occurring gram must NOT outweigh the repeated short
+    one: doc 'internationalization telecommunications xy ab xy ab xy'
+    — the most frequent 2-gram is 'xy ab' (count 2, mass 10), not the
+    40-char singleton pair."""
+    text = "internationalization telecommunications xy ab xy ab xy"
+    sf = _write_docs(tmp_path, [text])
+    r = REGISTRY["t32_repetition_filter"].spark_fn(spark, sf).collect()[0]
+    assert r.top2gram_frac == round(10 / len(text), 6)
+
+
 def test_t32_no_join_on_gram_keys(spark, sf_dir):
     """Every shuffle key contains doc_id — the plan must contain no
     join at all except the final doc_id left join (no Zipfian
@@ -193,21 +204,28 @@ def _py_kmeans(rows, iters):
         :KM_K
     ]
     cents = {j: list(vecs[i]) for j, i in enumerate(ids)}
-    for _ in range(iters):
-        assign = {}
+    def assign_with(cs):
+        out = {}
         for vid, v in vecs.items():
             dists = [
-                (sum((a - b) ** 2 for a, b in zip(v, cents[j])), j)
+                (sum((a - b) ** 2 for a, b in zip(v, cs[j])), j)
                 for j in range(KM_K)
             ]
-            assign[vid] = min(dists)[1]
+            out[vid] = min(dists)[1]
+        return out
+
+    for _ in range(iters):
+        assign = assign_with(cents)
         for j in range(KM_K):
             members = [vecs[v] for v, c in assign.items() if c == j]
             if members:
                 cents[j] = [
                     round(sum(col) / len(members), 6) for col in zip(*members)
                 ]
-    return cents, assign
+    # the comparable quantity is the assignment under the FINAL
+    # centroids (what the Spark side computes), not the loop-carried
+    # pre-update assignment
+    return cents, assign_with(cents)
 
 
 def test_v13_matches_python_reference(spark):
