@@ -296,3 +296,103 @@ def test_v13_distance_plan_no_join_one_exchange(spark, sf_dir):
     plan = simple_plan(_km_dists(ex, cents))
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# randomized differential tests (the t32 review lesson operationalized:
+# oracle-MIRRORED spec bugs are invisible to the parity harness, so the
+# spec is pinned against an INDEPENDENT python reference on a seeded
+# random corpus engineered for collisions)
+# ---------------------------------------------------------------------------
+
+
+def _py_t32(texts):
+    """Independent python implementation of the Gopher metrics."""
+    import collections
+
+    out = {}
+    for i, s in enumerate(texts):
+        w = s.strip().split()
+        nc = len(s)
+        fr = {}
+        for n in (2, 3, 5):
+            c = collections.Counter(
+                " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+            )
+            if n == 5:
+                fr[n] = sum(
+                    cnt * len(g) for g, cnt in c.items() if cnt >= 2
+                )
+            elif c:
+                # most frequent gram; max char mass among count ties
+                fr[n] = max((cnt, cnt * len(g)) for g, cnt in c.items())[1]
+            else:
+                fr[n] = 0
+        out[i] = tuple(
+            round(min(fr[n] / nc, 1.0), 6) for n in (2, 3, 5)
+        )
+    return out
+
+
+def _py_d18(texts, L):
+    """Independent python implementation of the dedup spans."""
+    import collections
+
+    c = collections.Counter(
+        s[j : j + L] for s in texts for j in range(len(s) - L + 1)
+    )
+    out = {}
+    for i, s in enumerate(texts):
+        pos = [j for j in range(len(s) - L + 1) if c[s[j : j + L]] >= 2]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + L - 1))
+            else:
+                spans.append((p, p + L - 1))
+        out[i] = (len(spans), sum(e - s0 + 1 for s0, e in spans))
+    return out
+
+
+def _random_corpus(seed=7, n_docs=60, vocab=14):
+    """Small vocabulary + repeated phrases force gram collisions both
+    within and across docs."""
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    phrases = [
+        " ".join(rng.choices(words, k=6)) for _ in range(4)
+    ]  # shared boilerplate
+    texts = []
+    for _ in range(n_docs):
+        parts = []
+        for _ in range(rng.randint(2, 10)):
+            if rng.random() < 0.3:
+                parts.append(rng.choice(phrases))
+            else:
+                parts.append(" ".join(rng.choices(words, k=rng.randint(1, 6))))
+        texts.append(" ".join(parts))
+    return texts
+
+
+def test_t32_randomized_vs_python_reference(spark, tmp_path):
+    texts = _random_corpus()
+    sf = _write_docs(tmp_path, texts)
+    want = _py_t32(texts)
+    got = {
+        r.doc_id: (r.top2gram_frac, r.top3gram_frac, r.dup5gram_frac)
+        for r in REGISTRY["t32_repetition_filter"].spark_fn(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_d18_randomized_vs_python_reference(spark, tmp_path):
+    texts = _random_corpus(seed=11)
+    sf = _write_docs(tmp_path, texts)
+    want = _py_d18(texts, D18_L)
+    got = {
+        r.doc_id: (r.n_spans, r.dup_chars)
+        for r in REGISTRY["d18_substring_dedup_spans"].spark_fn(spark, sf).collect()
+    }
+    assert got == want
