@@ -7,11 +7,15 @@ Three layers of proof:
   1. engagement: a stateful stream started under the provider reports
      RocksDB-specific custom metrics and writes SST files into its
      checkpoint (the conf wasn't silently ignored);
-  2. equivalence: st04 (watermarked dropDuplicates), st06
-     (applyInPandasWithState) and st12 (dropDuplicatesWithinWatermark)
-     — the three state-store-provider-visible operator families —
-     return IDENTICAL results under RocksDB and the default
-     heap-backed provider;
+  2. equivalence: every Spark-state-store-backed operator class —
+     watermarked dropDuplicates (st04), applyInPandasWithState (st06),
+     dropDuplicatesWithinWatermark (st12), tumbling/session windowed
+     aggregation (st01/st03), symmetric and outer stream-stream join
+     state (st07/st09), rank-over-state trending (st16), and the
+     late-drop eviction discipline (st17) — returns IDENTICAL results
+     under RocksDB and the default heap-backed provider (the
+     foreachBatch family st13/st14/st18/st20 keeps its own epoch-keyed
+     state and never touches the provider);
   3. hygiene: the scoped opt-in restores the session conf on exit, so
      unrelated queries keep the default provider.
 """
@@ -83,6 +87,15 @@ def test_rocksdb_provider_engaged(spark, tmp_path):
         "st04_stream_dedup",  # watermarked dropDuplicates state
         "st06_stateful_user_totals",  # applyInPandasWithState state
         "st12_dedup_within_watermark",  # watermark-evicted dedup state
+        # r10 widening: every Spark-state-store-backed op class (the
+        # foreachBatch family st13/st14/st18/st20 keeps its own
+        # epoch-keyed state and never touches the provider)
+        "st01_tumbling_window",  # windowed-agg state
+        "st03_session_window",  # session-window state
+        "st07_stream_stream_join",  # symmetric join state
+        "st09_stream_stream_left_join",  # outer-join state + watermark
+        "st16_trending_topk",  # windowed agg + rank over state output
+        "st17_watermark_late_drop",  # late-drop eviction discipline
     ],
 )
 def test_provider_equivalence(spark, sf_dir, name):
