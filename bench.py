@@ -184,10 +184,11 @@ WAVE10 = [
     "st21_rocksdb_stateful_totals",
     "t31_quality_logreg",
     "v12_exact_knn_join",
-    # second wave (same round): published LLM-pipeline trio
+    # second wave (same round): published LLM-pipeline trio + graph
     "t32_repetition_filter",
     "d18_substring_dedup_spans",
     "v13_kmeans_clusters",
+    "q25_supplier_triangles",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

@@ -603,3 +603,167 @@ def v13_kmeans_clusters(spark, sf_dir):
         "cluster",
         F.round(F.col("mdist"), 6).cast("double").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q25: supplier co-occurrence triangles (degree-oriented triangle count)
+# ---------------------------------------------------------------------------
+
+#: edge threshold quantile: pairs whose co-order count reaches the P90
+#: of all pair counts form the affinity graph. A RELATIVE threshold
+#: self-normalizes graph density across scale factors (an absolute
+#: count would go from empty at sf0.001 to near-complete at 10x).
+Q25_EDGE_QUANTILE = 0.9
+
+_Q25_ORACLE = f"""
+    WITH lo AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS c
+        FROM lo a JOIN lo b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY s1, s2
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pairs
+    ),
+    thr AS (
+        SELECT c AS t FROM ranked
+        WHERE rn = CAST(CEIL({Q25_EDGE_QUANTILE} * n) AS BIGINT)
+    ),
+    edges AS MATERIALIZED (SELECT s1, s2 FROM pairs, thr WHERE c >= t),
+    deg AS MATERIALIZED (
+        SELECT s, COUNT(*) AS d FROM (
+            SELECT s1 AS s FROM edges UNION ALL SELECT s2 FROM edges
+        ) GROUP BY s
+    ),
+    o AS MATERIALIZED (
+        SELECT CASE WHEN (d1.d, e.s1) < (d2.d, e.s2)
+                    THEN e.s1 ELSE e.s2 END AS u,
+               CASE WHEN (d1.d, e.s1) < (d2.d, e.s2)
+                    THEN e.s2 ELSE e.s1 END AS v
+        FROM edges e
+        JOIN deg d1 ON d1.s = e.s1
+        JOIN deg d2 ON d2.s = e.s2
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM o e1
+        JOIN o e2 ON e1.v = e2.u
+        JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    cnt AS (
+        SELECT s, COUNT(*) AS n_triangles FROM (
+            SELECT a AS s FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY s
+    )
+    SELECT d.s AS suppkey,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN cnt ON cnt.s = d.s
+"""
+
+
+@register(
+    "q25_supplier_triangles",
+    _Q25_ORACLE,
+    category="relational",
+    doc=(
+        "triangle counting on the supplier co-occurrence graph with "
+        "DEGREE ORIENTATION (Suri & Vassilvitskii WWW'11): edges = "
+        "supplier pairs whose co-order count reaches the P90 of all "
+        "pair counts (a relative threshold that self-normalizes graph "
+        "density across SFs), each edge oriented low-(degree, id) -> "
+        "high so every node's out-degree is O(sqrt(m)) — the wedge "
+        "join's fan-out bound that makes triangle listing survive "
+        "power-law graphs at scale. The quantile threshold is found "
+        "from a count-of-counts histogram (bounded by the distinct "
+        "co-order-count values, model-sized) collected once and "
+        "re-entering the plan as ONE literal — no global sort. Output: "
+        "per-supplier degree + triangle participation, zeros kept for "
+        "every edge-incident supplier."
+    ),
+)
+def q25_supplier_triangles(spark, sf_dir):
+    lo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    b = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    # pairs feeds BOTH the histogram collect and the edge filter, and
+    # everything downstream fans out (edges 3x, o 3x): persist so the
+    # lineitem self-join runs once (recomputable DISK_ONLY — the same
+    # lesson the oracle needs MATERIALIZED for: without it DuckDB
+    # re-inlines the pair join ~18x inside tri and spills the disk)
+    pairs = (
+        lo.join(b, (F.col("l_orderkey") == F.col("o2"))
+                & (F.col("l_suppkey") < F.col("s2")))
+        .groupBy(F.col("l_suppkey").alias("s1"), "s2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist(StorageLevel.DISK_ONLY)
+    # exact P90 threshold WITHOUT a global sort: the count-of-counts
+    # histogram is bounded by the number of distinct co-order counts
+    # (≤ max pair multiplicity — model-sized), cumulated driver-side
+    hist = sorted(
+        (r.c, r.k) for r in pairs.groupBy("c").agg(
+            F.count(F.lit(1)).alias("k")
+        ).collect()
+    )
+    import math
+
+    n = sum(k for _, k in hist)
+    # the SAME IEEE multiply-then-ceil as the oracle's CEIL(q * n) —
+    # any pre-scaling would round the product differently on the
+    # x.000000000000004-style edges doubles produce
+    rank = math.ceil(Q25_EDGE_QUANTILE * n)
+    cum, thr = 0, None
+    for cval, k in hist:
+        cum += k
+        if cum >= rank:
+            thr = cval
+            break
+    edges = pairs.filter(F.col("c") >= F.lit(thr)).select("s1", "s2")
+    deg = (
+        edges.select(F.col("s1").alias("s"))
+        .unionByName(edges.select(F.col("s2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("dd1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("dd2"))
+    ed = edges.join(F.broadcast(d1), "s1").join(F.broadcast(d2), "s2")
+    lo_first = (F.col("dd1") < F.col("dd2")) | (
+        (F.col("dd1") == F.col("dd2")) & (F.col("s1") < F.col("s2"))
+    )
+    o = ed.select(
+        F.when(lo_first, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(lo_first, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+    ).persist(StorageLevel.DISK_ONLY)
+    e2 = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = o.join(e2, "v").select("u", "v", "w")
+    e3 = o.select(F.col("u"), F.col("v").alias("w"), F.lit(1).alias("hit"))
+    tri = wedges.join(e3, ["u", "w"]).select("u", "v", "w")
+    cnt = (
+        tri.select(F.col("u").alias("s"))
+        .unionByName(tri.select(F.col("v").alias("s")))
+        .unionByName(tri.select(F.col("w").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(cnt, "s", "left")
+        .select(
+            F.col("s").alias("suppkey"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+        )
+    )

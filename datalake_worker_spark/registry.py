@@ -109,6 +109,7 @@ _PRIORITY_NAMES = [
     "t32_repetition_filter",
     "d18_substring_dedup_spans",
     "v13_kmeans_clusters",
+    "q25_supplier_triangles",
     # newest driver row: round 6 (50 queries)
     "a12_grouped_mode",
     "w13_time_weighted_average",

@@ -396,3 +396,72 @@ def test_d18_randomized_vs_python_reference(spark, tmp_path):
         for r in REGISTRY["d18_substring_dedup_spans"].spark_fn(spark, sf).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q25: degree-oriented triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _write_lineitem(tmp_path, orders):
+    """orders: list of supplier lists; order k gets orderkey k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for ok, supps in enumerate(orders):
+        for i, s in enumerate(supps):
+            rows.append(
+                dict(
+                    l_orderkey=ok,
+                    l_partkey=i,
+                    l_suppkey=s,
+                    l_linenumber=i,
+                    l_quantity=1.0,
+                    l_extendedprice=1.0,
+                    l_discount=0.0,
+                    l_tax=0.0,
+                    l_returnflag="N",
+                    l_linestatus="O",
+                    l_shipdate=None,
+                )
+            )
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_q25_planted_triangle(spark, tmp_path):
+    """Suppliers {1,2,3} co-occur in 10 orders (above the P90 cut);
+    noise pairs occur once (below). Exactly one triangle; each member
+    participates once; the noise suppliers survive with degree >= 1
+    only if their pair passes the threshold (it doesn't)."""
+    orders = [[1, 2, 3]] * 10 + [[4, 5], [6, 7], [8, 9], [10, 11]]
+    sf = _write_lineitem(tmp_path, orders)
+    out = {
+        r.suppkey: r
+        for r in REGISTRY["q25_supplier_triangles"].spark_fn(spark, sf).collect()
+    }
+    # P90 rank over 7 pairs (3 triangle pairs c=10, 4 noise c=1):
+    # ceil(.9*7)=7 -> threshold 10 -> only the triangle edges survive
+    assert set(out) == {1, 2, 3}
+    for s in (1, 2, 3):
+        assert out[s].n_triangles == 1
+        assert out[s].degree == 2
+
+
+def test_q25_triangle_identity(spark, sf_dir):
+    """Sum of per-node participation = 3 * number of triangles (every
+    triangle counted exactly once by the orientation)."""
+    rows = REGISTRY["q25_supplier_triangles"].spark_fn(spark, sf_dir).collect()
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0
+
+
+def test_q25_no_global_sort(spark, sf_dir):
+    """The quantile threshold comes from the count-of-counts histogram,
+    never a global sort: no range-partitioning exchange in the plan."""
+    plan = simple_plan(
+        REGISTRY["q25_supplier_triangles"].spark_fn(spark, sf_dir)
+    )
+    assert "rangepartitioning" not in plan.lower()

@@ -77,6 +77,7 @@ PROBE = [
     "t32_repetition_filter",         # doc-local n-gram repetition metrics (r10)
     "d18_substring_dedup_spans",     # corpus-dup L-gram spans, salted join-back (r10)
     "v13_kmeans_clusters",           # relational Lloyd — per-round vec_id agg (r10)
+    "q25_supplier_triangles",        # degree-oriented triangle count (r10)
 ]
 
 
