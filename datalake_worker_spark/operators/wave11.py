@@ -118,8 +118,15 @@ _T32_ORACLE = rf"""
         FROM d, UNNEST(range(1, len(w) - 5 + 2)) AS t(i)
     ),
     c AS (
+        -- the packing guard (r10 ADVICE): the m-CTE's c*10^12 + mass
+        -- argmax packing assumes per-gram mass < 10^12; a pathological
+        -- doc violating it must FAIL the oracle loudly, never corrupt
+        -- the reference value
         SELECT doc_id, n, gram, COUNT(*) AS c,
-               COUNT(*) * length(gram) AS mass
+               CASE WHEN COUNT(*) * length(gram) >= 1000000000000
+                    THEN CAST(error('t32 oracle: per-gram mass exceeds '
+                                    'the 10^12 packing range') AS BIGINT)
+                    ELSE COUNT(*) * length(gram) END AS mass
         FROM g GROUP BY doc_id, n, gram
     ),
     m AS (
@@ -320,6 +327,19 @@ _D18_ORACLE = f"""
     ),
 )
 def d18_substring_dedup_spans(spark, sf_dir):
+    out, g = _d18_build(spark, sf_dir)
+    # per-doc aggregate rows only: localCheckpoint the result, then the
+    # gram frame's disk blocks can be released inside the operator (the
+    # similarity.py / textrank.py lifetime discipline — r10 ADVICE)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist(blocking=False)
+
+
+def _d18_build(spark, sf_dir):
+    """The lazy span-marking plan plus its persisted gram frame —
+    split out so plan gates can inspect the pre-checkpoint plan."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
@@ -374,7 +394,7 @@ def d18_substring_dedup_spans(spark, sf_dir):
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("covered").alias("dup_chars"),
     )
-    return (
+    out = (
         docs.select("doc_id", "n_chars")
         .join(agg, "doc_id", "left")
         .select(
@@ -389,6 +409,7 @@ def d18_substring_dedup_spans(spark, sf_dir):
             ).alias("dup_frac"),
         )
     )
+    return out, g
 
 
 # ---------------------------------------------------------------------------
@@ -401,7 +422,13 @@ KM_DIM = 64
 
 
 def _km_exploded(spark, sf_dir):
-    """(vec_id, d, x): 1-based dimension index, 6-dp-rounded double."""
+    """(vec_id, d, x): 1-based dimension index, 6-dp-rounded double.
+    The 6-dp cut is a DECIMAL(12,6) cast, not ROUND(double, 6)
+    (r10 ADVICE): Spark's double->decimal cast rounds the shortest
+    decimal representation HALF_UP — exactly what the oracle replays
+    with CAST(CAST(x AS VARCHAR) AS DECIMAL(12,6)), DuckDB's VARCHAR
+    of a double being the same shortest round-trip repr — so the two
+    engines can never disagree on a 6-dp boundary."""
     from ..functions.similarity import to_double_array
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -412,7 +439,7 @@ def _km_exploded(spark, sf_dir):
     ).select(
         "vec_id",
         (F.col("p") + 1).alias("d"),
-        F.round("xr", 6).alias("x"),
+        F.col("xr").cast("decimal(12,6)").cast("double").alias("x"),
     )
 
 
@@ -481,7 +508,16 @@ def _km_assign(dists):
 def kmeans_train(ex, iters: int = KM_ITERS) -> dict[int, list[float]]:
     """Lloyd's: per round one distance aggregation, one argmin, one
     (cluster, dim) mean — k*dim rounded doubles to the driver. Empty
-    clusters keep their previous centroid."""
+    clusters keep their previous centroid.
+
+    The 6-dp centroid mean is INTEGER-EXACT (r10 ADVICE): the DECIMAL
+    sum is exactly scaled to micro-units (a long), and half-away-from-
+    zero rounding of sum/n is computed as sign * ((2|s| + n) div (2n))
+    — pure integral arithmetic both engines execute identically (Spark
+    `div` and DuckDB `//` both truncate toward zero; operands are kept
+    non-negative anyway). The final /1e6 is one IEEE double division of
+    identical operands, so the centroid literal is bit-identical to the
+    oracle's with NO double-rounding step anywhere."""
     cents = _km_init(ex)
     for _ in range(iters):
         assign = _km_assign(_km_dists(ex, cents))
@@ -489,11 +525,19 @@ def kmeans_train(ex, iters: int = KM_ITERS) -> dict[int, list[float]]:
             ex.join(assign.select("vec_id", "cluster"), "vec_id")
             .groupBy("cluster", "d")
             .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("c")
+                (F.sum(F.col("x").cast("decimal(18,6)")) * 1000000)
+                .cast("long")
+                .alias("s6"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "d",
+                (
+                    F.when(F.col("s6") < 0, -1).otherwise(1)
+                    * F.expr("(2 * abs(s6) + n) div (2 * n)")
+                    / F.lit(1000000.0)
+                ).alias("c"),
             )
             .collect()
         )
@@ -523,12 +567,22 @@ def _km_iter_ctes(i: int) -> str:
             FROM dist{i}) WHERE rn = 1
     ),
     c{i + 1} AS MATERIALIZED (
+        -- integer-exact 6-dp half-away mean (see kmeans_train): the
+        -- DECIMAL sum scaled to exact micro-units, then
+        -- sign * ((2|s| + n) // (2n)) — DuckDB's // truncates toward
+        -- zero like Spark's div; /1e6 is one IEEE double division
         SELECT c.cl, c.d, COALESCE(u.c2, c.c) AS c
         FROM c{i} c LEFT JOIN (
-            SELECT a.cl, e.d,
-                   ROUND(CAST(SUM(CAST(e.x AS DECIMAL(18,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS c2
-            FROM a{i} a JOIN e USING (vec_id) GROUP BY a.cl, e.d
+            SELECT cl, d,
+                   (CASE WHEN s6 < 0 THEN -1 ELSE 1 END)
+                   * ((2 * abs(s6) + n) // (2 * n)) / 1000000.0 AS c2
+            FROM (
+                SELECT a.cl, e.d,
+                       CAST(SUM(CAST(e.x AS DECIMAL(18,6))) * 1000000
+                            AS HUGEINT) AS s6,
+                       COUNT(*) AS n
+                FROM a{i} a JOIN e USING (vec_id) GROUP BY a.cl, e.d
+            )
         ) u ON u.cl = c.cl AND u.d = c.d
     )"""
 
@@ -536,9 +590,13 @@ def _km_iter_ctes(i: int) -> str:
 def _km_oracle_sql(iters: int = KM_ITERS) -> str:
     head = f"""
     WITH e AS MATERIALIZED (
+        -- 6-dp cut via VARCHAR->DECIMAL: DuckDB's VARCHAR of a double
+        -- is the shortest round-trip repr, and the DECIMAL parse
+        -- rounds it HALF_UP — the identical rule Spark's
+        -- double->decimal(12,6) cast applies (see _km_exploded)
         SELECT vec_id, CAST(t.d + 1 AS INTEGER) AS d,
-               ROUND(CAST(embedding[CAST(t.d + 1 AS INTEGER)] AS DOUBLE),
-                     6) AS x
+               CAST(CAST(CAST(CAST(embedding[CAST(t.d + 1 AS INTEGER)]
+                    AS DOUBLE) AS VARCHAR) AS DECIMAL(12,6)) AS DOUBLE) AS x
         FROM embeddings, UNNEST(range(0, {KM_DIM})) AS t(d)
     ),
     init AS (
@@ -592,17 +650,23 @@ def _km_oracle_sql(iters: int = KM_ITERS) -> str:
 def v13_kmeans_clusters(spark, sf_dir):
     ex = _km_exploded(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     cents = kmeans_train(ex, KM_ITERS)
-    out = _km_assign(_km_dists(ex, cents))
     # round the exact DECIMAL, THEN cast: rounding after a double cast
     # loses the half-way cases a 9-dp decimal can park exactly on the
     # 6th decimal (one row at sf0.1 did: ....8425 -> engines disagree
     # on the double's nearest 6-dp neighbour; the decimal rounds
     # identically HALF_UP in both).
-    return out.select(
+    out = _km_assign(_km_dists(ex, cents)).select(
         "vec_id",
         "cluster",
         F.round(F.col("mdist"), 6).cast("double").alias("dist"),
     )
+    # one (vec_id, cluster, dist) row per vector: localCheckpoint the
+    # assignments so the exploded frame's disk blocks are released
+    # inside the operator (r10 ADVICE lifetime discipline)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        ex.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
@@ -690,6 +754,20 @@ _Q25_ORACLE = f"""
     ),
 )
 def q25_supplier_triangles(spark, sf_dir):
+    out, pairs, o = _q25_build(spark, sf_dir)
+    # one row per edge-incident supplier: localCheckpoint the result,
+    # then release the pair and oriented-edge blocks inside the
+    # operator (r10 ADVICE lifetime discipline)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist(blocking=False)
+        o.unpersist(blocking=False)
+
+
+def _q25_build(spark, sf_dir):
+    """The lazy triangle plan plus its persisted intermediates — split
+    out so plan gates can inspect the pre-checkpoint plan."""
     lo = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -758,7 +836,7 @@ def q25_supplier_triangles(spark, sf_dir):
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return (
+    out = (
         deg.join(cnt, "s", "left")
         .select(
             F.col("s").alias("suppkey"),
@@ -767,3 +845,4 @@ def q25_supplier_triangles(spark, sf_dir):
             .alias("n_triangles"),
         )
     )
+    return out, pairs, o
