@@ -234,3 +234,34 @@ def test_ivfpq_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, ann_topk_ivfpq(df, q, **kw).collect()))
     r2 = sorted(map(tuple, ann_topk_ivfpq(df, q, **kw).collect()))
     assert r1 == r2
+
+
+def test_v14_fold_bucketer_equals_numpy_path(spark, sf_dir):
+    """The v14 audit twin (JVM-fold projections) must produce EXACTLY
+    v02's rows (numpy-matmul projections): both bucketers compute the
+    same signs — the 96k-projection bit-identity check, end-to-end."""
+    from datalake_worker_spark.registry import REGISTRY
+
+    v02 = sorted(
+        map(tuple, REGISTRY["v02_ann_lsh_topk"].spark_fn(spark, sf_dir).collect())
+    )
+    v14 = sorted(
+        map(
+            tuple,
+            REGISTRY["v14_lsh_candidate_audit"].spark_fn(spark, sf_dir).collect(),
+        )
+    )
+    assert v14 == v02 and len(v14) > 0
+
+
+def test_v14_matches_oracle(spark, sf_dir, oracle):
+    """Strict hash parity for the LSH candidate pipeline — the driver
+    check, run in CI too (r10 verdict item 5)."""
+    from datalake_worker_spark.registry import REGISTRY
+
+    from .conftest import assert_matches_oracle
+
+    spec = REGISTRY["v14_lsh_candidate_audit"]
+    assert_matches_oracle(
+        spec.spark_fn(spark, sf_dir), oracle, spec.oracle_sql, spec.name
+    )
