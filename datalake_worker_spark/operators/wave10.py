@@ -314,7 +314,12 @@ def bpe_word_occurrences(df):
     ).filter(F.length("word") > 0)
 
 
-def bpe_train(words, n: int = N_BPE):
+def bpe_train(
+    words,
+    n: int = N_BPE,
+    min_freq: int | None = None,
+    max_vocab: int | None = None,
+):
     """Train ``n`` BPE merges on a weighted vocabulary (word, w).
 
     Returns (merge table [(x, y, weighted_count)...], final symbol
@@ -324,7 +329,31 @@ def bpe_train(words, n: int = N_BPE):
     literal discipline); the symbol frame is localCheckpointed per
     round (iterative lineage truncation, the textrank/graph class —
     vocab-sized, recompute-free).
+
+    The 100 TB training bounds (r10 verdict item 6 — the ANN
+    ``train_sample_size`` precedent, `similarity.py:_collect_train_sample`):
+
+    - ``min_freq``: drop vocabulary rows with weight < min_freq before
+      training (Sennrich et al.'s standard rare-word floor). Merges are
+      BIT-IDENTICAL to full training whenever the dropped tail's total
+      weight is smaller than every round's argmax margin — on Zipfian
+      text the hapax tail is most of the VOCAB but a sliver of the
+      MASS, so a small floor bounds training state by orders of
+      magnitude without moving a single merge (pinned by pytest on a
+      constructed heavy/tail vocab).
+    - ``max_vocab``: train on the top-N words by (weight desc, word) —
+      a TakeOrdered, ONE distributed job, model-sized thereafter.
+
+    Both bound only the TRAINING input; applying the learned merge
+    table to the full corpus is the same merge-apply plan on the
+    unfiltered frame.
     """
+    if min_freq is not None:
+        words = words.filter(F.col("w") >= min_freq)
+    if max_vocab is not None:
+        words = words.orderBy(
+            F.col("w").desc(), F.col("word").asc()
+        ).limit(max_vocab)
     wp = W.partitionBy("word").orderBy("pos")
     wrun = wp.rowsBetween(W.unboundedPreceding, 0)
     syms = words.select(

@@ -468,3 +468,41 @@ def test_v12_stripe_kernel_equals_unblocked(monkeypatch):
     pd.testing.assert_frame_equal(
         big.reset_index(drop=True), small.reset_index(drop=True)
     )
+
+
+def _bpe_vocab(spark, rows):
+    return spark.createDataFrame(rows, "word string, w long")
+
+
+def test_t30_min_freq_floor_merges_bit_identical(spark):
+    """The 100 TB training bound: a rare-word floor whose dropped tail
+    mass is below every argmax margin leaves the merge table
+    BIT-IDENTICAL (r10 verdict item 6). Head words carry ~100x the
+    tail's total weight; 40 hapax words are dropped by min_freq=2."""
+    from datalake_worker_spark.operators.wave10 import bpe_train
+
+    head = [("banana", 400), ("bandana", 300), ("cabana", 200), ("ban", 150)]
+    # 40 distinct hapax words, total mass 40 << every pair-count margin
+    tail = [
+        ("".join(chr(ord("d") + (i * 7 + j) % 20) for j in range(5)), 1)
+        for i in range(40)
+    ]
+    full = _bpe_vocab(spark, head + tail)
+    m_full, _ = bpe_train(full, 6)
+    m_floor, _ = bpe_train(full, 6, min_freq=2)
+    assert [(x, y) for x, y, _ in m_full] == [(x, y) for x, y, _ in m_floor]
+    assert len(m_full) == 6
+    # the floor really dropped the tail: retrain on head-only matches too
+    m_head, _ = bpe_train(_bpe_vocab(spark, head), 6)
+    assert [(x, y) for x, y, _ in m_floor] == [(x, y) for x, y, _ in m_head]
+
+
+def test_t30_max_vocab_bound_is_take_ordered_head(spark):
+    """max_vocab trains on the top-N (weight desc, word asc) rows —
+    deterministic, and identical to training on that explicit head."""
+    from datalake_worker_spark.operators.wave10 import bpe_train
+
+    rows = [("aaab", 50), ("aabb", 40), ("abbb", 30), ("zzzz", 2), ("zzyz", 1)]
+    m_cap, _ = bpe_train(_bpe_vocab(spark, rows), 4, max_vocab=3)
+    m_head, _ = bpe_train(_bpe_vocab(spark, rows[:3]), 4)
+    assert [(x, y) for x, y, _ in m_cap] == [(x, y) for x, y, _ in m_head]
