@@ -345,6 +345,7 @@ _MODULE_ORDER = [
     "streaming.spacesaving",
     "operators.wave10",
     "operators.wave11",
+    "operators.wave12",
 ]
 
 
@@ -408,6 +409,7 @@ def _load_all():
     from .streaming import spacesaving  # noqa: F401  (round-9 additions)
     from .operators import wave10  # noqa: F401  (round-10 additions)
     from .operators import wave11  # noqa: F401  (round-10 second wave)
+    from .operators import wave12  # noqa: F401  (round-11 additions)
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

@@ -1,0 +1,146 @@
+"""Round-11 operators: q26 nation PageRank, t33 decision stump."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+# ----------------------------------------------------------------- q26
+def test_q26_mass_conservation_and_positivity(spark, sf_dir):
+    """Fixed-point PageRank: every rank positive; total mass stays
+    within the truncation slack of ONE (each // loses < 1 unit per
+    edge/node per round — mass can only leak DOWN, never appear)."""
+    from datalake_worker_spark.operators.wave12 import Q26_ONE
+
+    rows = REGISTRY["q26_nation_pagerank"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.rank_fp > 0 for r in rows)
+    total = sum(r.rank_fp for r in rows)
+    assert total <= Q26_ONE
+    assert total >= int(0.95 * Q26_ONE)
+    for r in rows:
+        assert abs(r.pagerank - r.rank_fp / Q26_ONE) < 1e-12
+
+
+def test_q26_deterministic(spark, sf_dir):
+    a = sorted(
+        map(tuple, REGISTRY["q26_nation_pagerank"].spark_fn(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, REGISTRY["q26_nation_pagerank"].spark_fn(spark, sf_dir).collect())
+    )
+    assert a == b
+
+
+def test_q26_python_reference(spark, sf_dir):
+    """Bit-identical to a pure-Python integer power iteration over the
+    collected edge list — the same differential discipline t30/t31
+    use against their python references."""
+    from datalake_worker_spark.operators.wave12 import (
+        Q26_D_DEN,
+        Q26_D_NUM,
+        Q26_ITERS,
+        Q26_ONE,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    ew = [(int(r.src), int(r.dst), int(r.w)) for r in edges]
+    nodes = sorted({s for s, _, _ in ew} | {d for _, d, _ in ew})
+    n = len(nodes)
+    outw: dict[int, int] = {}
+    for s, _, w in ew:
+        outw[s] = outw.get(s, 0) + w
+    r = {v: Q26_ONE // n for v in nodes}
+    base = ((Q26_D_DEN - Q26_D_NUM) * Q26_ONE) // (Q26_D_DEN * n)
+    for _ in range(Q26_ITERS):
+        contrib = {v: 0 for v in nodes}
+        for s, d, w in ew:
+            contrib[d] += (r[s] * w) // outw[s]
+        dang = sum(r[v] for v in nodes if v not in outw)
+        de = dang // n
+        r = {
+            v: base + (Q26_D_NUM * (contrib[v] + de)) // Q26_D_DEN
+            for v in nodes
+        }
+    got = {
+        x.nationkey: x.rank_fp
+        for x in REGISTRY["q26_nation_pagerank"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == r
+
+
+# ----------------------------------------------------------------- t33
+def test_t33_stump_is_brute_force_optimal(spark, sf_dir):
+    """The distributed histogram split search must pick exactly the
+    split a brute-force scan over the collected features picks, with
+    the identical integer score."""
+    from datalake_worker_spark.operators.wave12 import T33_SCALE, _t33_features
+    from datalake_worker_spark.sources import load_table
+
+    feats = _t33_features(load_table(spark, sf_dir, "documents")).collect()
+    best = None  # (score, feature, threshold)
+    for fname in ("n_chars", "n_punct", "n_tok"):
+        vals = sorted({int(getattr(r, fname)) for r in feats})
+        n = len(feats)
+        c1t = sum(int(r.y) for r in feats)
+        for t in vals[:-1]:
+            nl = sum(1 for r in feats if int(getattr(r, fname)) <= t)
+            c1l = sum(
+                int(r.y) for r in feats if int(getattr(r, fname)) <= t
+            )
+            nr, c1r = n - nl, c1t - c1l
+            num = nr * ((nl - c1l) ** 2 + c1l**2) + nl * (
+                (nr - c1r) ** 2 + c1r**2
+            )
+            score = (T33_SCALE * num) // (nl * nr)
+            cand = (-score, fname, t)
+            if best is None or cand < best:
+                best = cand
+    rows = REGISTRY["t33_decision_stump"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    got = (-int(rows[0].score_fp), rows[0].feature, int(rows[0].threshold))
+    assert got == best
+    # every row carries the same stump; predictions follow the split
+    assert len({(r.feature, r.threshold, r.score_fp) for r in rows}) == 1
+
+
+def test_t33_predictions_are_side_majorities(spark, sf_dir):
+    rows = REGISTRY["t33_decision_stump"].spark_fn(spark, sf_dir).collect()
+    by_side: dict[int, list] = {0: [], 1: []}
+    from datalake_worker_spark.operators.wave12 import _t33_features
+    from datalake_worker_spark.sources import load_table
+
+    feats = {
+        r.doc_id: r
+        for r in _t33_features(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    fname, thr = rows[0].feature, int(rows[0].threshold)
+    for r in rows:
+        side = 0 if int(getattr(feats[r.doc_id], fname)) <= thr else 1
+        by_side[side].append(r)
+    for side, members in by_side.items():
+        if not members:
+            continue
+        labels = [int(feats[m.doc_id].y) for m in members]
+        maj = 1 if 2 * sum(labels) > len(labels) else 0
+        assert all(int(m.predicted) == maj for m in members), side
