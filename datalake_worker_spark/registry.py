@@ -53,71 +53,18 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: therefore a rotation schedule: the ~50-query prefix is this round's
 #: verification budget, rewritten each round to burn the largest
 #: verification debt first.
-#: Round-10 ordering (VERDICT r9 item 2): the 34 queries whose newest
-#: driver row is still r5 lead (the verdict lists all 34 by name and
-#: live-verified 8 of them green), then the new r10 queries, then the
-#: r6 cohort in the driver's recorded run order — 34 + new + ~14 of the
-#: 50 r6 rows fit the budget, so after the r10 driver run no query's
-#: newest CORRECTNESS row predates r6 (34 + additions < 50: the
-#: arithmetic works this round).  The full list is regenerated from the
-#: cumulative CORRECTNESS_r*.json files, stalest cohort first; within a
-#: cohort the prior recorded run order is preserved.
+#: Round-11 ordering (VERDICT r10 item 2): the 43 queries whose newest
+#: driver row is still r6 lead (the whole lk-family, t01-t13, d01-d05,
+#: q23/q24, st15/st16, w15/w16, x07, ...), then the three r11 additions
+#: (v14/q26/t33, never driver-verified), then the r7 cohort fills the
+#: remaining ~4-row budget. 43 + 3 < 50, so after the r11 driver run no
+#: CORRECTNESS row predates r7 (the verdict's done-criterion). The list
+#: is regenerated from the cumulative CORRECTNESS_r*.json files,
+#: stalest cohort first; within a cohort the prior recorded run order
+#: is preserved.
 _PRIORITY_NAMES = [
-    # newest driver row: round 5 (34 queries)
-    "j01_left_outer_counts",
-    "j02_full_outer",
-    "j03_anti_join",
-    "j04_cross_join",
-    "j05_theta_join",
-    "j06_broadcast_join",
-    "j07_null_safe_join",
-    "j08_composite_key_join",
-    "j09_right_outer",
-    "a01_rollup",
-    "a02_cube",
-    "a03_count_distinct_having",
-    "a04_minmax_stats",
-    "a05_pivot",
-    "a06_grouping_sets",
-    "a07_unpivot",
-    "a09_collect_set_sorted",
-    "x01_asof_purchase_click",
-    "x02_asof_event_order",
-    "x03_range_join_buckets",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q02_min_cost_supplier",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q11_scalar_subquery",
-    "q16_part_supplier_counts",
-    "q18_large_volume_customer",
-    "q22_dormant_customers",
-    "p01_scalar_pandas_udf",
-    "a08_approx_aggregates",
-    # new in round 10 (never driver-verified) — the 34-row r5 cohort leads
-    # (VERDICT r9 item 2), new queries immediately after, then the r6
-    # cohort fills the remaining ~14-row budget.
-    "a18_kmv_distinct_sketch",
-    "t30_bpe_subword_tokens",
-    "st21_rocksdb_stateful_totals",
-    "t31_quality_logreg",
-    "v12_exact_knn_join",
-    "t32_repetition_filter",
-    "d18_substring_dedup_spans",
-    "v13_kmeans_clusters",
-    "q25_supplier_triangles",
-    # newest driver row: round 6 (50 queries)
-    "a12_grouped_mode",
-    "w13_time_weighted_average",
-    "w14_ohlc_bars",
-    "st13_incremental_near_dup",
-    "st14_streaming_vector_index",
-    "v09_ann_ivfpq_topk",
-    "smp13_token_budget_fill",
+    # newest driver row: round 6 (43 queries) — the r10 verdict's
+    # staleness cohort, burned first (item 2)
     "w15_funnel_steps",
     "w16_mad_outliers",
     "a14_retention_cohorts",
@@ -161,6 +108,10 @@ _PRIORITY_NAMES = [
     "d08_simhash_near_dups",
     "io02_csv_roundtrip",
     "io03_json_roundtrip",
+    # new in round 11 (never driver-verified)
+    "v14_lsh_candidate_audit",
+    "q26_nation_pagerank",
+    "t33_decision_stump",
     # newest driver row: round 7 (50 queries)
     "io17_jdbc_roundtrip",
     "io04_in_memory_source",
@@ -314,6 +265,57 @@ _PRIORITY_NAMES = [
     "u04_except_all",
     "u05_except_distinct",
     "u06_intersect_all",
+    # newest driver row: round 10 (50 queries)
+    "j01_left_outer_counts",
+    "j02_full_outer",
+    "j03_anti_join",
+    "j04_cross_join",
+    "j05_theta_join",
+    "j06_broadcast_join",
+    "j07_null_safe_join",
+    "j08_composite_key_join",
+    "j09_right_outer",
+    "a01_rollup",
+    "a02_cube",
+    "a03_count_distinct_having",
+    "a04_minmax_stats",
+    "a05_pivot",
+    "a06_grouping_sets",
+    "a07_unpivot",
+    "a09_collect_set_sorted",
+    "x01_asof_purchase_click",
+    "x02_asof_event_order",
+    "x03_range_join_buckets",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q11_scalar_subquery",
+    "q16_part_supplier_counts",
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    "p01_scalar_pandas_udf",
+    "a08_approx_aggregates",
+    "a18_kmv_distinct_sketch",
+    "t30_bpe_subword_tokens",
+    "st21_rocksdb_stateful_totals",
+    "t31_quality_logreg",
+    "v12_exact_knn_join",
+    "t32_repetition_filter",
+    "d18_substring_dedup_spans",
+    "v13_kmeans_clusters",
+    "q25_supplier_triangles",
+    "a12_grouped_mode",
+    "w13_time_weighted_average",
+    "w14_ohlc_bars",
+    "st13_incremental_near_dup",
+    "st14_streaming_vector_index",
+    "v09_ann_ivfpq_topk",
+    "smp13_token_budget_fill",
 ]
 
 _MODULE_ORDER = [
