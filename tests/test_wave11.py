@@ -152,8 +152,7 @@ def test_d18_full_doc_duplicate(spark, tmp_path):
 
 def test_d18_salted_join_in_plan(spark, sf_dir):
     """The Zipfian gram join-back must go through salted_join: the join
-    key list includes the _salt column. Inspected on the pre-checkpoint
-    build (the registered fn localCheckpoints, collapsing the plan)."""
+    key list includes the _salt column."""
     from datalake_worker_spark.operators.wave11 import _d18_build
 
     out, g = _d18_build(spark, sf_dir)
@@ -464,9 +463,7 @@ def test_q25_triangle_identity(spark, sf_dir):
 
 def test_q25_no_global_sort(spark, sf_dir):
     """The quantile threshold comes from the count-of-counts histogram,
-    never a global sort: no range-partitioning exchange in the plan.
-    Inspected on the pre-checkpoint build (the registered fn
-    localCheckpoints, collapsing the plan)."""
+    never a global sort: no range-partitioning exchange in the plan."""
     from datalake_worker_spark.operators.wave11 import _q25_build
 
     out, pairs, o = _q25_build(spark, sf_dir)
