@@ -295,7 +295,7 @@ def main() -> None:
 
     # comparative baseline (BASELINE.md protocol): same queries through
     # DuckDB on the identical parquet — extra keys, driver contract intact
-    duck = _duckdb_timings(sf_dir)
+    duck = _duckdb_timings(sf_dir, sorted(set(timings) | set(pipeline)))
 
     total = round(sum(timings.values()), 4)
     ext_total = round(sum(extended.values()), 4)
@@ -340,6 +340,12 @@ def main() -> None:
         covered = [k for k in timings if k in duck]
         detail["duckdb_total"] = round(sum(duck[k] for k in covered), 4)
         detail["spark_total_on_covered"] = round(sum(timings[k] for k in covered), 4)
+        pcov = [k for k in pipeline if k in duck]
+        if pcov:
+            detail["duckdb_pipeline_total"] = round(sum(duck[k] for k in pcov), 4)
+            detail["spark_pipeline_on_covered"] = round(
+                sum(pipeline[k] for k in pcov), 4
+            )
     detail["lake_core"] = _lake_core_bench(spark)
     # full payload to a file; stdout gets ONE short line as the driver
     # captures only the tail of the stream (round-1 bench failed to parse
@@ -427,7 +433,7 @@ def _lake_core_bench(spark) -> dict:
     }
 
 
-def _duckdb_timings(sf_dir: str) -> dict[str, float]:
+def _duckdb_timings(sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     try:
         import duckdb
 
@@ -440,11 +446,13 @@ def _duckdb_timings(sf_dir: str) -> dict[str, float]:
             "region nation customer supplier part orders lineitem events "
             "documents embeddings"
         ).split():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            # Spark writes a table as a directory of part files (the 10x
+            # corpus); DuckDB reads those through a glob
+            src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
         out: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in (names if names is not None else HEADLINE):
             sql = osql.get(name)
             if sql is None:
                 continue
