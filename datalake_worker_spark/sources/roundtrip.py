@@ -871,3 +871,66 @@ def io23_xml_roundtrip(spark, sf_dir):
         .option("rowTag", "supplier")
         .load(out)
     )
+
+
+@register(
+    "io24_dynamic_partition_pruning",
+    """
+    WITH dim AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_dim
+        FROM orders GROUP BY o_orderpriority
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY COUNT(*) DESC, o_orderpriority ASC) <= 2
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN dim USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    category="sources",
+    doc=(
+        "DYNAMIC partition pruning (r11): orders written partitioned by "
+        "o_orderpriority, then joined with a runtime-derived dim (the 2 "
+        "highest-count priorities — a rank filter Catalyst cannot fold "
+        "into a static predicate), so the fact scan's PartitionFilters "
+        "carry a dynamicpruningexpression: only the surviving partition "
+        "DIRECTORIES are read, decided at runtime from the broadcast "
+        "dim. The static-pruning twin of io01's plan gate, and the "
+        "mechanism that turns a 100 TB partitioned-fact join into a "
+        "read of just the dim-selected partitions. Plan-gated in "
+        "tests/test_plans.py; the DuckDB oracle replays the identical "
+        "rank-derived dim + join."
+    ),
+)
+def io24_dynamic_partition_pruning(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    out = os.path.join(scratch_dir(prefix="dlw_dpp_"), "orders_part")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    cnt = fact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_dim")
+    )
+    w = W.orderBy(F.col("n_dim").desc(), F.col("o_orderpriority").asc())
+    dim = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_orderpriority", "n_dim")
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

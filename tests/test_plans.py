@@ -519,3 +519,20 @@ def test_spread_scan_adaptive(spark, sf_dir):
 
     wide = d.repartition(target, "doc_id")
     assert spread_scan(wide, "doc_id") is wide  # no-op above the bound
+
+
+def test_io24_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — runtime directory pruning from the broadcast
+    dim, not a post-scan filter (r11)."""
+    from datalake_worker_spark.registry import REGISTRY
+
+    df = REGISTRY["io24_dynamic_partition_pruning"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = df.collect()
+    assert len(rows) == 2  # the rank filter keeps a proper subset
