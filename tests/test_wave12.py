@@ -144,3 +144,33 @@ def test_t33_predictions_are_side_majorities(spark, sf_dir):
         labels = [int(feats[m.doc_id].y) for m in members]
         maj = 1 if 2 * sum(labels) > len(labels) else 0
         assert all(int(m.predicted) == maj for m in members), side
+
+
+def test_q26_plan_no_global_sort_and_broadcast_dims(spark, sf_dir):
+    """The edge build broadcasts both nation dims (no fact-fact
+    shuffle for the key lookup) and nothing range-partitions."""
+    from datalake_worker_spark.plans.inspect import simple_plan
+
+    df = REGISTRY["q26_nation_pagerank"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_t33_histogram_has_partial_aggregation(spark, sf_dir):
+    """The per-(feature, value) histogram must partial-aggregate
+    map-side (combinable counts), and the window runs over distinct
+    VALUES per feature, never rows."""
+    from datalake_worker_spark.operators.wave12 import _t33_features
+    from datalake_worker_spark.plans.inspect import simple_plan
+    from datalake_worker_spark.sources import load_table
+
+    feat = _t33_features(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F
+
+    per_val = feat.select(
+        "y", F.lit("n_chars").alias("feature"), F.col("n_chars").alias("x")
+    ).groupBy("feature", "x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("c1")
+    )
+    plan = simple_plan(per_val)
+    assert "partial" in plan.lower(), plan
