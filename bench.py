@@ -198,6 +198,8 @@ WAVE11 = [
     "v14_lsh_candidate_audit",
     "q26_nation_pagerank",
     "t33_decision_stump",
+    "io24_dynamic_partition_pruning",
+    "d19_symspell_typo_pairs",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

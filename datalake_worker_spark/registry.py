@@ -55,9 +55,9 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: verification debt first.
 #: Round-11 ordering (VERDICT r10 item 2): the 43 queries whose newest
 #: driver row is still r6 lead (the whole lk-family, t01-t13, d01-d05,
-#: q23/q24, st15/st16, w15/w16, x07, ...), then the four r11 additions
-#: (v14/q26/t33/io24, never driver-verified), then the r7 cohort fills the
-#: remaining ~4-row budget. 43 + 4 < 50, so after the r11 driver run no
+#: q23/q24, st15/st16, w15/w16, x07, ...), then the five r11 additions
+#: (v14/q26/t33/io24/d19, never driver-verified), then the r7 cohort fills the
+#: remaining ~4-row budget. 43 + 5 < 50, so after the r11 driver run no
 #: CORRECTNESS row predates r7 (the verdict's done-criterion). The list
 #: is regenerated from the cumulative CORRECTNESS_r*.json files,
 #: stalest cohort first; within a cohort the prior recorded run order
@@ -113,6 +113,7 @@ _PRIORITY_NAMES = [
     "q26_nation_pagerank",
     "t33_decision_stump",
     "io24_dynamic_partition_pruning",
+    "d19_symspell_typo_pairs",
     # newest driver row: round 7 (50 queries)
     "io17_jdbc_roundtrip",
     "io04_in_memory_source",

@@ -174,3 +174,37 @@ def test_t33_histogram_has_partial_aggregation(spark, sf_dir):
     )
     plan = simple_plan(per_val)
     assert "partial" in plan.lower(), plan
+
+
+# ----------------------------------------------------------------- d19
+def test_d19_blocking_complete_for_ed1_and_filters_ed2(spark, tmp_path):
+    """Deletion-neighborhood completeness: an insert, a delete and a
+    substitute pair are all found; the transposition 'ab'/'ba' (ed 2)
+    shares deletion variants but must be filtered by the exact verify;
+    an unrelated name has zero neighbors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = [
+        "kitten", "kittens",   # insert  (ed 1)
+        "sitting", "siting",   # delete  (ed 1)
+        "flame", "blame",      # substitute (ed 1)
+        "ab", "ba",            # transposition: ed 2, shares variants
+        "zzzzzz",              # isolated
+    ]
+    t = pa.Table.from_pylist(
+        [dict(c_custkey=i, c_name=n) for i, n in enumerate(names)]
+    )
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+    rows = {
+        r.name: r
+        for r in REGISTRY["d19_symspell_typo_pairs"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows["kitten"].n_neighbors == 1 and rows["kitten"].nearest == "kittens"
+    assert rows["sitting"].n_neighbors == 1 and rows["sitting"].nearest == "siting"
+    assert rows["flame"].n_neighbors == 1 and rows["flame"].nearest == "blame"
+    assert rows["ab"].n_neighbors == 0 and rows["ab"].nearest is None
+    assert rows["ba"].n_neighbors == 0
+    assert rows["zzzzzz"].n_neighbors == 0
