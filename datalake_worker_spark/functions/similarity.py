@@ -522,6 +522,24 @@ def v02_ann_lsh_topk(spark, sf_dir):
     return ann_topk_lsh(e, q, "vec_id", "v", k=5, n_planes=6, n_tables=8, dim=64, seed=42)
 
 
+#: v14 audits a deterministic sha-ranked QUARTER of the corpus (hex
+#: first-char '0'-'3'): the audit's cost is O(corpus × tables × planes)
+#: interpreted folds — the price of bit-exactness — and the machinery
+#: is identical at any corpus fraction, so the audit transfers while
+#: the wave11 suite budget stays bounded (VERDICT r11 item 7). The
+#: filter is the sha-prefix discipline the ANN training sampler already
+#: uses (kmeans_centroids) and DuckDB replays it exactly.
+V14_SHA_PREFIX_MAX = "3"
+
+
+def v14_corpus(e):
+    """The sha-restricted audit corpus (shared by query, oracle, tests)."""
+    return e.filter(
+        F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 1)
+        <= V14_SHA_PREFIX_MAX
+    )
+
+
 def _v14_oracle_sql(
     n_planes: int = 6, n_tables: int = 8, dim: int = 64, seed: int = 42,
     k: int = 5,
@@ -545,19 +563,29 @@ def _v14_oracle_sql(
     WITH e AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
+    sub AS MATERIALIZED (
+        SELECT * FROM e
+        WHERE substr(sha256(CAST(vec_id AS VARCHAR)), 1, 1) <= '{V14_SHA_PREFIX_MAX}'
+    ),
     planes(tbl, pidx, p) AS (VALUES {",".join(planes)}),
     cb AS MATERIALIZED (
         SELECT e.vec_id, pl.tbl,
                CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
                     THEN 1 << ({n_planes - 1} - pl.pidx)
                     ELSE 0 END) AS BIGINT) AS bkt
-        FROM e, planes pl GROUP BY e.vec_id, pl.tbl
+        FROM sub e, planes pl GROUP BY e.vec_id, pl.tbl
+    ),
+    qcb AS (
+        SELECT e.vec_id, pl.tbl,
+               CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                    THEN 1 << ({n_planes - 1} - pl.pidx)
+                    ELSE 0 END) AS BIGINT) AS bkt
+        FROM e, planes pl WHERE e.vec_id < 20 GROUP BY e.vec_id, pl.tbl
     ),
     qb AS (
-        SELECT cb.vec_id AS query_id, cb.tbl,
-               xor(cb.bkt, CAST(t.f AS BIGINT)) AS bkt
-        FROM cb, UNNEST([{flips}]) AS t(f)
-        WHERE cb.vec_id < 20
+        SELECT qcb.vec_id AS query_id, qcb.tbl,
+               xor(qcb.bkt, CAST(t.f AS BIGINT)) AS bkt
+        FROM qcb, UNNEST([{flips}]) AS t(f)
     ),
     cand AS (
         SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
@@ -593,11 +621,15 @@ def _v14_oracle_sql(
         "exact rerank) with projections computed as JVM sequential "
         "folds — bit-identical to DuckDB's list_dot_product, so the "
         "oracle carrying the plane literals replays every bucket id "
-        "and the result HASH-MATCHES. v02 keeps the Arrow/numpy "
-        "bucketer for production throughput; a pytest pins the two "
-        "paths EQUAL row-for-row, closing the loop: the rows-only ANN "
-        "family's candidate machinery is now covered by a strict "
-        "hash-green driver row (r10 verdict item 5)."
+        "and the result HASH-MATCHES. The audited corpus side is a "
+        "deterministic sha-prefix QUARTER of the table (the interpreted "
+        "folds are the audit's price; the machinery is fraction-"
+        "invariant and the oracle applies the same filter — r11 item "
+        "7's cost bound). v02 keeps the Arrow/numpy bucketer for "
+        "production throughput; a pytest pins the two bucketers EQUAL "
+        "row-for-row on the same corpus, closing the loop: the "
+        "rows-only ANN family's candidate machinery is covered by a "
+        "strict hash-green driver row (r10 verdict item 5)."
     ),
 )
 def v14_lsh_candidate_audit(spark, sf_dir):
@@ -606,8 +638,8 @@ def v14_lsh_candidate_audit(spark, sf_dir):
     )
     q = e.filter(F.col("vec_id") < 20)
     return ann_topk_lsh(
-        e, q, "vec_id", "v", k=5, n_planes=6, n_tables=8, dim=64,
-        seed=42, bucketer="fold",
+        v14_corpus(e), q, "vec_id", "v", k=5, n_planes=6, n_tables=8,
+        dim=64, seed=42, bucketer="fold",
     )
 
 

@@ -960,10 +960,16 @@ def v12_exact_knn_join(spark, sf_dir):
         int(cnt["nc"]),
         min_cells=spark.sparkContext.defaultParallelism,
     )
+    # Block assignment must be uniform over QUERY ids, not raw vec_ids:
+    # query ids are the multiples of 10, so `vec_id % knn_a` occupies
+    # only knn_a/gcd(10, knn_a) of the A blocks whenever knn_a shares a
+    # factor with 10 — up to 10x query concentration in a subset of
+    # cells, defeating the grid's per-cell budget (ADVICE r11).
+    # `(vec_id div 10) % knn_a` ranges over consecutive integers.
     q = e.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"),
         "v",
-        (F.col("vec_id") % knn_a).cast("int").alias("qb"),
+        (F.expr("vec_id div 10") % knn_a).cast("int").alias("qb"),
     )
     cb_dim = spark.range(knn_b).select(F.col("id").cast("int").alias("cb"))
     qb_dim = spark.range(knn_a).select(F.col("id").cast("int").alias("qb"))

@@ -148,7 +148,26 @@ def q26_nation_pagerank(spark, sf_dir):
         .collect()
     )
     n_nodes = len(nodes)
-    src_set = {r.src for r in outw.select("src").collect()}
+    if n_nodes == 0:
+        # empty input slice: no edges → no nodes; return the empty
+        # frame with the declared schema instead of dividing by zero
+        # (ADVICE r11)
+        ew.unpersist(blocking=False)
+        return spark.createDataFrame(
+            [], "nationkey long, rank_fp long, pagerank double"
+        )
+    outw_rows = outw.collect()
+    src_set = {r.src for r in outw_rows}
+    # per-edge product rank * w runs in LONG: rank <= Q26_ONE, so the
+    # product stays below 2^63 iff every edge weight < 2^63 / Q26_ONE
+    # (~9.2e9 lineitems per nation pair). Beyond that the contribution
+    # column must widen to DECIMAL(38,0) — fail loudly instead of
+    # wrapping silently (ADVICE r11; non-ANSI mode wraps).
+    max_w = max((int(r.wsum) for r in outw_rows), default=0)
+    assert max_w < (2**63) // Q26_ONE, (
+        f"q26: max out-weight {max_w} would overflow rank*w in LONG; "
+        "widen the contribution arithmetic to DECIMAL(38,0)"
+    )
     base = ((Q26_D_DEN - Q26_D_NUM) * Q26_ONE) // (Q26_D_DEN * n_nodes)
     ranks = {n: Q26_ONE // n_nodes for n in nodes}
 
@@ -203,6 +222,30 @@ def q26_nation_pagerank(spark, sf_dir):
 #: // (n_L * n_R). Truncating division is identical in Spark (`div`)
 #: and DuckDB (`//`) for the non-negative operands here.
 T33_SCALE = 10**12
+
+
+def t33_score_fp_sql() -> str:
+    """The exact integer Gini score as ONE SQL expression over the
+    cumulative columns (nl, c1l, n, c1t).
+
+    Every operand is cast to DECIMAL(38,0) BEFORE any product is formed
+    (ADVICE r11): the numerator is ~n^3/4, which silently wraps LONG
+    (non-ANSI) once a feature exceeds ~2e6 rows, while the DuckDB
+    oracle computes the same product in HUGEINT. Decimal-first
+    arithmetic mirrors HUGEINT exactly up to 38 digits (n ≲ 2e12 rows
+    per feature); `div` on decimals truncates like DuckDB `//` and
+    returns BIGINT, matching the oracle's final CAST."""
+    d = "CAST({} AS DECIMAL(38,0))"
+    nl, c1l, n, c1t = (d.format(c) for c in ("nl", "c1l", "n", "c1t"))
+    return (
+        f"(CAST({T33_SCALE} AS DECIMAL(38,0))"
+        f" * (({n} - {nl}) * (({nl} - {c1l}) * ({nl} - {c1l})"
+        f"                    + {c1l} * {c1l})"
+        f"    + {nl} * ((({n} - {nl}) - ({c1t} - {c1l}))"
+        f"              * (({n} - {nl}) - ({c1t} - {c1l}))"
+        f"              + ({c1t} - {c1l}) * ({c1t} - {c1l}))))"
+        f" div ({nl} * ({n} - {nl})) AS score_fp"
+    )
 
 
 _T33_ORACLE = f"""
@@ -342,11 +385,7 @@ def t33_decision_stump(spark, sf_dir):
     ).selectExpr(
         "feature",
         "x AS threshold",
-        f"""(CAST({T33_SCALE} AS DECIMAL(38,0))
-             * CAST((n - nl) * ((nl - c1l) * (nl - c1l) + c1l * c1l)
-                    + nl * (((n - nl) - (c1t - c1l)) * ((n - nl) - (c1t - c1l))
-                            + (c1t - c1l) * (c1t - c1l)) AS DECIMAL(38,0)))
-            div CAST(nl * (n - nl) AS DECIMAL(38,0)) AS score_fp""",
+        t33_score_fp_sql(),
         "nl",
         "c1l",
         "n",

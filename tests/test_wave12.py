@@ -176,6 +176,61 @@ def test_t33_histogram_has_partial_aggregation(spark, sf_dir):
     assert "partial" in plan.lower(), plan
 
 
+def test_t33_score_expr_no_long_wrap(spark):
+    """ADVICE r11 (medium): the Gini numerator is ~n^3/4 and silently
+    wraps LONG beyond ~2e6 rows per feature. The score expression must
+    compute decimal-first: plant cumulative counts big enough that the
+    old long-product path wraps, and pin the result to exact Python
+    integer arithmetic (= the oracle's HUGEINT)."""
+    from datalake_worker_spark.operators.wave12 import T33_SCALE, t33_score_fp_sql
+
+    nl, c1l, n, c1t = 2_500_000, 1_000_000, 5_000_000, 2_000_000
+    nr, c1r = n - nl, c1t - c1l
+    num = nr * ((nl - c1l) ** 2 + c1l**2) + nl * ((nr - c1r) ** 2 + c1r**2)
+    assert num >= 2**63  # the planted case genuinely exceeds LONG
+    expected = (T33_SCALE * num) // (nl * nr)
+    row = (
+        spark.createDataFrame(
+            [(nl, c1l, n, c1t)], "nl long, c1l long, n long, c1t long"
+        )
+        .selectExpr(t33_score_fp_sql())
+        .collect()[0]
+    )
+    assert int(row.score_fp) == expected
+
+
+def test_q26_empty_input_returns_empty_frame(spark, tmp_path):
+    """ADVICE r11: an empty lineitem slice must yield an empty frame
+    with the declared schema, not ZeroDivisionError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schemas = {
+        "lineitem": pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64())]
+        ),
+        "orders": pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        "customer": pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+        "supplier": pa.schema(
+            [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
+        ),
+    }
+    for name, schema in schemas.items():
+        pq.write_table(
+            pa.Table.from_pylist([], schema=schema),
+            str(tmp_path / f"{name}.parquet"),
+        )
+    df = REGISTRY["q26_nation_pagerank"].spark_fn(spark, str(tmp_path))
+    assert df.collect() == []
+    assert [f.name for f in df.schema.fields] == [
+        "nationkey", "rank_fp", "pagerank",
+    ]
+
+
 # ----------------------------------------------------------------- d19
 def test_d19_blocking_complete_for_ed1_and_filters_ed2(spark, tmp_path):
     """Deletion-neighborhood completeness: an insert, a delete and a
