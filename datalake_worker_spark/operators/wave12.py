@@ -214,6 +214,82 @@ def q26_nation_pagerank(spark, sf_dir):
     )
 
 
+def pagerank_broadcast(spark, edges, iters: int = Q26_ITERS):
+    """q26's web-scale rank path (VERDICT r11 item 5): ranks live in a
+    node-sized DataFrame that JOINS onto the edge frame each round —
+    never a literal CASE over nodes, so the node set can be millions.
+
+    Bit-equal to the q26 literal path by construction: the same
+    fixed-point arithmetic ((r*w) div wsum per edge, dangling mass via
+    anti-join, damping as the exact 85/100 rational), just with the
+    rank vector as a broadcast-joined frame instead of driver state.
+    Each round: ONE edge-frame scan (rank join + contribution agg), one
+    node-sized anti-join for dangling mass, one node-sized rebuild; the
+    new rank frame is localCheckpoint'ed (node-sized) so lineage stays
+    flat across rounds. At true web scale drop the F.broadcast hint and
+    let AQE pick the shuffle join; everything else is unchanged.
+
+    ``edges``: (src, dst, w) frame. Returns (nationkey, rank_fp,
+    pagerank) — q26's exact output schema.
+    """
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    ew = edges.join(outw, "src").persist(StorageLevel.DISK_ONLY)
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        ew.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return spark.createDataFrame(
+            [], "nationkey long, rank_fp long, pagerank double"
+        )
+    base = ((Q26_D_DEN - Q26_D_NUM) * Q26_ONE) // (Q26_D_DEN * n_nodes)
+    ranks = nodes.select(
+        "n", F.lit(Q26_ONE // n_nodes).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            ew.join(F.broadcast(ranks), ew["src"] == ranks["n"])
+            .selectExpr("dst", "(r * w) div wsum AS c")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang = (
+            ranks.join(outw, ranks["n"] == outw["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("ds"))
+            .selectExpr(f"ds div {n_nodes} AS de")
+        )
+        ranks = (
+            nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "n",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({Q26_D_NUM} * (coalesce(contrib, CAST(0 AS BIGINT))"
+                        f" + de)) div {Q26_D_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select(
+        F.col("n").cast("long").alias("nationkey"),
+        F.col("r").alias("rank_fp"),
+        (F.col("r") / F.lit(float(Q26_ONE))).alias("pagerank"),
+    )
+    ew.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # t33: CART decision stump with exact integer Gini argmax
 # ---------------------------------------------------------------------------

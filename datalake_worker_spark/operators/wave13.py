@@ -1,0 +1,456 @@
+"""Round-12 operators: oracle audit twins for the sketch/hash family +
+the binned decision stump.
+
+- d20: SimHash near-dup pipeline audit — the IDENTICAL production
+  machinery (vote fold, pigeonhole bands, capped bucket join, exact
+  popcount verify) run over sha256-derived 40-bit token hashes, which
+  DuckDB replays exactly. d05/d08 keep xxhash64 for production (one
+  fewer string pass per token); this converts the SimHash family's
+  correctness from rows-only to strict hash-green (VERDICT r11 item 1).
+- a19: Count-Min-sketch audit — the a16 sketch build/probe with
+  sha256-derived row hashes, counters joined relationally instead of
+  re-entering as a literal, so the full counter matrix and every
+  estimate is DuckDB-replayable (VERDICT r11 item 4).
+- t34: quantile-binned decision stump — t33's exact integer Gini
+  argmax restricted to the 15 exact order-statistic boundaries per
+  feature (the histogram-binned split search XGBoost/LightGBM run at
+  scale, where t33's full distinct-value scan stops being bounded);
+  boundaries are rank-defined so the oracle derives them relationally
+  (VERDICT r11 item 6).
+
+Reference parity note: the reference (696 LoC chunk store,
+/root/reference/src/lib.rs) has no query surface; these extend the
+SURVEY §2 LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..registry import register
+from ..sources import load_table, spread_scan
+
+# ---------------------------------------------------------------------------
+# d20: SimHash pipeline audit (sha256 token hashes → strict oracle)
+# ---------------------------------------------------------------------------
+
+#: 40 bits = the established sha-prefix integer both engines derive
+#: identically (Spark conv(substr(sha2,1,10),16,10) ↔ DuckDB
+#: CAST('0x'||substr(sha256,1,10) AS BIGINT)); 4 even 10-bit pigeonhole
+#: blocks guarantee candidate recall 1.0 at Hamming ≤ 3.
+D20_BITS = 40
+D20_BANDS = 4
+D20_MAX_HAMMING = 3
+D20_BUCKET_CAP = 4096
+
+_D20_ORACLE = rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256(t.tok), 1, 10)) AS BIGINT) AS h
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+    ),
+    votes AS (
+        SELECT doc_id, CAST(u.b AS INTEGER) AS b,
+               SUM(CASE WHEN (h >> CAST(u.b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM tok, UNNEST(range({D20_BITS})) AS u(b)
+        GROUP BY doc_id, u.b
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS sh
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, sh, CAST(u.i AS INTEGER) AS band_idx,
+               (sh >> (CAST(u.i AS INTEGER) * 10)) & 1023 AS band_val
+        FROM fp, UNNEST(range({D20_BANDS})) AS u(i)
+    ),
+    capped AS (
+        SELECT doc_id, sh, band_idx, band_val
+        FROM banded
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY band_idx, band_val
+                                   ORDER BY doc_id) <= {D20_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sh AS fa, b.sh AS fb
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {D20_MAX_HAMMING}
+"""
+
+
+def sha40(col):
+    """The 40-bit sha256-prefix integer both engines compute identically
+    (the smp06/a13 oracle discipline)."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 10), 16, 10).cast("long")
+
+
+@register(
+    "d20_simhash_audit",
+    _D20_ORACLE,
+    category="llm-dedup",
+    doc=(
+        "oracle-audited twin of the d05/d08 SimHash near-dup pipeline: "
+        "the SAME vote→bits fold (simhash_from_token_hashes), the SAME "
+        "pigeonhole banding (pigeonhole_bands) and the SAME capped "
+        "bucket join + exact popcount verify, run over sha256-derived "
+        "40-bit token hashes so DuckDB replays every vote, every "
+        "fingerprint bit, every band value and the row_number bucket "
+        "cap — the result HASH-MATCHES (v14 recipe, r11 item 1). "
+        "4 even 10-bit blocks give pigeonhole-guaranteed recall 1.0 at "
+        "Hamming ≤ 3. Production keeps xxhash64 (d05/d08, one fewer "
+        "string pass per token); a pytest pins both paths through the "
+        "shared machinery and the blocked result equal to brute force. "
+        "100 TB: identical shape to d08 — banded equi-join, bucket cap "
+        "bounds pair expansion under skew (and the oracle replays the "
+        "cap exactly), never O(n^2)."
+    ),
+)
+def d20_simhash_audit(spark, sf_dir):
+    from ..functions.dedup import (
+        capped_fingerprint_band_pairs,
+        hamming64,
+        pigeonhole_bands,
+        simhash_from_token_hashes,
+    )
+    from ..functions.text import whitespace_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(whitespace_tokens("text")).alias("_t")
+    ).select("doc_id", sha40(F.col("_t")).alias("_h"))
+    sh = simhash_from_token_hashes(toks, "doc_id", "_h", D20_BITS).select(
+        "doc_id", F.col("simhash").alias("_sh")
+    )
+    banded = pigeonhole_bands(sh, "doc_id", "_sh", D20_BITS, D20_BANDS)
+    pairs = capped_fingerprint_band_pairs(
+        banded, "_sh", "doc_id", D20_BUCKET_CAP
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("fp_a"), F.col("fp_b")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= D20_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# a19: Count-Min sketch audit (sha256 row hashes → strict oracle)
+# ---------------------------------------------------------------------------
+
+A19_DEPTH = 4
+A19_WIDTH = 1024
+
+_A19_ORACLE = rf"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    coords AS (
+        SELECT u.j AS j,
+               CAST(('0x' || substr(sha256(CAST(u.j AS VARCHAR) || ':' || tok),
+                                    1, 10)) AS BIGINT) % {A19_WIDTH} AS cell
+        FROM tok, UNNEST(range({A19_DEPTH})) AS u(j)
+    ),
+    cells AS (
+        SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS n
+        FROM coords GROUP BY j, cell
+    ),
+    exact AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, exact_n FROM exact
+        ORDER BY exact_n DESC, tok ASC LIMIT 20
+    ),
+    probe AS (
+        SELECT t.tok, t.exact_n, u.j AS j,
+               CAST(('0x' || substr(sha256(CAST(u.j AS VARCHAR) || ':' || t.tok),
+                                    1, 10)) AS BIGINT) % {A19_WIDTH} AS cell
+        FROM top t, UNNEST(range({A19_DEPTH})) AS u(j)
+    ),
+    est AS (
+        SELECT p.tok, p.exact_n, MIN(c.n) AS cms_n
+        FROM probe p JOIN cells c ON c.j = p.j AND c.cell = p.cell
+        GROUP BY p.tok, p.exact_n
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_n DESC, tok ASC) AS BIGINT)
+             AS rn,
+           tok, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+           CAST(cms_n - exact_n AS BIGINT) AS over
+    FROM est
+"""
+
+
+def _a19_cell(j: int, col):
+    """CMS row-j bucket for a token: sha256('j:tok') 40-bit prefix mod
+    width — independent per row, identical in both engines."""
+    return F.pmod(
+        sha40(F.concat(F.lit(f"{j}:"), col)), F.lit(A19_WIDTH)
+    ).cast("long")
+
+
+@register(
+    "a19_cms_audit",
+    _A19_ORACLE,
+    category="aggregation",
+    doc=(
+        "oracle-audited twin of a16's Count-Min sketch: the SAME "
+        "depth-4 x width-1024 one-job build (tokens explode to (row, "
+        "cell) coords, one groupBy counts every cell) with sha256-"
+        "derived row hashes, and estimates probed via a RELATIONAL "
+        "broadcast join against the bounded counter frame instead of a "
+        "collected literal — every counter and every min-over-rows "
+        "estimate is DuckDB-replayable, so the sketch family's "
+        "correctness is strict hash-green (r11 item 4). Output: top-20 "
+        "exact-heaviest tokens with exact count, CMS estimate and "
+        "overestimate (est >= exact by construction — the a16 APPROX "
+        "invariant, now hash-checked). 100 TB: cell counts are "
+        "partial-agg combinable; the counter frame is <= depth*width "
+        "rows (broadcast side); probes never shuffle the corpus."
+    ),
+)
+def a19_cms_audit(spark, sf_dir):
+    from ..functions.text import whitespace_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        spread_scan(d, "doc_id")
+        .select(F.explode(whitespace_tokens("text")).alias("tok"))
+        # one tokenize feeds build + exact counts (recomputable
+        # DISK_ONLY, the a16/r8 lineage rule)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("j"),
+                    _a19_cell(j, F.col("tok")).alias("cell"),
+                )
+                for j in range(A19_DEPTH)
+            ]
+        )
+    )
+    cells = (
+        tok.select(coords.alias("rc"))
+        .groupBy(F.col("rc.j").alias("j"), F.col("rc.cell").alias("cell"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    exact = tok.groupBy("tok").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    # top-20 via TakeOrderedAndProject (no global sort); the rank window
+    # then runs over exactly 20 rows (the a16/t23 recipe)
+    top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
+    probe = top.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        _a19_cell(j, F.col("tok")).alias("cell"),
+                    )
+                    for j in range(A19_DEPTH)
+                ]
+            )
+        ).alias("pc"),
+    ).select("tok", "exact_n", F.col("pc.j").alias("j"), F.col("pc.cell").alias("cell"))
+    est = probe.join(F.broadcast(cells), ["j", "cell"]).groupBy(
+        "tok", "exact_n"
+    ).agg(F.min("n").alias("cms_n"))
+    return est.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("exact_n"), F.asc("tok")))
+        .cast("long")
+        .alias("rn"),
+        "tok",
+        "exact_n",
+        F.col("cms_n").cast("long").alias("cms_n"),
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("over"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t34: quantile-binned decision stump (t33 at production row counts)
+# ---------------------------------------------------------------------------
+
+#: number of bins; thresholds are the 15 interior exact order
+#: statistics (rank ceil(i*n/16)) per feature.
+T34_BINS = 16
+
+
+def _t34_oracle_sql() -> str:
+    from .wave12 import _T33_ORACLE, T33_SCALE  # noqa: F401  (shared feature CTEs)
+
+    return f"""
+    WITH feat AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y,
+               n_chars,
+               len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z]+'), x -> x <> '')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:]',
+                   '', 'g')) AS n_punct
+        FROM documents
+    ),
+    long_f AS (
+        SELECT doc_id, y, 'n_chars' AS feature, n_chars AS x FROM feat
+        UNION ALL
+        SELECT doc_id, y, 'n_tok', n_tok FROM feat
+        UNION ALL
+        SELECT doc_id, y, 'n_punct', n_punct FROM feat
+    ),
+    per_val AS (
+        SELECT feature, x, CAST(COUNT(*) AS HUGEINT) AS cnt,
+               CAST(SUM(y) AS HUGEINT) AS c1
+        FROM long_f GROUP BY feature, x
+    ),
+    cum AS (
+        SELECT feature, x,
+               SUM(cnt) OVER (PARTITION BY feature ORDER BY x) AS nl,
+               SUM(c1) OVER (PARTITION BY feature ORDER BY x) AS c1l,
+               SUM(cnt) OVER (PARTITION BY feature) AS n,
+               SUM(c1) OVER (PARTITION BY feature) AS c1t
+        FROM per_val
+    ),
+    bnd AS (
+        SELECT feature, u.i AS i, MIN(x) AS x
+        FROM cum, UNNEST(range(1, {T34_BINS})) AS u(i)
+        WHERE nl >= (CAST(u.i AS HUGEINT) * n + {T34_BINS - 1}) // {T34_BINS}
+        GROUP BY feature, u.i
+    ),
+    bx AS (SELECT DISTINCT feature, x FROM bnd),
+    scored AS (
+        SELECT c.feature, c.x AS threshold,
+               ({T33_SCALE} * ((n - nl) * ((nl - c1l) * (nl - c1l)
+                                           + c1l * c1l)
+                 + nl * (((n - nl) - (c1t - c1l)) * ((n - nl) - (c1t - c1l))
+                         + (c1t - c1l) * (c1t - c1l))))
+               // (nl * (n - nl)) AS score_fp,
+               nl, c1l, n, c1t
+        FROM cum c JOIN bx ON bx.feature = c.feature AND bx.x = c.x
+        WHERE c.nl > 0 AND c.nl < c.n
+    ),
+    best AS (
+        SELECT * FROM scored
+        ORDER BY score_fp DESC, feature ASC, threshold ASC LIMIT 1
+    )
+    SELECT f.doc_id,
+           b.feature,
+           CAST(b.threshold AS BIGINT) AS threshold,
+           CAST(b.score_fp AS BIGINT) AS score_fp,
+           CAST(CASE WHEN (CASE b.feature
+                           WHEN 'n_chars' THEN f.n_chars
+                           WHEN 'n_tok' THEN f.n_tok
+                           ELSE f.n_punct END) <= b.threshold
+                THEN CASE WHEN 2 * b.c1l > b.nl THEN 1 ELSE 0 END
+                ELSE CASE WHEN 2 * (b.c1t - b.c1l) > (b.n - b.nl)
+                          THEN 1 ELSE 0 END
+                END AS BIGINT) AS predicted,
+           CAST(f.y AS BIGINT) AS label
+    FROM feat f, best b
+    """
+
+
+@register(
+    "t34_binned_stump",
+    _t34_oracle_sql(),
+    category="text",
+    doc=(
+        "quantile-binned CART decision stump — t33's exact integer Gini "
+        "argmax restricted to the {b}-1 interior exact order-statistic "
+        "boundaries per feature (threshold i = the value at rank "
+        "ceil(i*n/{b})): the histogram-binned split search every "
+        "distributed GBDT (XGBoost approx / LightGBM) runs when the "
+        "full distinct-value scan of t33 stops being bounded (SCALE.md "
+        "r11: exact holds to ~1e5 distinct values/side). Boundaries "
+        "are RANK-defined, so both engines derive them relationally "
+        "from the same cumulative histogram — no driver-computed "
+        "literal enters the oracle, and the whole search stays in "
+        "integer/decimal arithmetic (hash-exact). 100 TB: one "
+        "per-(feature,value) histogram (partial-agg combinable), one "
+        "window over distinct values, a {b}-row-per-feature boundary "
+        "frame, shuffle-free literal prediction.".format(b=T34_BINS)
+    ),
+)
+def t34_binned_stump(spark, sf_dir):
+    from .wave12 import _t33_features, t33_score_fp_sql
+
+    feat = _t33_features(
+        load_table(spark, sf_dir, "documents")
+    ).persist(StorageLevel.DISK_ONLY)
+    long_f = None
+    for fname in ("n_chars", "n_tok", "n_punct"):
+        part = feat.select(
+            "doc_id", "y", F.lit(fname).alias("feature"),
+            F.col(fname).alias("x"),
+        )
+        long_f = part if long_f is None else long_f.unionByName(part)
+    per_val = long_f.groupBy("feature", "x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("c1")
+    )
+    wcum = W.partitionBy("feature").orderBy("x")
+    wall = W.partitionBy("feature")
+    cum = per_val.select(
+        "feature",
+        "x",
+        F.sum("cnt").over(wcum).alias("nl"),
+        F.sum("c1").over(wcum).alias("c1l"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum("c1").over(wall).alias("c1t"),
+    )
+    bins = spark.range(1, T34_BINS).select(F.col("id").alias("i"))
+    bnd = (
+        cum.crossJoin(F.broadcast(bins))
+        .filter(F.col("nl") >= F.expr(f"(i * n + {T34_BINS - 1}) div {T34_BINS}"))
+        .groupBy("feature", "i")
+        .agg(F.min("x").alias("x"))
+    )
+    bx = bnd.select("feature", "x").distinct()
+    scored = (
+        cum.join(bx, ["feature", "x"])
+        .filter((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+        .selectExpr(
+            "feature", "x AS threshold", t33_score_fp_sql(),
+            "nl", "c1l", "n", "c1t",
+        )
+    )
+    best = (
+        scored.orderBy(
+            F.col("score_fp").desc(),
+            F.col("feature").asc(),
+            F.col("threshold").asc(),
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    left_label = 1 if 2 * int(best.c1l) > int(best.nl) else 0
+    right_label = (
+        1
+        if 2 * (int(best.c1t) - int(best.c1l)) > (int(best.n) - int(best.nl))
+        else 0
+    )
+    fx = F.col(best.feature)
+    # janitor lifetime for feat (the q26/t33 note)
+    return feat.select(
+        "doc_id",
+        F.lit(best.feature).alias("feature"),
+        F.lit(int(best.threshold)).cast("long").alias("threshold"),
+        F.lit(int(best.score_fp)).cast("long").alias("score_fp"),
+        F.when(fx <= int(best.threshold), F.lit(left_label))
+        .otherwise(F.lit(right_label))
+        .cast("long")
+        .alias("predicted"),
+        F.col("y").alias("label"),
+    )

@@ -53,70 +53,22 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: therefore a rotation schedule: the ~50-query prefix is this round's
 #: verification budget, rewritten each round to burn the largest
 #: verification debt first.
-#: Round-11 ordering (VERDICT r10 item 2): the 43 queries whose newest
-#: driver row is still r6 lead (the whole lk-family, t01-t13, d01-d05,
-#: q23/q24, st15/st16, w15/w16, x07, ...), then the five r11 additions
-#: (v14/q26/t33/io24/d19, never driver-verified), then the r7 cohort fills the
-#: remaining ~4-row budget. 43 + 5 < 50, so after the r11 driver run no
-#: CORRECTNESS row predates r7 (the verdict's done-criterion). The list
-#: is regenerated from the cumulative CORRECTNESS_r*.json files,
+#: Round-12 ordering (VERDICT r11 item 3): the three r12 additions
+#: (d20/a19/t34, never driver-verified) lead, then the 48 queries whose
+#: newest driver row is still r7. 3 + 48 = 51, so with the driver's
+#: 50-row budget exactly ONE r7 row (st04_stream_dedup, the cohort's
+#: last) survives to r13 — the trade chosen deliberately: a first
+#: CORRECTNESS row for each new operator outranks the final staleness
+#: row. Regenerated from the cumulative CORRECTNESS_r*.json files,
 #: stalest cohort first; within a cohort the prior recorded run order
 #: is preserved.
 _PRIORITY_NAMES = [
-    # newest driver row: round 6 (43 queries) — the r10 verdict's
-    # staleness cohort, burned first (item 2)
-    "w15_funnel_steps",
-    "w16_mad_outliers",
-    "a14_retention_cohorts",
-    "io15_snapshot_diff",
-    "t21_textrank_keywords",
-    "t22_pmi_collocations",
-    "x07_last_touch_attribution",
-    "lk08_tagged_snapshots",
-    "m06_perceptual_near_dup",
-    "q23_copurchase_lift",
-    "io16_ttl_partition_expiry",
-    "q24_hierarchy_rollup",
-    "lk09_version_diff",
-    "p05_map_in_arrow",
-    "st15_temporal_dimension_join",
-    "st16_trending_topk",
-    "lk10_incremental_consumption",
-    "lk01_list_chunks",
-    "lk02_find_chunk_containment",
-    "lk03_delete_lifecycle",
-    "lk04_total_size",
-    "lk05_query_through_chunk",
-    "t01_token_stats",
-    "t02_quality_score",
-    "t03_language_id",
-    "t04_doc_frequency",
-    "t05_fingerprint",
-    "t06_tfidf_top_terms",
-    "t07_sentiment_lexicon",
-    "t08_text_cleaning",
-    "t09_bigram_counts",
-    "t10_unigram_logprob",
-    "t11_boilerplate_ngrams",
-    "t12_repetition_ratio",
-    "t13_bpe_token_count",
-    "d01_exact_dedup_keep_first",
-    "d02_exact_dedup_hash_groups",
-    "d03_ngram_jaccard_pairs",
-    "d04_minhash_near_dups",
-    "d05_simhash_fingerprints",
-    "d08_simhash_near_dups",
-    "io02_csv_roundtrip",
-    "io03_json_roundtrip",
-    # new in round 11 (never driver-verified)
-    "v14_lsh_candidate_audit",
-    "q26_nation_pagerank",
-    "t33_decision_stump",
-    "io24_dynamic_partition_pruning",
-    "d19_symspell_typo_pairs",
-    # newest driver row: round 7 (50 queries)
-    "io17_jdbc_roundtrip",
-    "io04_in_memory_source",
+    # never driver-verified (round-12 additions) — first: each needs
+    # its first CORRECTNESS row (r11 verdict items 1/4/6)
+    "d20_simhash_audit",
+    "a19_cms_audit",
+    "t34_binned_stump",
+    # newest driver row: round 7 (48 queries)
     "io05_schema_evolution_merge",
     "smp01_stratified_sample",
     "smp02_doc_packing",
@@ -318,6 +270,57 @@ _PRIORITY_NAMES = [
     "st14_streaming_vector_index",
     "v09_ann_ivfpq_topk",
     "smp13_token_budget_fill",
+    # newest driver row: round 11 (50 queries)
+    "w15_funnel_steps",
+    "w16_mad_outliers",
+    "a14_retention_cohorts",
+    "io15_snapshot_diff",
+    "t21_textrank_keywords",
+    "t22_pmi_collocations",
+    "x07_last_touch_attribution",
+    "lk08_tagged_snapshots",
+    "m06_perceptual_near_dup",
+    "q23_copurchase_lift",
+    "io16_ttl_partition_expiry",
+    "q24_hierarchy_rollup",
+    "lk09_version_diff",
+    "p05_map_in_arrow",
+    "st15_temporal_dimension_join",
+    "st16_trending_topk",
+    "lk10_incremental_consumption",
+    "lk01_list_chunks",
+    "lk02_find_chunk_containment",
+    "lk03_delete_lifecycle",
+    "lk04_total_size",
+    "lk05_query_through_chunk",
+    "t01_token_stats",
+    "t02_quality_score",
+    "t03_language_id",
+    "t04_doc_frequency",
+    "t05_fingerprint",
+    "t06_tfidf_top_terms",
+    "t07_sentiment_lexicon",
+    "t08_text_cleaning",
+    "t09_bigram_counts",
+    "t10_unigram_logprob",
+    "t11_boilerplate_ngrams",
+    "t12_repetition_ratio",
+    "t13_bpe_token_count",
+    "d01_exact_dedup_keep_first",
+    "d02_exact_dedup_hash_groups",
+    "d03_ngram_jaccard_pairs",
+    "d04_minhash_near_dups",
+    "d05_simhash_fingerprints",
+    "d08_simhash_near_dups",
+    "io02_csv_roundtrip",
+    "io03_json_roundtrip",
+    "v14_lsh_candidate_audit",
+    "q26_nation_pagerank",
+    "t33_decision_stump",
+    "io24_dynamic_partition_pruning",
+    "d19_symspell_typo_pairs",
+    "io17_jdbc_roundtrip",
+    "io04_in_memory_source",
 ]
 
 _MODULE_ORDER = [
@@ -350,6 +353,7 @@ _MODULE_ORDER = [
     "operators.wave10",
     "operators.wave11",
     "operators.wave12",
+    "operators.wave13",
 ]
 
 
@@ -414,6 +418,7 @@ def _load_all():
     from .operators import wave10  # noqa: F401  (round-10 additions)
     from .operators import wave11  # noqa: F401  (round-10 second wave)
     from .operators import wave12  # noqa: F401  (round-11 additions)
+    from .operators import wave13  # noqa: F401  (round-12 additions)
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

@@ -1,0 +1,191 @@
+"""Round-12 operators: d20 SimHash audit, a19 CMS audit, t34 binned
+stump, q26's broadcast-rank path."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def _py_sha40(tok: str) -> int:
+    return int(hashlib.sha256(tok.encode()).hexdigest()[:10], 16)
+
+
+def _py_simhash40(text: str) -> int:
+    toks = text.strip().split() if text.strip() else [""]
+    out = 0
+    for b in range(40):
+        vote = sum(
+            1 if (_py_sha40(t) >> b) & 1 else -1 for t in toks
+        )
+        if vote > 0:
+            out |= 1 << b
+    return out
+
+
+# ----------------------------------------------------------------- d20
+def test_d20_equals_python_brute_force(spark, sf_dir):
+    """Independent differential: recompute every sha-40 fingerprint in
+    pure Python, brute-force ALL pairs at Hamming <= 3, and pin the
+    blocked+capped pipeline equal — the pigeonhole guarantee (recall
+    1.0 at the advertised radius) checked end-to-end, not assumed."""
+    from datalake_worker_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    fps = {r.doc_id: _py_simhash40(r.text) for r in docs}
+    ids = sorted(fps)
+    expect = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in REGISTRY["d20_simhash_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_d20_shares_production_machinery():
+    """The audit must be the SAME code path d05/d08 run (one fold, one
+    banding, one capped join) — pin the call graph, not a copy."""
+    import inspect
+
+    from datalake_worker_spark.operators import wave13
+
+    src = inspect.getsource(wave13.d20_simhash_audit)
+    for shared in (
+        "simhash_from_token_hashes",
+        "pigeonhole_bands",
+        "capped_fingerprint_band_pairs",
+    ):
+        assert shared in src, shared
+
+
+# ----------------------------------------------------------------- a19
+def test_a19_estimates_never_undercount(spark, sf_dir):
+    """CMS guarantee: est >= exact for every probed token, and the
+    top-20 ranking is (exact desc, token asc)."""
+    rows = REGISTRY["a19_cms_audit"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.cms_n >= r.exact_n for r in rows)
+    assert all(r.over == r.cms_n - r.exact_n for r in rows)
+    ordered = sorted(rows, key=lambda r: (-r.exact_n, r.tok))
+    assert [r.rn for r in ordered] == list(range(1, 21))
+
+
+def test_a19_planted_collision_overcounts(spark, tmp_path):
+    """Force a width-1 sketch: every token lands in the same cell, so
+    the estimate for each token must equal the TOTAL token count —
+    the audit's arithmetic is the real CMS, not a pass-through."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_worker_spark.operators import wave13
+
+    docs = [
+        dict(doc_id=0, text="aa aa aa bb"),
+        dict(doc_id=1, text="bb cc"),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet")
+    )
+    orig = wave13.A19_WIDTH
+    wave13.A19_WIDTH = 1
+    try:
+        rows = wave13.a19_cms_audit(spark, str(tmp_path)).collect()
+    finally:
+        wave13.A19_WIDTH = orig
+    assert {r.tok: r.cms_n for r in rows} == {"aa": 6, "bb": 6, "cc": 6}
+    assert {r.tok: r.exact_n for r in rows} == {"aa": 3, "bb": 2, "cc": 1}
+
+
+# ----------------------------------------------------------------- t34
+def test_t34_matches_t33_on_separable_data(spark, tmp_path):
+    """Planted separable corpus: label ('spark' in text) is perfectly
+    separated by document length. The binned search must agree with the
+    exact search on the winning feature AND reach the same pure-split
+    score SCALE * n (Gini impurity 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_worker_spark.operators.wave12 import T33_SCALE
+
+    docs = []
+    for i in range(120):
+        if i % 2:
+            text = "spark " * 3  # short, positive
+        else:
+            text = "plain words only " * 40  # long, negative
+        docs.append(dict(doc_id=i, text=text.strip(), n_chars=len(text.strip())))
+    pq.write_table(
+        pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet")
+    )
+    exact = REGISTRY["t33_decision_stump"].spark_fn(spark, str(tmp_path)).collect()
+    binned = REGISTRY["t34_binned_stump"].spark_fn(spark, str(tmp_path)).collect()
+    assert exact[0].feature == binned[0].feature
+    assert int(exact[0].score_fp) == int(binned[0].score_fp) == T33_SCALE * 120
+    # pure split → binned predictions are perfect too
+    assert all(r.predicted == r.label for r in binned)
+
+
+def test_t34_thresholds_are_order_statistics(spark, sf_dir):
+    """The chosen binned threshold must be one of the 15 interior
+    rank-ceil(i*n/16) order statistics of its feature — the contract
+    that makes the oracle's relational boundary derivation exact."""
+    from datalake_worker_spark.operators.wave12 import _t33_features
+    from datalake_worker_spark.operators.wave13 import T34_BINS
+    from datalake_worker_spark.sources import load_table
+
+    rows = REGISTRY["t34_binned_stump"].spark_fn(spark, sf_dir).collect()
+    fname, thr = rows[0].feature, int(rows[0].threshold)
+    vals = sorted(
+        int(getattr(r, fname))
+        for r in _t33_features(load_table(spark, sf_dir, "documents")).collect()
+    )
+    n = len(vals)
+    bounds = {
+        vals[(i * n + T34_BINS - 1) // T34_BINS - 1] for i in range(1, T34_BINS)
+    }
+    assert thr in bounds
+
+
+# ----------------------------------------------------------------- q26
+def test_pagerank_broadcast_bit_equals_literal_path(spark, sf_dir):
+    """VERDICT r11 item 5: the web-scale broadcast-rank round must be
+    bit-identical to the registered literal-CASE path on the nation
+    graph (same fixed-point arithmetic, rank vector as a frame)."""
+    from datalake_worker_spark.operators.wave12 import pagerank_broadcast
+    from datalake_worker_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    lit_rows = sorted(
+        map(tuple, REGISTRY["q26_nation_pagerank"].spark_fn(spark, sf_dir).collect())
+    )
+    bc_rows = sorted(map(tuple, pagerank_broadcast(spark, edges).collect()))
+    assert bc_rows == lit_rows and len(bc_rows) > 0
+
+
+def test_pagerank_broadcast_empty_graph(spark):
+    from datalake_worker_spark.operators.wave12 import pagerank_broadcast
+
+    edges = spark.createDataFrame([], "src long, dst long, w long")
+    assert pagerank_broadcast(spark, edges).collect() == []
