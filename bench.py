@@ -202,6 +202,14 @@ WAVE11 = [
     "d19_symspell_typo_pairs",
 ]
 
+# added in round 12 — twelfth suite per the same contract (the sketch/
+# hash-family oracle audit twins + the histogram-binned stump trainer).
+WAVE12 = [
+    "d20_simhash_audit",
+    "a19_cms_audit",
+    "t34_binned_stump",
+]
+
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"
 # (q07 0.43->1.13 s) was root-caused in round 7 to ambient run-to-run
 # variance — four same-code runs within round 6 recorded extended totals
@@ -253,6 +261,14 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16")),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # Bench-capture hygiene (VERDICT r11 item 10): several bench queries
+    # intentionally rank tiny final aggregates with an unpartitioned
+    # window (top-20-style outputs over bounded rows), which spams
+    # `WindowExec: No Partition Defined` WARNs into the captured tail of
+    # BENCH_r*.json. Those windows are bounded by construction — the
+    # warning is noise here, so the bench session runs at ERROR level
+    # (correctness runs keep WARN).
+    spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
     def _time(names: list[str]) -> dict[str, float]:
@@ -273,7 +289,7 @@ def main() -> None:
         "HEADLINE": HEADLINE, "EXTENDED": EXTENDED, "PIPELINE": PIPELINE,
         "LLM_WAVE": LLM_WAVE, "DEPTH": DEPTH, "WAVE6": WAVE6,
         "WAVE7": WAVE7, "WAVE8": WAVE8, "WAVE9": WAVE9,
-        "WAVE10": WAVE10, "WAVE11": WAVE11,
+        "WAVE10": WAVE10, "WAVE11": WAVE11, "WAVE12": WAVE12,
     }
     picked = (
         {s.strip().upper() for s in args.suites.split(",")}
@@ -294,10 +310,18 @@ def main() -> None:
     wave9 = _suite("WAVE9")
     wave10 = _suite("WAVE10")
     wave11 = _suite("WAVE11")
+    wave12 = _suite("WAVE12")
 
-    # comparative baseline (BASELINE.md protocol): same queries through
-    # DuckDB on the identical parquet — extra keys, driver contract intact
-    duck = _duckdb_timings(sf_dir, sorted(set(timings) | set(pipeline)))
+    # comparative baseline (BASELINE.md protocol): the same queries
+    # through DuckDB on the identical parquet — extra keys, driver
+    # contract intact. Since round 12 the comparative covers EVERY
+    # measured suite (oracle-backed queries only), not just core +
+    # pipeline, so the 10x record carries a DuckDB column per suite
+    # (VERDICT r11 item 2).
+    measured: set[str] = set()
+    for s in picked:
+        measured |= set(suite_map[s])
+    duck = _duckdb_timings(sf_dir, sorted(measured))
 
     total = round(sum(timings.values()), 4)
     ext_total = round(sum(extended.values()), 4)
@@ -310,6 +334,7 @@ def main() -> None:
     wave9_total = round(sum(wave9.values()), 4)
     wave10_total = round(sum(wave10.values()), 4)
     wave11_total = round(sum(wave11.values()), 4)
+    wave12_total = round(sum(wave12.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -335,6 +360,8 @@ def main() -> None:
         "wave10_value": wave10_total,
         "wave11_queries": wave11,  # round-11 suite (LSH audit + trainers)
         "wave11_value": wave11_total,
+        "wave12_queries": wave12,  # round-12 suite (oracle audit twins)
+        "wave12_value": wave12_total,
         "sf": sf,
     }
     if duck:
@@ -383,6 +410,8 @@ def main() -> None:
                 "wave10_queries": len(wave10),
                 "wave11_value": wave11_total,
                 "wave11_queries": len(wave11),
+                "wave12_value": wave12_total,
+                "wave12_queries": len(wave12),
             }
         )
     )

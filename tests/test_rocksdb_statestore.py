@@ -313,6 +313,53 @@ _CRASH_OPS = {
 }
 
 
+def _fold_stores(name, root):
+    """Production-layout EpochStore handles for the fold-race test."""
+    from datalake_worker_spark.streaming.incdedup import EpochStore
+
+    if name == "st13_incremental_near_dup":
+        return [
+            EpochStore(
+                os.path.join(root, "state_bands"), ["band_idx", "band_hash"]
+            ),
+            EpochStore(os.path.join(root, "state_sigs"), ["doc_id"]),
+        ]
+    return [
+        EpochStore(
+            os.path.join(root, "index"),
+            sort_cols=["vec_id"],
+            buckets=2,
+            partition_by=["cid"],
+        )
+    ]
+
+
+@pytest.mark.parametrize(
+    "name", ["st13_incremental_near_dup", "st14_streaming_vector_index"]
+)
+def test_kill_mid_epoch_recovery_with_racing_fold(spark, sf_dir, tmp_path, name):
+    """r11 verdict item 9: a maintenance generation fold landing
+    BETWEEN the crash and the restart — the interleaving the plain
+    kill-mid-epoch test doesn't cover. The fold compacts the committed
+    epochs 0,1 into one c1 generation while epoch 2 sits torn and
+    uncommitted; compact()'s contract never folds the in-flight epoch,
+    so the restarted replay must stay a pure gen=e2 overwrite on top of
+    the folded history and produce EXACTLY the uninterrupted run's
+    rows."""
+    make, damage = _CRASH_OPS[name]
+    with rocksdb_state_store(spark):
+        run_a, batches = make(spark, sf_dir, str(tmp_path / "a"))
+        want = run_a(batches)
+        run_b, batches_b = make(spark, sf_dir, str(tmp_path / "b"))
+        run_b(batches_b[:3])
+        _delete_commit(str(tmp_path / "b"))
+        damage(str(tmp_path / "b"))
+        for store in _fold_stores(name, str(tmp_path / "b")):
+            store.compact(spark, before_epoch=2)
+        got = run_b(batches_b)
+    assert got == want and len(got) > 0
+
+
 @pytest.mark.parametrize("name", sorted(_CRASH_OPS))
 def test_kill_mid_epoch_recovery(spark, sf_dir, tmp_path, name):
     """State equivalence across a kill-mid-epoch restart, RocksDB
