@@ -208,6 +208,7 @@ WAVE12 = [
     "d20_simhash_audit",
     "a19_cms_audit",
     "t34_binned_stump",
+    "d21_minhash_audit",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

@@ -143,6 +143,176 @@ def d20_simhash_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# d21: MinHash LSH pipeline audit (sha256 hash family → strict oracle)
+# ---------------------------------------------------------------------------
+
+D21_K = 12
+D21_BANDS = 4
+D21_ROWS = D21_K // D21_BANDS
+D21_BUCKET_CAP = 4096
+#: exact-Jaccard admission threshold; the 4-band x 3-row LSH curve has
+#: its s-threshold at (1/4)^(1/3) ~ 0.63, so >= 0.5 true pairs are
+#: likely to collide in at least one band
+D21_JACCARD = 0.5
+
+_D21_ORACLE = rf"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[(i+1):(i+3)], ' ')
+                          FOR i IN range(len(w)-2)] END AS grams
+        FROM w
+    ),
+    s AS (SELECT DISTINCT doc_id, unnest(grams) AS sh FROM g),
+    sig AS (
+        SELECT doc_id, u.i AS i,
+               MIN(CAST(('0x' || substr(sha256(CAST(u.i AS VARCHAR) || ':' || sh),
+                                        1, 10)) AS BIGINT)) AS h
+        FROM s, UNNEST(range({D21_K})) AS u(i)
+        GROUP BY doc_id, u.i
+    ),
+    sigstr AS (
+        SELECT doc_id, string_agg(CAST(h AS VARCHAR), ':' ORDER BY i) AS sig_str
+        FROM sig GROUP BY doc_id
+    ),
+    bandkey AS (
+        SELECT doc_id, CAST(i // {D21_ROWS} AS INTEGER) AS band_idx,
+               string_agg(CAST(h AS VARCHAR), ':' ORDER BY i) AS band_val
+        FROM sig GROUP BY doc_id, i // {D21_ROWS}
+    ),
+    capped AS (
+        SELECT b.doc_id, b.band_idx, b.band_val, ss.sig_str
+        FROM bandkey b JOIN sigstr ss USING (doc_id)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val
+                                   ORDER BY b.doc_id) <= {D21_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS ninter
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.id_a
+        JOIN s sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, CAST(i.ninter AS BIGINT) AS n_common,
+           ROUND(CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.id_a
+    JOIN sz zb ON zb.doc_id = i.id_b
+    WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= {D21_JACCARD}
+"""
+
+
+@register(
+    "d21_minhash_audit",
+    _D21_ORACLE,
+    category="llm-dedup",
+    doc=(
+        "oracle-audited twin of the d04 MinHash LSH near-dup pipeline: "
+        "the SAME shingle construction (shingles_from_words 3-gram + "
+        "short-doc fallback), the SAME k-MIN-aggregate signature fold "
+        "(one groupBy, map-side combinable — minhash_signatures' "
+        "shape), the SAME banded blocking with the SAME row_number "
+        "bucket cap (capped_fingerprint_band_pairs), and an EXACT "
+        "distinct-shingle Jaccard verify — with the hash family "
+        "sha256-derived (40-bit prefixes, the d20/v14 discipline) so "
+        "DuckDB replays every signature component, band key and cap "
+        "decision: the MinHash family's correctness goes strict "
+        "hash-green. Production d04 keeps the xxhash64 two-hash "
+        "construction (2 hashes/shingle vs k). 12 hashes x 4 bands x 3 "
+        "rows put the LSH s-curve threshold at ~0.63; candidates are "
+        "admitted at exact Jaccard >= 0.5 (integer intersection counts "
+        "over distinct shingles — one relational join, both engines "
+        "divide identical integers ONCE). 100 TB: same shape as d04 — "
+        "the band equi-join is the only corpus shuffle, bucket caps "
+        "bound pair expansion under skew, the verify joins only "
+        "candidate pairs (never all pairs)."
+    ),
+)
+def d21_minhash_audit(spark, sf_dir):
+    from ..functions.dedup import (
+        capped_fingerprint_band_pairs,
+        shingles_from_words,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+        .select(
+            "doc_id", F.explode(shingles_from_words(F.col("_w"))).alias("sh")
+        )
+        .distinct()
+        # shingle rows feed the signature fold AND the exact verify
+        # (recomputable DISK_ONLY, the a16/r8 lineage rule)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    aggs = [
+        F.min(sha40(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(D21_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig_str = F.concat_ws(
+        ":", *[F.col(f"h{i}").cast("string") for i in range(D21_K)]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{b * D21_ROWS + j}").cast("string")
+                        for j in range(D21_ROWS)
+                    ],
+                ).alias("band_val"),
+            )
+            for b in range(D21_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", sig_str.alias("_sig"), F.explode(bands).alias("b")
+    ).select(
+        "doc_id",
+        "_sig",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    pairs = capped_fingerprint_band_pairs(
+        banded, "_sig", "doc_id", D21_BUCKET_CAP
+    ).select("id_a", "id_b")
+    sa = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = F.col("ninter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ninter")
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(jac >= D21_JACCARD)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("ninter").cast("long").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # a19: Count-Min sketch audit (sha256 row hashes → strict oracle)
 # ---------------------------------------------------------------------------
 

@@ -53,13 +53,14 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: therefore a rotation schedule: the ~50-query prefix is this round's
 #: verification budget, rewritten each round to burn the largest
 #: verification debt first.
-#: Round-12 ordering (VERDICT r11 item 3): the three r12 additions
-#: (d20/a19/t34, never driver-verified) lead, then the 48 queries whose
-#: newest driver row is still r7. 3 + 48 = 51, so with the driver's
-#: 50-row budget exactly ONE r7 row (st04_stream_dedup, the cohort's
-#: last) survives to r13 — the trade chosen deliberately: a first
-#: CORRECTNESS row for each new operator outranks the final staleness
-#: row. Regenerated from the cumulative CORRECTNESS_r*.json files,
+#: Round-12 ordering (VERDICT r11 item 3): the four r12 additions
+#: (d20/a19/t34/d21, never driver-verified) lead, then the 48 queries
+#: whose newest driver row is still r7. 4 + 48 = 52, so with the
+#: driver's 50-row budget the last TWO r7 rows (st03/st04, both
+#: re-proven by the provider-equivalence pytests every round) survive
+#: to r13 — the trade chosen deliberately: a first CORRECTNESS row for
+#: each new operator outranks the final staleness rows.
+#: Regenerated from the cumulative CORRECTNESS_r*.json files,
 #: stalest cohort first; within a cohort the prior recorded run order
 #: is preserved.
 _PRIORITY_NAMES = [
@@ -68,6 +69,7 @@ _PRIORITY_NAMES = [
     "d20_simhash_audit",
     "a19_cms_audit",
     "t34_binned_stump",
+    "d21_minhash_audit",
     # newest driver row: round 7 (48 queries)
     "io05_schema_evolution_merge",
     "smp01_stratified_sample",

@@ -68,6 +68,61 @@ def test_d20_shares_production_machinery():
         assert shared in src, shared
 
 
+# ----------------------------------------------------------------- d21
+def test_d21_planted_near_dups(spark, tmp_path):
+    """A pair sharing most shingles is admitted with the exact Jaccard;
+    an unrelated doc never appears; short docs (< 3 words) fall back to
+    the whole-text shingle and exact copies score 1.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        dict(doc_id=0, text=base),
+        dict(doc_id=1, text=base + " tail"),        # near-dup of 0
+        dict(doc_id=2, text="completely different words here entirely"),
+        dict(doc_id=3, text="tiny doc"),             # < 3 words
+        dict(doc_id=4, text="tiny doc"),             # exact copy of 3
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in REGISTRY["d21_minhash_audit"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in rows
+    # doc0 has 10 shingles, doc1 has 11, sharing 10 → jaccard 10/11
+    assert abs(rows[(0, 1)].jaccard - round(10 / 11, 6)) < 1e-9
+    assert rows[(3, 4)].jaccard == 1.0
+    assert all(2 not in pair for pair in rows)
+
+
+def test_d21_jaccard_matches_python(spark, sf_dir):
+    """Every admitted pair's Jaccard equals the exact distinct-shingle
+    Jaccard recomputed in Python (the verify stage is exact; the LSH
+    blocking only gates which pairs are CONSIDERED)."""
+    from datalake_worker_spark.functions.dedup import shingles_from_words
+    from datalake_worker_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = {
+        r.doc_id: set(r.s)
+        for r in d.select(
+            "doc_id",
+            shingles_from_words(F.split(F.col("text"), " ")).alias("s"),
+        ).collect()
+    }
+    rows = REGISTRY["d21_minhash_audit"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, b = sh[r.id_a], sh[r.id_b]
+        jac = len(a & b) / len(a | b)
+        assert jac >= 0.5
+        assert abs(r.jaccard - round(jac, 6)) < 1e-9
+        assert r.n_common == len(a & b)
+
+
 # ----------------------------------------------------------------- a19
 def test_a19_estimates_never_undercount(spark, sf_dir):
     """CMS guarantee: est >= exact for every probed token, and the
