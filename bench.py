@@ -209,6 +209,7 @@ WAVE12 = [
     "a19_cms_audit",
     "t34_binned_stump",
     "d21_minhash_audit",
+    "d22_bloom_audit",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

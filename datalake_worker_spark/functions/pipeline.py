@@ -720,6 +720,28 @@ def _bloom_positions(gram: Column, k: int, m_bits: int) -> Column:
     )
 
 
+def _sha_bloom_positions(gram: Column, k: int, m_bits: int) -> Column:
+    """The d22 audit position family: position_i = sha256('i:'||gram)
+    40-bit prefix mod m — identical arithmetic in DuckDB, so an oracle
+    replays every set bit and every probe (the d20/d21 discipline).
+    ``gram`` is the raw gram STRING here (no intermediate 64-bit hash)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.sha2(F.concat(F.lit(f"{i}:"), gram), 256), 1, 10
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -728,6 +750,7 @@ def bloom_decontaminate(
     n: int = 5,
     m_bits: int = 1 << 20,
     k: int = 7,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Bloom-filter decontamination: the benchmark's n-gram vocabulary is
     folded into one m-bit Bloom filter built as a distributed bitmap
@@ -760,6 +783,16 @@ def bloom_decontaminate(
     Mirrors Spark's own runtime bloom pruning."""
     from .dedup import shingles_from_words
 
+    # ``hash_family``: 'xxhash' is production (grams collapse to 64-bit
+    # hashes before the position fan-out — one hash per gram, fixed-
+    # width shuffle rows); 'sha' is the d22 oracle-audit family (raw
+    # gram strings, sha256-derived positions DuckDB replays). Same
+    # bitmap pack, same probe arithmetic, same candidate semantics.
+    hashed = F.xxhash64 if hash_family == "xxhash" else (lambda c: c)
+    positions = (
+        _bloom_positions if hash_family == "xxhash" else _sha_bloom_positions
+    )
+
     def grams(df: DataFrame) -> DataFrame:
         # raw (id, gram) stream — deliberately NOT distinct, see above.
         # spread_scan: parallelize the CPU-bound explode when the scan
@@ -769,12 +802,12 @@ def bloom_decontaminate(
             F.explode(
                 shingles_from_words(whitespace_tokens(text_col), n)
             ).alias("_g"),
-        ).select(id_col, F.xxhash64("_g").alias("gram"))
+        ).select(id_col, hashed(F.col("_g")).alias("gram"))
 
     one = F.lit(1).cast("long")
     entries = (
         grams(benchmark)
-        .select(F.explode(_bloom_positions(F.col("gram"), k, m_bits)).alias("p"))
+        .select(F.explode(positions(F.col("gram"), k, m_bits)).alias("p"))
         .select(
             F.shiftright("p", 6).cast("int").alias("widx"),
             F.call_function(
@@ -801,7 +834,7 @@ def bloom_decontaminate(
         ).cast("int")
 
     hit = F.forall(
-        _bloom_positions(F.col("gram"), k, m_bits),
+        positions(F.col("gram"), k, m_bits),
         lambda p: (
             _byte_at(p).bitwiseAND(
                 F.call_function(

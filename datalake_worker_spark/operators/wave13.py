@@ -313,6 +313,88 @@ def d21_minhash_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# d22: Bloom decontamination audit (sha256 positions → strict oracle)
+# ---------------------------------------------------------------------------
+
+D22_M_BITS = 1 << 20
+D22_K = 7
+
+_D22_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[(i+1):(i+5)], ' ')
+                          FOR i IN range(len(words)-4)] END AS grams
+        FROM w
+    ),
+    bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+    bpos AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(sha256(CAST(u.i AS VARCHAR) || ':' || gram),
+                                    1, 10)) AS BIGINT) % {D22_M_BITS} AS p
+        FROM bg, UNNEST(range({D22_K})) AS u(i)
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, unnest(grams) AS gram
+        FROM g WHERE doc_id % 20 <> 0
+    ),
+    cpos AS (
+        SELECT doc_id, gram, u.i AS i,
+               CAST(('0x' || substr(sha256(CAST(u.i AS VARCHAR) || ':' || gram),
+                                    1, 10)) AS BIGINT) % {D22_M_BITS} AS p
+        FROM cg, UNNEST(range({D22_K})) AS u(i)
+    ),
+    hitg AS (
+        SELECT c.doc_id, c.gram
+        FROM cpos c LEFT JOIN bpos b ON b.p = c.p
+        GROUP BY c.doc_id, c.gram
+        HAVING COUNT(b.p) = {D22_K}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidate
+    FROM hitg GROUP BY doc_id
+"""
+
+
+@register(
+    "d22_bloom_audit",
+    _D22_ORACLE,
+    category="llm-pipeline",
+    doc=(
+        "oracle-audited twin of d14's Bloom decontamination: the SAME "
+        "bloom_decontaminate machinery — distributed bit_or bitmap "
+        "build, ~130 KB BinaryType literal re-shipped once, map-side "
+        "byte-probe with forall over the k positions, survivors-only "
+        "distinct — with the position family sha256-derived "
+        "(position_i = sha40('i:'||gram) mod 2^20), which DuckDB "
+        "replays as a relational position-set membership check: a "
+        "gram is a candidate iff ALL k positions are set, and bitmap-"
+        "bit membership == distinct-position-set membership, so the "
+        "oracle reproduces every candidate INCLUDING the false "
+        "positives — the Bloom family's correctness (bit pack, byte "
+        "probe, admission rule) goes strict hash-green (d20/d21/a19 "
+        "recipe). Production d14 keeps xxhash64 (one 8-byte gram hash "
+        "before the position fan-out). 100 TB: unchanged from d14 — "
+        "the bitmap ships once, corpus grams filter map-side, only "
+        "survivors shuffle."
+    ),
+)
+def d22_bloom_audit(spark, sf_dir):
+    from ..functions.pipeline import bloom_decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return bloom_decontaminate(
+        corpus, bench, "doc_id", "text",
+        n=5, m_bits=D22_M_BITS, k=D22_K, hash_family="sha",
+    )
+
+
+# ---------------------------------------------------------------------------
 # a19: Count-Min sketch audit (sha256 row hashes → strict oracle)
 # ---------------------------------------------------------------------------
 

@@ -123,6 +123,34 @@ def test_d21_jaccard_matches_python(spark, sf_dir):
         assert r.n_common == len(a & b)
 
 
+# ----------------------------------------------------------------- d22
+def test_d22_zero_false_negatives_vs_exact_join(spark, sf_dir):
+    """Bloom admission can overcount (FPR > 0) but NEVER undercount:
+    every document the exact distinct-gram join flags must appear in
+    d22 with n_candidate >= the exact match count — the same contract
+    d14's property test pins for the xxhash family, here for the sha
+    audit family."""
+    from datalake_worker_spark.functions.pipeline import ngram_decontaminate
+    from datalake_worker_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    exact = {
+        r.doc_id: r.n_matched
+        for r in ngram_decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    got = {
+        r.doc_id: r.n_candidate
+        for r in REGISTRY["d22_bloom_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture must contain contaminated documents"
+    for doc_id, n_matched in exact.items():
+        assert doc_id in got and got[doc_id] >= n_matched, doc_id
+    # candidate inflation stays bounded (FPR ~0.8% at these parameters)
+    assert len(got) <= 2 * len(exact) + 20
+
+
 # ----------------------------------------------------------------- a19
 def test_a19_estimates_never_undercount(spark, sf_dir):
     """CMS guarantee: est >= exact for every probed token, and the
