@@ -536,3 +536,52 @@ def test_io24_dynamic_partition_pruning_in_plan(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan
     rows = df.collect()
     assert len(rows) == 2  # the rank filter keeps a proper subset
+
+
+def test_a19_probe_joins_counters_broadcast(spark, sf_dir):
+    """a19's estimate probe must broadcast the bounded counter frame
+    (<= depth*width rows) — the corpus never shuffles for estimates."""
+    df = REGISTRY["a19_cms_audit"].spark_fn(spark, sf_dir)
+    assert uses_broadcast_join(df), simple_plan(df)
+
+
+def test_d20_no_cartesian_product(spark, sf_dir):
+    """The SimHash audit's candidate stage is the banded equi-join
+    machinery — never a cross/nested-loop pair scan."""
+    df = REGISTRY["d20_simhash_audit"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df).lower()
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloop" not in plan
+
+
+def test_d21_no_cartesian_product(spark, sf_dir):
+    """Same contract for the MinHash audit: band equi-join + candidate
+    verify joins only, no all-pairs operator anywhere in the plan."""
+    df = REGISTRY["d21_minhash_audit"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df).lower()
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloop" not in plan
+
+
+def test_t34_histogram_partial_aggregation(spark, sf_dir):
+    """t34's per-(feature,value) histogram must partial-aggregate
+    map-side — the property that keeps the binned split search one
+    combinable pass at any corpus size."""
+    from datalake_worker_spark.operators.wave12 import _t33_features
+
+    feat = _t33_features(load_table(spark, sf_dir, "documents"))
+    per_val = feat.select(
+        "y", F.lit("n_chars").alias("feature"), F.col("n_chars").alias("x")
+    ).groupBy("feature", "x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("c1")
+    )
+    assert "partial" in simple_plan(per_val).lower()
+
+
+def test_d22_probe_is_map_side_filter(spark, sf_dir):
+    """d22 (like d14): the Bloom probe is a scan-side Filter over the
+    bitmap literal — the only join in the plan is the final survivors
+    aggregation path, never a corpus-vs-vocabulary join."""
+    df = REGISTRY["d22_bloom_audit"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df).lower()
+    assert "join" not in plan, plan
