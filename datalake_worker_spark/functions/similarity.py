@@ -176,17 +176,37 @@ def ann_topk_lsh(
         hence every bucket. Interpreted higher-order exprs are the LSH
         slow path (the numpy matmul above is the production bucketer);
         this one exists so the candidate pipeline is auditable
-        hash-exact (v14)."""
-        tbl_ids = []
-        for t in range(n_tables):
-            bid = F.lit(0).cast("long")
-            for i in range(n_planes):
-                bit = (dot(vc, lit_matrix(all_planes[t][i])) > 0).cast(
-                    "long"
-                ) * F.lit(1 << (n_planes - 1 - i))
-                bid = bid + bit
-            tbl_ids.append(bid)
-        return F.array(*tbl_ids)
+        hash-exact (v14).
+
+        The whole L·n_planes fold runs as ONE parsed SQL expression over
+        ONE nested (L·n_planes)×dim plane literal: composing it
+        Column-by-Column issued hundreds of py4j calls (r12 profile:
+        3.9 s plan build vs 2.1 s execute at sf0.1), and even as one
+        string, 96 separate plane-literal subtrees kept Catalyst
+        analysis/codegen on the critical path — the lit_matrix lesson
+        applied to the expression TREE, not just the literals. Each
+        per-plane dot is the same left-to-right zip_with/aggregate
+        fold, and the bit packing is exact integer arithmetic, so
+        results are bit-unchanged (pinned by the fold==numpy pytest +
+        the oracle hash check)."""
+        flat = [all_planes[t][i] for t in range(n_tables) for i in range(n_planes)]
+        mat = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+                for p in flat
+            )
+            + ")"
+        )
+        np_, top = n_planes, n_planes - 1
+        return F.expr(
+            f"transform(sequence(0, {n_tables - 1}), t -> "
+            f"aggregate(sequence(0, {np_ - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+            f"acc + CAST(aggregate(zip_with({vec_col}, "
+            f"element_at({mat}, CAST(t * {np_} + i + 1 AS INT)), "
+            f"(x, y) -> x * y), 0.0D, (a2, x2) -> a2 + x2) > 0.0D AS BIGINT) "
+            f"* shiftleft(CAST(1 AS BIGINT), CAST({top} - i AS INT))))"
+        )
 
     bucket_ids = (
         bucket_ids_fold if bucketer == "fold" else bucket_ids_udf
