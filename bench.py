@@ -210,6 +210,7 @@ WAVE12 = [
     "t34_binned_stump",
     "d21_minhash_audit",
     "d22_bloom_audit",
+    "v15_ivf_audit",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

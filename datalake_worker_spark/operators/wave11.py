@@ -589,8 +589,10 @@ def _km_iter_ctes(i: int) -> str:
     )"""
 
 
-def _km_oracle_sql(iters: int = KM_ITERS) -> str:
-    head = f"""
+def _km_oracle_head() -> str:
+    """The shared oracle prelude (exploded 6-dp frame + sha-ranked
+    init + c0) — reused verbatim by v15's IVF audit (wave13)."""
+    return f"""
     WITH e AS MATERIALIZED (
         -- 6-dp cut via VARCHAR->DECIMAL: DuckDB's VARCHAR of a double
         -- is the shortest round-trip repr, and the DECIMAL parse
@@ -610,6 +612,10 @@ def _km_oracle_sql(iters: int = KM_ITERS) -> str:
     c0 AS MATERIALIZED (
         SELECT i.cl, e.d, e.x AS c FROM init i JOIN e USING (vec_id)
     )"""
+
+
+def _km_oracle_sql(iters: int = KM_ITERS) -> str:
+    head = _km_oracle_head()
     body = "".join(_km_iter_ctes(i) for i in range(iters))
     tail = f""",
     distF AS (

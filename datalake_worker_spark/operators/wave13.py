@@ -313,6 +313,156 @@ def d21_minhash_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v15: IVF ANN pipeline audit (v13-trained cells → probe → exact rerank)
+# ---------------------------------------------------------------------------
+
+V15_NPROBE = 2
+V15_TOPK = 5
+
+
+def _v15_oracle_sql() -> str:
+    from .wave11 import KM_ITERS, _km_iter_ctes, _km_oracle_head
+
+    head = _km_oracle_head()
+    body = "".join(_km_iter_ctes(i) for i in range(KM_ITERS))
+    return head + body + f""",
+    ev AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    distF AS (
+        SELECT e.vec_id, c.cl,
+               SUM((CAST(e.x AS DECIMAL(12,6)) - CAST(c.c AS DECIMAL(12,6)))
+                   * (CAST(e.x AS DECIMAL(12,6))
+                      - CAST(c.c AS DECIMAL(12,6)))) AS dist
+        FROM e JOIN c{KM_ITERS} c USING (d) GROUP BY e.vec_id, c.cl
+    ),
+    assign AS (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+            FROM distF) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cl FROM (
+            SELECT vec_id, cl, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+            FROM distF WHERE vec_id < 20) WHERE rn <= {V15_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+        FROM qprobe q JOIN assign a ON a.cl = q.cl
+        WHERE a.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND(list_dot_product(qv.v, cv.v)
+                     / (sqrt(list_dot_product(qv.v, qv.v))
+                        * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cosine
+        FROM cand
+        JOIN ev qv ON qv.vec_id = cand.query_id
+        JOIN ev cv ON cv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+        FROM scored) WHERE rn <= {V15_TOPK}
+    """
+
+
+@register(
+    "v15_ivf_audit",
+    _v15_oracle_sql(),
+    category="llm-similarity",
+    doc=(
+        "oracle-audited twin of the IVF ANN family (v04/v09): the "
+        "COMPLETE cluster-then-probe pipeline — coarse quantizer "
+        "trained by v13's fully-relational k-means (sha-ranked init, "
+        "exact-DECIMAL distances, integer-exact 6-dp centroid means — "
+        "the machinery already proven bit-identical to its unrolled "
+        "HUGEINT/DECIMAL oracle), corpus vectors assigned to their "
+        "argmin cell, each query probing its nprobe nearest cells "
+        "(same (dist, cl) ranking the oracle replays), candidates "
+        "equi-joined on the cell id and reranked EXACTLY (the "
+        "v01/v14 fold == list_dot_product cosine, 6-dp cut). Every "
+        "stage is deterministic, so the whole ANN path hash-matches — "
+        "the last rows-only ANN family member gains a strict oracle "
+        "row through its production shape (train → assign → probe → "
+        "rerank; v04/v09 keep their production quantizers and recall "
+        "trends). 100 TB: identical to v04 — centroid literals "
+        "broadcast, the cell equi-join is the only corpus shuffle, "
+        "probes scan ~nprobe/k of the corpus per query."
+    ),
+)
+def v15_ivf_audit(spark, sf_dir):
+    from .wave11 import (
+        KM_ITERS,
+        KM_K,
+        _km_assign,
+        _km_dists,
+        _km_exploded,
+        kmeans_train,
+    )
+    from ..functions.similarity import cosine_sim, to_double_array
+
+    ex = _km_exploded(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    cents = kmeans_train(ex, KM_ITERS)
+    dists = _km_dists(ex, cents)
+    assign = _km_assign(dists).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cluster").alias("cl")
+    )
+    long_d = dists.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("cl"),
+                        F.col(f"d{j}").alias("dist"),
+                    )
+                    for j in range(KM_K)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.cl").alias("cl"), F.col("s.dist").alias("dist"))
+    wq = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cl").asc())
+    probes = (
+        long_d.filter(F.col("vec_id") < 20)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= V15_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cl")
+    )
+    cand = (
+        probes.join(assign, "cl")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    ev = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = ev.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= V15_TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # d22: Bloom decontamination audit (sha256 positions → strict oracle)
 # ---------------------------------------------------------------------------
 

@@ -123,6 +123,59 @@ def test_d21_jaccard_matches_python(spark, sf_dir):
         assert r.n_common == len(a & b)
 
 
+# ----------------------------------------------------------------- v15
+def test_v15_recall_vs_exact_topk(spark, sf_dir):
+    """The IVF audit probes nprobe=2 of 4 v13-trained cells, so it's
+    approximate by recall but DETERMINISTIC by construction; recall@5
+    vs the exact brute force must clear the v04-class floor even on
+    the near-unclusterable gaussian corpus."""
+    from datalake_worker_spark.functions.similarity import (
+        exact_topk,
+        to_double_array,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in exact_topk(e, q, "vec_id", "v", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["v15_ivf_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.4, len(got & exact) / len(exact)
+
+
+def test_v15_probes_exactly_nprobe_cells(spark, sf_dir):
+    """Every returned neighbor must live in one of its query's nprobe
+    probed cells — the structural IVF contract the oracle replays."""
+    from datalake_worker_spark.operators.wave11 import (
+        KM_ITERS,
+        _km_assign,
+        _km_dists,
+        _km_exploded,
+        kmeans_train,
+    )
+
+    ex = _km_exploded(spark, sf_dir)
+    cents = kmeans_train(ex, KM_ITERS)
+    assign = {
+        r.vec_id: r.cluster for r in _km_assign(_km_dists(ex, cents)).collect()
+    }
+    rows = REGISTRY["v15_ivf_audit"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    # group neighbors per query; each query's neighbor cells form a set
+    # of size <= nprobe
+    cells: dict[int, set] = {}
+    for r in rows:
+        cells.setdefault(r.query_id, set()).add(assign[r.neighbor_id])
+    assert all(len(s) <= 2 for s in cells.values())
+
+
 # ----------------------------------------------------------------- d22
 def test_d22_zero_false_negatives_vs_exact_join(spark, sf_dir):
     """Bloom admission can overcount (FPR > 0) but NEVER undercount:
