@@ -61,6 +61,17 @@ FLAGSHIP = [
     ("t32_repetition_filter", "repetition filter: every shuffle key contains doc_id — no corpus-frequency key anywhere"),
     ("d18_substring_dedup_spans", "substring spans: gram partial-agg, salted dup join-back, doc-local island windows"),
     ("v13_kmeans_clusters", "k-means: literal centroids (no join), ONE vec_id exchange per round, exact decimal distances"),
+    # round-11 additions
+    ("v14_lsh_candidate_audit", "LSH audit twin: ONE nested-literal fold expression, band equi-join, exact rerank"),
+    ("q26_nation_pagerank", "PageRank: broadcast nation dims, ONE edge-frame scan per round, rank literals"),
+    ("d19_symspell_typo_pairs", "SymSpell: |w|x variant explode, ONE variant equi-join, per-pair levenshtein verify"),
+    # round-12 additions (the audit-twin wave)
+    ("d20_simhash_audit", "SimHash audit: sha-40 vote fold, 4-band pigeonhole explode, capped bucket join"),
+    ("d21_minhash_audit", "MinHash audit: k-MIN signature fold, band equi-join, candidate-only Jaccard verify"),
+    ("a19_cms_audit", "CMS audit: one-job cell counts, counter frame BROADCAST onto the 20-row probe"),
+    ("d22_bloom_audit", "Bloom audit: sha positions, bitmap literal probed map-side, join-free plan"),
+    ("t34_binned_stump", "binned stump: partial-agg histogram, rank-derived boundary frame, decimal-first Gini"),
+    ("v15_ivf_audit", "IVF audit: v13-trained literal centroids, cell equi-join only shuffle, fold-cosine rerank"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
