@@ -211,6 +211,7 @@ WAVE12 = [
     "d21_minhash_audit",
     "d22_bloom_audit",
     "v15_ivf_audit",
+    "t35_bm25_search",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

@@ -684,6 +684,154 @@ def a19_cms_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# t35: BM25 full-text ranking (the retrieval scorer, exact cross-engine)
+# ---------------------------------------------------------------------------
+
+T35_TERMS = ("join", "hash", "spark")
+T35_K1 = 1.2
+T35_B = 0.75
+T35_TOPK = 20
+
+_T35_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM w),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS sdl
+        FROM dl
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE tok IN {tuple(T35_TERMS)!r} GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    term_score AS (
+        -- 9-dp cut via VARCHAR->DECIMAL, NOT ROUND(double, 9): DuckDB's
+        -- VARCHAR of a double is the shortest round-trip repr and the
+        -- DECIMAL parse rounds it HALF_UP — the identical rule Spark's
+        -- double->decimal cast applies (the v13/_km_exploded lesson;
+        -- ROUND on raw doubles can disagree in the last place)
+        SELECT tf.doc_id,
+               CAST(CAST(
+                   ln((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * ({T35_K1} + 1.0))
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {T35_K1} * (1.0 - {T35_B}
+                                    + {T35_B} * CAST(dl.dl AS DOUBLE)
+                                      / (CAST(s.sdl AS DOUBLE)
+                                         / CAST(s.n AS DOUBLE))))
+                   AS VARCHAR) AS DECIMAL(18,9)) AS ts
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN df ON df.tok = tf.tok
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT doc_id, SUM(ts) AS s FROM term_score GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(ROUND(s, 6) AS DOUBLE) AS bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT)
+             AS rn
+    FROM scored
+    QUALIFY rn <= {T35_TOPK}
+"""
+
+
+@register(
+    "t35_bm25_search",
+    _T35_ORACLE,
+    category="llm-text",
+    doc=(
+        "BM25 full-text ranking (Robertson & Zaragoza's Okapi BM25, "
+        "the retrieval scorer every curation/RAG pipeline runs beside "
+        "its vector index): top-{k} documents for a fixed term set, "
+        "k1={k1}, b={b}, idf = ln((N-df+0.5)/(df+0.5)+1). Exact "
+        "cross-engine by the repo's float discipline: every per-term "
+        "partial score is ONE double expression over identical integer "
+        "inputs (tf, df, dl, N, Σdl — so both engines execute the "
+        "same IEEE ops in the same order; the t10 logprob precedent "
+        "for ln), rounded to a 9-dp DECIMAL, and the per-document SUM "
+        "runs over DECIMALS — order-independent, so partitioning can "
+        "never change the hash. 100 TB: tf is one partial-agg groupBy "
+        "over the (tiny) query-term subset of the token stream, df and "
+        "the corpus stats are scalar-sized broadcasts, top-k is "
+        "rank-limited — the classic inverted-index scoring plan "
+        "expressed relationally.".format(
+            k=T35_TOPK, k1=T35_K1, b=T35_B
+        )
+    ),
+)
+def t35_bm25_search(spark, sf_dir):
+    from ..functions.text import whitespace_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", whitespace_tokens("text").alias("toks"))
+    dl = w.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sdl"),
+    )
+    tok = w.select("doc_id", F.explode("toks").alias("tok"))
+    tf = (
+        tok.filter(F.col("tok").isin(*T35_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ts = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            # 9-dp cut via double->decimal cast (shortest-repr HALF_UP,
+            # matching the oracle's VARCHAR->DECIMAL — the v13 lesson)
+            (
+                F.log(
+                    (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf").cast("double") * (T35_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + T35_K1
+                    * (
+                        1.0
+                        - T35_B
+                        + T35_B
+                        * F.col("dl").cast("double")
+                        / (F.col("sdl").cast("double") / F.col("n").cast("double"))
+                    )
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("ts"),
+        )
+    )
+    scored = ts.groupBy("doc_id").agg(F.sum("ts").alias("s"))
+    top = scored.orderBy(F.col("s").desc(), F.col("doc_id").asc()).limit(
+        T35_TOPK
+    )
+    return top.select(
+        "doc_id",
+        F.round("s", 6).cast("double").alias("bm25"),
+        F.row_number()
+        .over(W.orderBy(F.col("s").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # t34: quantile-binned decision stump (t33 at production row counts)
 # ---------------------------------------------------------------------------
 

@@ -123,6 +123,89 @@ def test_d21_jaccard_matches_python(spark, sf_dir):
         assert r.n_common == len(a & b)
 
 
+# ----------------------------------------------------------------- t35
+def test_t35_bm25_semantics(spark, tmp_path):
+    """BM25 invariants on a planted corpus: more query-term mass in a
+    shorter doc ranks higher; a doc with zero query terms never
+    appears; the rarer term contributes a larger idf (a one-rare-term
+    doc outranks a one-common-term doc of equal length)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    filler = " ".join(["filler"] * 20)
+    docs = [
+        dict(doc_id=0, text="join join join hash"),          # dense, short
+        dict(doc_id=1, text="join " + filler),               # one common hit, long
+        dict(doc_id=2, text="spark " + filler),              # one rare hit, long
+        dict(doc_id=3, text=filler),                         # no hits
+        # 'join' appears in 3 docs, 'spark' in 2 → spark is rarer
+        dict(doc_id=4, text="join spark " + filler),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["t35_bm25_search"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert 3 not in rows
+    assert rows[0].rn == 1                       # densest, shortest
+    assert rows[2].bm25 > rows[1].bm25           # rarer term > common term
+    assert rows[4].bm25 > rows[2].bm25           # two terms > one
+
+
+def test_t35_matches_python_reference(spark, sf_dir):
+    """Scores equal a pure-Python BM25 over the same tokenization,
+    with the same 9-dp decimal per-term cut and 6-dp final round."""
+    from decimal import Decimal, ROUND_HALF_UP
+    import math
+
+    from datalake_worker_spark.operators.wave13 import (
+        T35_B,
+        T35_K1,
+        T35_TERMS,
+        T35_TOPK,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.strip().split() for r in docs}
+    n = len(toks)
+    sdl = sum(len(t) for t in toks.values())
+    avgdl = sdl / n
+    df = {
+        t: sum(1 for d in toks.values() if t in d) for t in T35_TERMS
+    }
+    scores = {}
+    for did, t in toks.items():
+        s = Decimal(0)
+        for term in T35_TERMS:
+            tf = t.count(term)
+            if tf == 0 or df[term] == 0:
+                continue
+            idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            v = idf * (tf * (T35_K1 + 1.0)) / (
+                tf + T35_K1 * (1.0 - T35_B + T35_B * len(t) / avgdl)
+            )
+            s += Decimal(repr(v)).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP
+            )
+        if s:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:T35_TOPK]
+    got = REGISTRY["t35_bm25_search"].spark_fn(spark, sf_dir).collect()
+    assert [(r.doc_id, r.rn) for r in sorted(got, key=lambda r: r.rn)] == [
+        (d, i + 1) for i, (d, _) in enumerate(want)
+    ]
+    for r in got:
+        exp = float(
+            scores[r.doc_id].quantize(
+                Decimal("1.000000"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(r.bm25 - exp) < 1e-12, (r.doc_id, r.bm25, exp)
+
+
 # ----------------------------------------------------------------- v15
 def test_v15_recall_vs_exact_topk(spark, sf_dir):
     """The IVF audit probes nprobe=2 of 4 v13-trained cells, so it's
