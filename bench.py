@@ -212,6 +212,7 @@ WAVE12 = [
     "d22_bloom_audit",
     "v15_ivf_audit",
     "t35_bm25_search",
+    "q27_label_propagation",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

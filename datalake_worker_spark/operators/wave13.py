@@ -684,6 +684,166 @@ def a19_cms_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q27: weighted label propagation (community detection, exact integers)
+# ---------------------------------------------------------------------------
+
+Q27_ITERS = 4
+
+
+def _q27_iter_ctes(i: int) -> str:
+    """One synchronous LPA round: each node adopts the incoming-edge-
+    weight-majority label among its in-neighbors (ties → smallest
+    label); nodes with no in-edges keep their label. Pure integers."""
+    return f""",
+    v{i} AS (
+        SELECT e.dst AS n, l.lbl, CAST(SUM(e.w) AS HUGEINT) AS wsum
+        FROM edges e JOIN l{i} l ON l.n = e.src
+        GROUP BY e.dst, l.lbl
+    ),
+    b{i} AS (
+        SELECT n, lbl FROM (
+            SELECT n, lbl, ROW_NUMBER() OVER (
+                PARTITION BY n ORDER BY wsum DESC, lbl ASC) AS rn
+            FROM v{i}) WHERE rn = 1
+    ),
+    l{i + 1} AS MATERIALIZED (
+        SELECT l.n, COALESCE(b.lbl, l.lbl) AS lbl
+        FROM l{i} l LEFT JOIN b{i} b ON b.n = l.n
+    )"""
+
+
+def _q27_oracle_sql(iters: int = Q27_ITERS) -> str:
+    head = """
+    WITH edges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS HUGEINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY src, dst
+    ),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT n FROM (
+            SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges
+        )
+    ),
+    l0 AS MATERIALIZED (SELECT n, n AS lbl FROM nodes)"""
+    body = "".join(_q27_iter_ctes(i) for i in range(iters))
+    tail = f""",
+    sz AS (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+        FROM l{iters} GROUP BY lbl
+    )
+    SELECT CAST(l.n AS BIGINT) AS nationkey,
+           CAST(l.lbl AS BIGINT) AS community,
+           sz.community_size
+    FROM l{iters} l JOIN sz ON sz.lbl = l.lbl"""
+    return head + body + tail
+
+
+@register(
+    "q27_label_propagation",
+    _q27_oracle_sql(),
+    category="relational",
+    doc=(
+        "weighted synchronous label propagation (Raghavan, Albert & "
+        "Kumara 2007) over the nation trade graph — community "
+        f"detection in the q26 discipline: {Q27_ITERS} rounds, each ONE "
+        "distributed (dst, label) weight aggregation over the edge "
+        "frame with the label vector re-entering as literals "
+        "(model-as-literal), argmax by (weight DESC, label ASC) so "
+        "ties are deterministic, nodes without in-edges keep their "
+        "label. EVERY step is integer arithmetic (edge-weight sums, "
+        "rank ties on ids), so the unrolled HUGEINT oracle is "
+        "bit-identical — including on graphs where synchronous LPA "
+        "oscillates (the known bipartite-structure property; Raghavan "
+        "et al. §3): the fixed round count makes even the oscillating "
+        "state deterministic and oracle-replayable. Output: final "
+        "community per node + community size. 100 TB: the edge build is one corpus-scale groupBy "
+        "(partial-agg combinable, broadcast dims); per round one "
+        "edge-frame scan + one (node, label)-sized exchange; driver "
+        "state O(nodes) — for web-scale node sets the label literal "
+        "becomes a broadcast-joined frame, exactly pagerank_broadcast's "
+        "round shape."
+    ),
+)
+def q27_label_propagation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    nodes = sorted(
+        r.n
+        for r in edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .collect()
+    )
+    if not nodes:
+        edges.unpersist(blocking=False)
+        return spark.createDataFrame(
+            [], "nationkey long, community long, community_size long"
+        )
+    labels = {n: n for n in nodes}
+    for _ in range(Q27_ITERS):
+        whens = " ".join(
+            f"WHEN src = {int(n)} THEN CAST({int(l)} AS BIGINT)"
+            for n, l in labels.items()
+        )
+        votes = (
+            edges.selectExpr("dst", f"(CASE {whens} END) AS lbl", "w")
+            .groupBy("dst", "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        wv = W.partitionBy("dst").orderBy(
+            F.col("wsum").desc(), F.col("lbl").asc()
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("dst", "lbl")
+            .collect()
+        )
+        upd = {int(r.dst): int(r.lbl) for r in best}
+        labels = {n: upd.get(n, labels[n]) for n in nodes}
+    sizes: dict[int, int] = {}
+    for lbl in labels.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    out = edges.select(F.col("src").alias("n")).unionByName(
+        edges.select(F.col("dst").alias("n"))
+    ).distinct()
+    lbl_expr, sz_expr = None, None
+    for n in nodes:
+        cond = F.col("n") == int(n)
+        le = F.when(cond, F.lit(int(labels[n])))
+        se = F.when(cond, F.lit(int(sizes[labels[n]])))
+        lbl_expr = le if lbl_expr is None else lbl_expr.when(
+            cond, F.lit(int(labels[n]))
+        )
+        sz_expr = se if sz_expr is None else sz_expr.when(
+            cond, F.lit(int(sizes[labels[n]]))
+        )
+    # janitor lifetime for edges (the q26/t33 note)
+    return out.select(
+        F.col("n").cast("long").alias("nationkey"),
+        lbl_expr.cast("long").alias("community"),
+        sz_expr.cast("long").alias("community_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # t35: BM25 full-text ranking (the retrieval scorer, exact cross-engine)
 # ---------------------------------------------------------------------------
 

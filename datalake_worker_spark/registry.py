@@ -53,12 +53,13 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: therefore a rotation schedule: the ~50-query prefix is this round's
 #: verification budget, rewritten each round to burn the largest
 #: verification debt first.
-#: Round-12 ordering (VERDICT r11 item 3): the seven r12 additions
-#: (d20/a19/t34/d21/d22/v15/t35, never driver-verified) lead, then the
-#: 48 queries whose newest driver row is still r7. 7 + 48 = 55, so with
-#: the driver's 50-row budget the last FIVE r7 rows (q21/p02/p03/st03/
-#: st04, all re-proven by pytest equivalence suites every round and
-#: green in this round's four committed full sweeps) survive to r13 —
+#: Round-12 ordering (VERDICT r11 item 3): the eight r12 additions
+#: (d20/a19/t34/d21/d22/v15/t35/q27, never driver-verified) lead, then
+#: the 48 queries whose newest driver row is still r7. 8 + 48 = 56, so
+#: with the driver's 50-row budget the cohort's last SIX rows (q20/q21/
+#: p02/p03/st03/st04, all re-proven by pytest equivalence suites every
+#: round and green in this round's four committed full sweeps) survive
+#: to r13 —
 #: the trade chosen deliberately: a query with NO driver row ever would
 #: break the every-query-has-a-cumulative-row contract, while a stale
 #: r7 row is merely dated; first rows for new operators therefore
@@ -76,6 +77,7 @@ _PRIORITY_NAMES = [
     "d22_bloom_audit",
     "v15_ivf_audit",
     "t35_bm25_search",
+    "q27_label_propagation",
     # newest driver row: round 7 (48 queries)
     "io05_schema_evolution_merge",
     "smp01_stratified_sample",

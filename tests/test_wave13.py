@@ -123,6 +123,99 @@ def test_d21_jaccard_matches_python(spark, sf_dir):
         assert r.n_common == len(a & b)
 
 
+# ----------------------------------------------------------------- q27
+def test_q27_python_reference(spark, sf_dir):
+    """Bit-identical to a pure-Python synchronous LPA over the
+    collected edge list (the q26 differential discipline)."""
+    from datalake_worker_spark.operators.wave13 import Q27_ITERS
+    from datalake_worker_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ew = [
+        (int(r.src), int(r.dst), int(r.w))
+        for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(cu, o.o_custkey == cu.c_custkey)
+            .join(su, li.l_suppkey == su.s_suppkey)
+            .groupBy(
+                F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        )
+    ]
+    nodes = sorted({s for s, _, _ in ew} | {d for _, d, _ in ew})
+    lbl = {n: n for n in nodes}
+    for _ in range(Q27_ITERS):
+        votes: dict[int, dict[int, int]] = {}
+        for s, d, w in ew:
+            votes.setdefault(d, {})
+            votes[d][lbl[s]] = votes[d].get(lbl[s], 0) + w
+        lbl = {
+            n: (
+                min(
+                    (l for l, wv in votes[n].items()
+                     if wv == max(votes[n].values()))
+                )
+                if n in votes
+                else lbl[n]
+            )
+            for n in nodes
+        }
+    sizes: dict[int, int] = {}
+    for v in lbl.values():
+        sizes[v] = sizes.get(v, 0) + 1
+    got = {
+        r.nationkey: (r.community, r.community_size)
+        for r in REGISTRY["q27_label_propagation"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == {n: (lbl[n], sizes[lbl[n]]) for n in nodes}
+
+
+def test_q27_planted_two_communities(spark, tmp_path):
+    """Two dense cliques bridged by a weak edge must settle into two
+    communities (the LPA contract on separable structure)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Two blocks {0,1} and {2,3} with ASYMMETRIC in-block weights (the
+    # low-id node dominates both self- and cross-votes) so synchronous
+    # LPA converges to one label per block instead of the bipartite
+    # label oscillation symmetric weights produce (the known sync-LPA
+    # property; Raghavan et al. §3 recommend async updates for it).
+    # One weak bridge 1->2 must not merge the blocks.
+    edges = (
+        [(0, 0)] * 100 + [(0, 1)] * 100 + [(1, 0)] * 10 + [(1, 1)] * 30
+        + [(2, 2)] * 100 + [(2, 3)] * 100 + [(3, 2)] * 10 + [(3, 3)] * 30
+        + [(1, 2)] * 1
+    )
+    cust, supp, orders, lines = [], [], [], []
+    for i, (cn, sn) in enumerate(edges):
+        cust.append(dict(c_custkey=i, c_nationkey=cn))
+        supp.append(dict(s_suppkey=i, s_nationkey=sn))
+        orders.append(dict(o_orderkey=i, o_custkey=i))
+        lines.append(dict(l_orderkey=i, l_suppkey=i))
+    for name, rows in (
+        ("customer", cust), ("supplier", supp),
+        ("orders", orders), ("lineitem", lines),
+    ):
+        pq.write_table(
+            pa.Table.from_pylist(rows), str(tmp_path / f"{name}.parquet")
+        )
+    got = {
+        r.nationkey: r.community
+        for r in REGISTRY["q27_label_propagation"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[0] == got[1] and got[2] == got[3]
+    assert got[0] != got[2]
+
+
 # ----------------------------------------------------------------- t35
 def test_t35_bm25_semantics(spark, tmp_path):
     """BM25 invariants on a planted corpus: more query-term mass in a
