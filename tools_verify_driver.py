@@ -98,6 +98,11 @@ def main() -> None:
         # this the full sweep at the 10x corpus OOMed a 64 g heap
         release_cached_state(spark)
     print(f"TOTAL {time.perf_counter() - t_all:.1f}s  failures: {bad}")
+    # graceful teardown: a bare sys.exit drops the JVM mid-async-unpersist
+    # and the block-removal future logs an ERROR stack into every captured
+    # log tail (cosmetic, but it buries the failures line). Stop the
+    # context first so removals drain.
+    spark.stop()
     sys.exit(1 if bad else 0)
 
 
