@@ -843,6 +843,70 @@ def q27_label_propagation(spark, sf_dir):
     )
 
 
+def label_propagation_broadcast(spark, edges, iters: int = Q27_ITERS):
+    """q27's web-scale label path (the pagerank_broadcast pattern): the
+    label vector lives in a node-sized DataFrame broadcast-joined onto
+    the edge frame each round — never a literal CASE over nodes, so the
+    node set can be millions. Bit-equal to the q27 literal path by
+    construction: the same (dst, label) weight aggregation, the same
+    (weight DESC, label ASC) argmax, no-in-edge nodes keep their label.
+    Per round: ONE edge-frame scan + one (node, label)-sized exchange;
+    labels localCheckpoint per round so lineage stays flat. At true web
+    scale drop the broadcast hint and AQE picks the shuffle join.
+
+    ``edges``: (src, dst, w). Returns q27's exact output schema.
+    """
+    ew = edges.persist(StorageLevel.DISK_ONLY)
+    nodes = (
+        ew.select(F.col("src").alias("n"))
+        .unionByName(ew.select(F.col("dst").alias("n")))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    if nodes.count() == 0:
+        ew.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return spark.createDataFrame(
+            [], "nationkey long, community long, community_size long"
+        )
+    labels = nodes.select(
+        "n", F.col("n").cast("long").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        votes = (
+            ew.join(F.broadcast(labels), ew["src"] == labels["n"])
+            .groupBy("dst", "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        wv = W.partitionBy("dst").orderBy(
+            F.col("wsum").desc(), F.col("lbl").asc()
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, labels["n"] == best["dst"], "left")
+            .select(
+                "n",
+                F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    out = labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("n").cast("long").alias("nationkey"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )
+    ew.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # t35: BM25 full-text ranking (the retrieval scorer, exact cross-engine)
 # ---------------------------------------------------------------------------

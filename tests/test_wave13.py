@@ -216,6 +216,67 @@ def test_q27_planted_two_communities(spark, tmp_path):
     assert got[0] != got[2]
 
 
+def test_q27_broadcast_bit_equals_literal_path(spark, sf_dir):
+    """The web-scale broadcast-label round must be bit-identical to the
+    registered literal-CASE path on the nation graph (the
+    pagerank_broadcast pattern applied to LPA)."""
+    from datalake_worker_spark.operators.wave13 import (
+        label_propagation_broadcast,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    lit_rows = sorted(
+        map(
+            tuple,
+            REGISTRY["q27_label_propagation"].spark_fn(spark, sf_dir).collect(),
+        )
+    )
+    bc_rows = sorted(
+        map(tuple, label_propagation_broadcast(spark, edges).collect())
+    )
+    assert bc_rows == lit_rows and len(bc_rows) > 0
+
+
+def test_pigeonhole_bands_complete_at_any_radius(spark):
+    """Property (hypothesis): for random fingerprints, any n_bits and
+    n_bands, EVERY pair within Hamming distance < n_bands shares at
+    least one band — the guarantee d08/d20 rely on."""
+    import random
+
+    from datalake_worker_spark.functions.dedup import pigeonhole_bands
+
+    rng = random.Random(13)
+    for n_bits, n_bands in ((40, 4), (64, 9), (48, 5), (32, 3)):
+        base = rng.getrandbits(n_bits - 1)
+        rows = [(0, base)]
+        # plant neighbors at every distance 1..n_bands-1 (flip distinct bits)
+        for d in range(1, n_bands):
+            fp = base
+            for b in rng.sample(range(n_bits - 1), d):
+                fp ^= 1 << b
+            rows.append((d, fp))
+        df = spark.createDataFrame(rows, "doc_id long, fp long")
+        banded = pigeonhole_bands(df, "doc_id", "fp", n_bits, n_bands).collect()
+        bands = {}
+        for r in banded:
+            bands.setdefault(r.doc_id, set()).add((r.band_idx, r.band_val))
+        for d in range(1, n_bands):
+            assert bands[0] & bands[d], (n_bits, n_bands, d)
+
+
 # ----------------------------------------------------------------- t35
 def test_t35_bm25_semantics(spark, tmp_path):
     """BM25 invariants on a planted corpus: more query-term mass in a
