@@ -72,6 +72,8 @@ FLAGSHIP = [
     ("d22_bloom_audit", "Bloom audit: sha positions, bitmap literal probed map-side, join-free plan"),
     ("t34_binned_stump", "binned stump: partial-agg histogram, rank-derived boundary frame, decimal-first Gini"),
     ("v15_ivf_audit", "IVF audit: v13-trained literal centroids, cell equi-join only shuffle, fold-cosine rerank"),
+    ("t35_bm25_search", "BM25: query-term-filtered tf partial agg, df/stats broadcast, decimal sums, rank-limited top-k"),
+    ("q27_label_propagation", "LPA: broadcast dims into the edge build, per-round (dst,label) agg, label literals"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
