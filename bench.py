@@ -300,6 +300,12 @@ def main() -> None:
         {s.strip().upper() for s in args.suites.split(",")}
         if args.suites else set(suite_map)
     )
+    unknown = picked - suite_map.keys()
+    if unknown:
+        raise SystemExit(
+            f"unknown suite name(s) {sorted(unknown)}; "
+            f"valid: {sorted(suite_map)}"
+        )
 
     def _suite(name: str) -> dict[str, float]:
         return _time(suite_map[name]) if name in picked else {}

@@ -164,10 +164,13 @@ def q26_nation_pagerank(spark, sf_dir):
     # column must widen to DECIMAL(38,0) — fail loudly instead of
     # wrapping silently (ADVICE r11; non-ANSI mode wraps).
     max_w = max((int(r.wsum) for r in outw_rows), default=0)
-    assert max_w < (2**63) // Q26_ONE, (
-        f"q26: max out-weight {max_w} would overflow rank*w in LONG; "
-        "widen the contribution arithmetic to DECIMAL(38,0)"
-    )
+    # explicit raise, not assert: asserts are stripped under python -O,
+    # which would silently re-enable the wraparound (ADVICE r12)
+    if max_w >= (2**63) // Q26_ONE:
+        raise ValueError(
+            f"q26: max out-weight {max_w} would overflow rank*w in LONG; "
+            "widen the contribution arithmetic to DECIMAL(38,0)"
+        )
     base = ((Q26_D_DEN - Q26_D_NUM) * Q26_ONE) // (Q26_D_DEN * n_nodes)
     ranks = {n: Q26_ONE // n_nodes for n in nodes}
 
@@ -247,6 +250,17 @@ def pagerank_broadcast(spark, edges, iters: int = Q26_ITERS):
         return spark.createDataFrame(
             [], "nationkey long, rank_fp long, pagerank double"
         )
+    # the per-edge product r * w runs in LONG exactly like the literal
+    # path; on the large graphs this path targets, non-ANSI mode wraps
+    # silently — same loud bound check as q26 (ADVICE r12), one scalar
+    # aggregate of metadata scale
+    max_w = int(ew.agg(F.max("wsum")).first()[0] or 0)
+    if max_w >= (2**63) // Q26_ONE:
+        raise ValueError(
+            f"pagerank_broadcast: max out-weight {max_w} would overflow "
+            "rank*w in LONG; widen the contribution arithmetic to "
+            "DECIMAL(38,0)"
+        )
     base = ((Q26_D_DEN - Q26_D_NUM) * Q26_ONE) // (Q26_D_DEN * n_nodes)
     ranks = nodes.select(
         "n", F.lit(Q26_ONE // n_nodes).cast("long").alias("r")
@@ -324,8 +338,10 @@ def t33_score_fp_sql() -> str:
     )
 
 
-_T33_ORACLE = f"""
-    WITH feat AS MATERIALIZED (
+#: The feat -> long_f -> per_val -> cum CTE chain, shared VERBATIM by
+#: t33's oracle and t34's (wave13) so the two split searches can never
+#: silently desynchronize on the feature definitions (ADVICE r12).
+T33_CUM_CTES = """feat AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y,
                n_chars,
@@ -354,7 +370,10 @@ _T33_ORACLE = f"""
                SUM(cnt) OVER (PARTITION BY feature) AS n,
                SUM(c1) OVER (PARTITION BY feature) AS c1t
         FROM per_val
-    ),
+    )"""
+
+_T33_ORACLE = f"""
+    WITH {T33_CUM_CTES},
     scored AS (
         SELECT feature, x AS threshold,
                ({T33_SCALE} * ((n - nl) * ((nl - c1l) * (nl - c1l)

@@ -202,8 +202,13 @@ _D21_ORACLE = rf"""
         GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b, CAST(i.ninter AS BIGINT) AS n_common,
-           ROUND(CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter), 6)
-             AS jaccard
+           -- 6-dp cut via VARCHAR->DECIMAL, NOT ROUND(double, 6): the
+           -- shortest-repr HALF_UP rule Spark's double->decimal cast
+           -- applies (the v13/t35 discipline; ROUND on raw doubles can
+           -- disagree in the last place — ADVICE r12)
+           CAST(CAST(CAST(CAST(i.ninter AS DOUBLE)
+                          / (za.n + zb.n - i.ninter) AS VARCHAR)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
     FROM inter i
     JOIN sz za ON za.doc_id = i.id_a
     JOIN sz zb ON zb.doc_id = i.id_b
@@ -307,7 +312,8 @@ def d21_minhash_audit(spark, sf_dir):
             "id_a",
             "id_b",
             F.col("ninter").cast("long").alias("n_common"),
-            F.round(jac, 6).alias("jaccard"),
+            # double->decimal cast, not F.round (see oracle note)
+            jac.cast("decimal(18,6)").cast("double").alias("jaccard"),
         )
     )
 
@@ -354,10 +360,13 @@ def _v15_oracle_sql() -> str:
         WHERE a.vec_id <> q.query_id
     ),
     scored AS (
+        -- 6-dp cut via VARCHAR->DECIMAL, NOT ROUND(double, 6) (the
+        -- v13/t35 discipline — ADVICE r12)
         SELECT cand.query_id, cand.neighbor_id,
-               ROUND(list_dot_product(qv.v, cv.v)
+               CAST(CAST(CAST(list_dot_product(qv.v, cv.v)
                      / (sqrt(list_dot_product(qv.v, qv.v))
-                        * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cosine
+                        * sqrt(list_dot_product(cv.v, cv.v))) AS VARCHAR)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS cosine
         FROM cand
         JOIN ev qv ON qv.vec_id = cand.query_id
         JOIN ev cv ON cv.vec_id = cand.neighbor_id
@@ -449,7 +458,11 @@ def v15_ivf_audit(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            # double->decimal cast, not F.round (see oracle note)
+            cosine_sim(F.col("qv"), F.col("cv"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -873,10 +886,15 @@ def label_propagation_broadcast(spark, edges, iters: int = Q27_ITERS):
         "n", F.col("n").cast("long").alias("lbl")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        # DECIMAL(38,0) vote sums: at the web scale this path targets,
+        # a hot (dst, label) pair's edge-weight sum can exceed 2^63 and
+        # non-ANSI LONG wraps silently, corrupting the argmax (ADVICE
+        # r12). Decimal sums are exact to 38 digits; ordering semantics
+        # are unchanged.
         votes = (
             ew.join(F.broadcast(labels), ew["src"] == labels["n"])
             .groupBy("dst", "lbl")
-            .agg(F.sum("w").alias("wsum"))
+            .agg(F.sum(F.col("w").cast("decimal(38,0)")).alias("wsum"))
         )
         wv = W.partitionBy("dst").orderBy(
             F.col("wsum").desc(), F.col("lbl").asc()
@@ -1065,39 +1083,13 @@ T34_BINS = 16
 
 
 def _t34_oracle_sql() -> str:
-    from .wave12 import _T33_ORACLE, T33_SCALE  # noqa: F401  (shared feature CTEs)
+    # the feat -> cum chain is the SAME CTE TEXT t33's oracle uses
+    # (T33_CUM_CTES), so a change to t33's feature definitions can
+    # never silently desynchronize t34's oracle (ADVICE r12)
+    from .wave12 import T33_CUM_CTES, T33_SCALE
 
     return f"""
-    WITH feat AS MATERIALIZED (
-        SELECT doc_id,
-               CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y,
-               n_chars,
-               len(list_filter(regexp_split_to_array(lower(text),
-                   '[^a-z]+'), x -> x <> '')) AS n_tok,
-               length(text) - length(regexp_replace(text, '[.,!?;:]',
-                   '', 'g')) AS n_punct
-        FROM documents
-    ),
-    long_f AS (
-        SELECT doc_id, y, 'n_chars' AS feature, n_chars AS x FROM feat
-        UNION ALL
-        SELECT doc_id, y, 'n_tok', n_tok FROM feat
-        UNION ALL
-        SELECT doc_id, y, 'n_punct', n_punct FROM feat
-    ),
-    per_val AS (
-        SELECT feature, x, CAST(COUNT(*) AS HUGEINT) AS cnt,
-               CAST(SUM(y) AS HUGEINT) AS c1
-        FROM long_f GROUP BY feature, x
-    ),
-    cum AS (
-        SELECT feature, x,
-               SUM(cnt) OVER (PARTITION BY feature ORDER BY x) AS nl,
-               SUM(c1) OVER (PARTITION BY feature ORDER BY x) AS c1l,
-               SUM(cnt) OVER (PARTITION BY feature) AS n,
-               SUM(c1) OVER (PARTITION BY feature) AS c1t
-        FROM per_val
-    ),
+    WITH {T33_CUM_CTES},
     bnd AS (
         SELECT feature, u.i AS i, MIN(x) AS x
         FROM cum, UNNEST(range(1, {T34_BINS})) AS u(i)
