@@ -1,0 +1,506 @@
+"""Round-13 operators: the IVF+PQ strict audit (the last production ANN
+path without a hash-green oracle row) and the remaining audit twins.
+
+- v16: the COMPLETE IVF+PQ pipeline (v09's shape) made bit-exact: v13's
+  relational k-means trains the coarse quantizer, PQ codebooks train on
+  cell residuals with the SAME integer-exact 6-dp Lloyd update, the
+  corpus encodes to per-subspace argmin codes, each query builds an
+  asymmetric-distance lookup table per probed cell, ADC shortlists by
+  exact-DECIMAL sums, and the exact fold-cosine reranks — every stage
+  DuckDB-replayable (VERDICT r12 item 1).
+
+Reference parity note: the reference (696 LoC chunk store,
+/root/reference/src/lib.rs) has no query surface; these extend the
+SURVEY §2 LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# v16: IVF+PQ pipeline audit (residual PQ -> ADC shortlist -> exact rerank)
+# ---------------------------------------------------------------------------
+
+from .wave11 import KM_DIM, KM_ITERS, KM_K  # noqa: E402  (shared quantizer config)
+
+V16_NSUB = 4
+V16_SUBDIM = KM_DIM // V16_NSUB  # 16
+#: PQ codebook size. MUST equal KM_K: the oracle reuses the k-means
+#: head's sha-ranked `init` CTE as the PQ init (the same first-KM_K
+#: digest-ranked vectors seed both quantizers).
+V16_CODES = KM_K
+V16_PQ_ITERS = 2
+V16_NPROBE = 2
+#: ADC shortlist width. The audit's 4-code-per-subspace books (tied to
+#: KM_K for the shared sha-ranked init) are a coarse quantizer on the
+#: near-unclusterable gaussian corpus, so the refine stage carries the
+#: recall (v09's r9 lesson: refine width, not cell recall, is the
+#: binding constraint); rerank cost stays refine*|queries| rows.
+V16_REFINE = 100
+V16_TOPK = 5
+
+
+def _v16_pq_iter_ctes(i: int) -> str:
+    """One unrolled PQ Lloyd round for the DuckDB oracle — the k-means
+    `_km_iter_ctes` recipe with the extra subspace key: exact DECIMAL
+    subvector distances, (dist, j) argmin per (vec_id, m), and the
+    integer-exact 6-dp half-away mean per (m, j, ds); empty codes carry
+    b{i} forward."""
+    return f""",
+    pd{i} AS MATERIALIZED (
+        SELECT r.vec_id, r.m, b.j,
+               SUM((CAST(r.r AS DECIMAL(12,6)) - CAST(b.c AS DECIMAL(12,6)))
+                   * (CAST(r.r AS DECIMAL(12,6))
+                      - CAST(b.c AS DECIMAL(12,6)))) AS dist
+        FROM res r JOIN b{i} b ON b.m = r.m AND b.ds = r.ds
+        GROUP BY r.vec_id, r.m, b.j
+    ),
+    pa{i} AS MATERIALIZED (
+        SELECT vec_id, m, j FROM (
+            SELECT vec_id, m, j, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+            FROM pd{i}) WHERE rn = 1
+    ),
+    b{i + 1} AS MATERIALIZED (
+        SELECT b.m, b.j, b.ds, COALESCE(u.c2, b.c) AS c
+        FROM b{i} b LEFT JOIN (
+            SELECT m, j, ds,
+                   (CASE WHEN s6 < 0 THEN -1 ELSE 1 END)
+                   * ((2 * abs(s6) + n) // (2 * n)) / 1000000.0 AS c2
+            FROM (
+                SELECT pa.m, pa.j, r.ds,
+                       CAST(SUM(CAST(r.r AS DECIMAL(18,6))) * 1000000
+                            AS HUGEINT) AS s6,
+                       COUNT(*) AS n
+                FROM pa{i} pa JOIN res r
+                  ON r.vec_id = pa.vec_id AND r.m = pa.m
+                GROUP BY pa.m, pa.j, r.ds
+            )
+        ) u ON u.m = b.m AND u.j = b.j AND u.ds = b.ds
+    )"""
+
+
+def _v16_oracle_sql() -> str:
+    from .wave11 import _km_iter_ctes, _km_oracle_head
+
+    head = _km_oracle_head()
+    km = "".join(_km_iter_ctes(i) for i in range(KM_ITERS))
+    prelude = head + km + f""",
+    distF AS MATERIALIZED (
+        SELECT e.vec_id, c.cl,
+               SUM((CAST(e.x AS DECIMAL(12,6)) - CAST(c.c AS DECIMAL(12,6)))
+                   * (CAST(e.x AS DECIMAL(12,6))
+                      - CAST(c.c AS DECIMAL(12,6)))) AS dist
+        FROM e JOIN c{KM_ITERS} c USING (d) GROUP BY e.vec_id, c.cl
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+            FROM distF) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cl FROM (
+            SELECT vec_id, cl, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+            FROM distF WHERE vec_id < 20) WHERE rn <= {V16_NPROBE}
+    ),
+    res AS MATERIALIZED (
+        -- cell residual, exact: both operands are 6-dp DECIMALs, the
+        -- difference is an exact DECIMAL(13,6) round-tripped through
+        -- DOUBLE (identically in both engines)
+        SELECT e.vec_id,
+               CAST((e.d - 1) // {V16_SUBDIM} AS INTEGER) AS m,
+               CAST((e.d - 1) % {V16_SUBDIM} + 1 AS INTEGER) AS ds,
+               CAST(CAST(e.x AS DECIMAL(12,6))
+                    - CAST(c.c AS DECIMAL(12,6)) AS DOUBLE) AS r
+        FROM e JOIN assign a USING (vec_id)
+        JOIN c{KM_ITERS} c ON c.cl = a.cl AND c.d = e.d
+    ),
+    b0 AS MATERIALIZED (
+        -- PQ init: the same sha-ranked init vectors as the coarse
+        -- quantizer, sliced per subspace (j = digest rank; V16_CODES
+        -- == KM_K makes the head's init CTE reusable verbatim)
+        SELECT r.m, i.cl AS j, r.ds, r.r AS c
+        FROM init i JOIN res r USING (vec_id)
+    )"""
+    pq = "".join(_v16_pq_iter_ctes(i) for i in range(V16_PQ_ITERS))
+    P = V16_PQ_ITERS
+    return prelude + pq + f""",
+    pdF AS MATERIALIZED (
+        SELECT r.vec_id, r.m, b.j,
+               SUM((CAST(r.r AS DECIMAL(12,6)) - CAST(b.c AS DECIMAL(12,6)))
+                   * (CAST(r.r AS DECIMAL(12,6))
+                      - CAST(b.c AS DECIMAL(12,6)))) AS dist
+        FROM res r JOIN b{P} b ON b.m = r.m AND b.ds = r.ds
+        GROUP BY r.vec_id, r.m, b.j
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+            FROM pdF) WHERE rn = 1
+    ),
+    qres AS (
+        -- query residual against the PROBED cell's centroid (ADC is
+        -- asymmetric: the query side re-centres per probed cell)
+        SELECT q.query_id, q.cl,
+               CAST((e.d - 1) // {V16_SUBDIM} AS INTEGER) AS m,
+               CAST((e.d - 1) % {V16_SUBDIM} + 1 AS INTEGER) AS ds,
+               CAST(CAST(e.x AS DECIMAL(12,6))
+                    - CAST(c.c AS DECIMAL(12,6)) AS DOUBLE) AS r
+        FROM qprobe q
+        JOIN e ON e.vec_id = q.query_id
+        JOIN c{KM_ITERS} c ON c.cl = q.cl AND c.d = e.d
+    ),
+    lut AS MATERIALIZED (
+        SELECT qr.query_id, qr.cl, qr.m, b.j,
+               SUM((CAST(qr.r AS DECIMAL(12,6)) - CAST(b.c AS DECIMAL(12,6)))
+                   * (CAST(qr.r AS DECIMAL(12,6))
+                      - CAST(b.c AS DECIMAL(12,6)))) AS v
+        FROM qres qr JOIN b{P} b ON b.m = qr.m AND b.ds = qr.ds
+        GROUP BY qr.query_id, qr.cl, qr.m, b.j
+    ),
+    candpq AS (
+        SELECT q.query_id, q.cl, a.vec_id AS neighbor_id
+        FROM qprobe q JOIN assign a ON a.cl = q.cl
+        WHERE a.vec_id <> q.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.neighbor_id, SUM(l.v) AS adc
+        FROM candpq c
+        JOIN codes k ON k.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.cl = c.cl
+                  AND l.m = k.m AND l.j = k.code
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY adc ASC, neighbor_id ASC) AS srn
+            FROM adc) WHERE srn <= {V16_REFINE}
+    ),
+    ev AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scored AS (
+        -- 6-dp cut via VARCHAR->DECIMAL, NOT ROUND(double, 6) (the
+        -- v13/t35 discipline)
+        SELECT s.query_id, s.neighbor_id,
+               CAST(CAST(CAST(list_dot_product(qv.v, cv.v)
+                     / (sqrt(list_dot_product(qv.v, qv.v))
+                        * sqrt(list_dot_product(cv.v, cv.v))) AS VARCHAR)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        FROM short s
+        JOIN ev qv ON qv.vec_id = s.query_id
+        JOIN ev cv ON cv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+        FROM scored) WHERE rn <= {V16_TOPK}
+    """
+
+
+def _v16_residuals(ex, cents, assign):
+    """(vec_id, m, ds, r): exact 6-dp cell residuals in subspace layout.
+    m = 0-based subspace, ds = 1-based dimension within the subspace."""
+    from ..functions.similarity import lit_matrix
+
+    lit_c = lit_matrix([cents[j] for j in range(KM_K)])
+    cexp = F.element_at(
+        F.element_at(lit_c, (F.col("cluster") + 1).cast("int")),
+        F.col("d").cast("int"),
+    )
+    return (
+        ex.join(assign, "vec_id")
+        .select(
+            "vec_id",
+            F.expr(f"cast((d - 1) div {V16_SUBDIM} as int)").alias("m"),
+            F.expr(f"cast((d - 1) % {V16_SUBDIM} + 1 as int)").alias("ds"),
+            (
+                F.col("x").cast("decimal(12,6)") - cexp.cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("r"),
+        )
+    )
+
+
+def _v16_init_books(res, ex) -> list[list[list[float]]]:
+    """books[m][j][ds-1]: the j-th sha-ranked vector's subspace-m
+    residual slice — the PQ analog of `_km_init` (and the identical
+    digest ranking, so the oracle reuses the head's `init` CTE)."""
+    ids = [
+        r.vec_id
+        for r in ex.select("vec_id")
+        .distinct()
+        .select(
+            "vec_id", F.sha2(F.col("vec_id").cast("string"), 256).alias("h")
+        )
+        .orderBy("h")
+        .limit(V16_CODES)
+        .collect()
+    ]
+    rows = res.filter(F.col("vec_id").isin(ids)).collect()
+    by_id: dict = {
+        i: [[0.0] * V16_SUBDIM for _ in range(V16_NSUB)] for i in ids
+    }
+    for r in rows:
+        by_id[r.vec_id][r.m][r.ds - 1] = r.r
+    return [[by_id[i][m] for i in ids] for m in range(V16_NSUB)]
+
+
+def _v16_pq_dists(res, books):
+    """One (vec_id, m)-keyed aggregation computing ALL code distances:
+    codebooks are one nested [m][j][ds] literal; arithmetic is pure
+    exact DECIMAL (the `_km_dists` discipline)."""
+    from ..functions.similarity import lit_matrix
+
+    lit_b = lit_matrix(books)
+    aggs = []
+    for j in range(V16_CODES):
+        bexp = F.element_at(
+            F.element_at(F.element_at(lit_b, F.col("m") + 1), j + 1),
+            F.col("ds"),
+        )
+        diff = F.col("r").cast("decimal(12,6)") - bexp.cast("decimal(12,6)")
+        aggs.append(F.sum(diff * diff).alias(f"pd{j}"))
+    return res.groupBy("vec_id", "m").agg(*aggs)
+
+
+def _v16_pq_argmin(pd_df):
+    """Argmin over the code distance columns; lowest code id on ties
+    (the oracle's ORDER BY dist, j)."""
+    dcols = [F.col(f"pd{j}") for j in range(V16_CODES)]
+    mn = F.least(*dcols)
+    code = F.lit(None)
+    for j in reversed(range(V16_CODES)):
+        code = F.when(dcols[j] == mn, F.lit(j)).otherwise(code)
+    return pd_df.select("vec_id", "m", code.cast("int").alias("code"))
+
+
+def _v16_pq_train(res, books) -> list[list[list[float]]]:
+    """Relational PQ Lloyd's: per round one distance aggregation, one
+    argmin, one (m, code, ds) integer-exact 6-dp mean (the
+    `kmeans_train` update verbatim, keyed by subspace); empty codes
+    keep their previous word. Driver state is n_sub*n_codes*sub_dim
+    rounded doubles per round."""
+    for _ in range(V16_PQ_ITERS):
+        pa = _v16_pq_argmin(_v16_pq_dists(res, books))
+        upd = (
+            res.join(pa, ["vec_id", "m"])
+            .groupBy("m", "code", "ds")
+            .agg(
+                (F.sum(F.col("r").cast("decimal(18,6)")) * 1000000)
+                .cast("long")
+                .alias("s6"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "m",
+                "code",
+                "ds",
+                (
+                    F.when(F.col("s6") < 0, -1).otherwise(1)
+                    * F.expr("(2 * abs(s6) + n) div (2 * n)")
+                    / F.lit(1000000.0)
+                ).alias("c"),
+            )
+            .collect()
+        )
+        nxt = [[list(word) for word in bm] for bm in books]
+        for r in upd:
+            nxt[r.m][r.code][r.ds - 1] = float(r.c)
+        books = nxt
+    return books
+
+
+@register(
+    "v16_ivfpq_audit",
+    _v16_oracle_sql(),
+    category="llm-similarity",
+    doc=(
+        "oracle-audited twin of the IVF+PQ ANN path (v09): the COMPLETE "
+        "compressed-index pipeline — coarse quantizer trained by v13's "
+        "bit-exact relational k-means (v15's replayed prelude), PQ "
+        "codebooks trained on CELL RESIDUALS by the same integer-exact "
+        "6-dp relational Lloyd's (one (vec_id, subspace) aggregation "
+        "per round, sha-ranked init shared with the coarse init), the "
+        "corpus ENCODED to per-subspace argmin codes, each query "
+        "building one asymmetric-distance lookup table per probed cell "
+        "(exact DECIMAL subvector distances), ADC = the sum of "
+        "LUT[m][code_m] over subspaces (pure decimal addition — the "
+        "dim-independent candidate scan that is PQ's entire point), "
+        "top-REFINE shortlist, exact fold-cosine rerank (6-dp decimal "
+        "cut). EVERY stage is deterministic integer/decimal "
+        "arithmetic, so the full train->encode->probe->ADC->rerank "
+        "path hash-matches its unrolled DuckDB replay — the last "
+        "production ANN family member gains a strict oracle row "
+        "(VERDICT r12 item 1); v09 keeps its production quantizers and "
+        "recall trends. 100 TB: identical to v09 — codebooks/centroids "
+        "are literal model state, codes are ~32x smaller than floats "
+        "so shards stay executor-resident, the cell equi-join is the "
+        "only corpus shuffle, ADC cost is decoupled from dim, exact "
+        "math runs on refine*|queries| rows only."
+    ),
+)
+def v16_ivfpq_audit(spark, sf_dir):
+    from .wave11 import _km_assign, _km_dists, _km_exploded, kmeans_train
+    from ..functions.similarity import (
+        cosine_sim,
+        lit_matrix,
+        to_double_array,
+    )
+
+    ex = _km_exploded(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    cents = kmeans_train(ex, KM_ITERS)
+    dists = _km_dists(ex, cents)
+    assign = _km_assign(dists).select("vec_id", "cluster")
+    res = _v16_residuals(ex, cents, assign).persist(StorageLevel.DISK_ONLY)
+    books = _v16_pq_train(res, _v16_init_books(res, ex))
+    codes = _v16_pq_argmin(_v16_pq_dists(res, books))
+
+    # query probes: nprobe nearest cells by the SAME (dist, cl) ranking
+    # the oracle replays (v15's probe shape)
+    long_d = dists.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("cl"),
+                        F.col(f"d{j}").alias("dist"),
+                    )
+                    for j in range(KM_K)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.cl").alias("cl"), F.col("s.dist").alias("dist"))
+    wq = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cl").asc())
+    probes = (
+        long_d.filter(F.col("vec_id") < 20)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= V16_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cl")
+    )
+
+    # query residuals against each PROBED cell's centroid -> per-cell
+    # ADC lookup tables (one (query, cl, m)-keyed aggregation)
+    lit_c = lit_matrix([cents[j] for j in range(KM_K)])
+    lit_b = lit_matrix(books)
+    qcexp = F.element_at(
+        F.element_at(lit_c, (F.col("cl") + 1).cast("int")),
+        F.col("d").cast("int"),
+    )
+    qres = (
+        probes.join(
+            ex.select(F.col("vec_id").alias("query_id"), "d", "x"),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "cl",
+            F.expr(f"cast((d - 1) div {V16_SUBDIM} as int)").alias("m"),
+            F.expr(f"cast((d - 1) % {V16_SUBDIM} + 1 as int)").alias("ds"),
+            (
+                F.col("x").cast("decimal(12,6)") - qcexp.cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("r"),
+        )
+    )
+    lut_aggs = []
+    for j in range(V16_CODES):
+        bexp = F.element_at(
+            F.element_at(F.element_at(lit_b, F.col("m") + 1), j + 1),
+            F.col("ds"),
+        )
+        diff = F.col("r").cast("decimal(12,6)") - bexp.cast("decimal(12,6)")
+        lut_aggs.append(F.sum(diff * diff).alias(f"lv{j}"))
+    lutw = (
+        qres.groupBy("query_id", "cl", "m")
+        .agg(*lut_aggs)
+        .select(
+            "query_id",
+            "cl",
+            "m",
+            F.array(*[F.col(f"lv{j}") for j in range(V16_CODES)]).alias(
+                "lut"
+            ),
+        )
+    )
+
+    # ADC shortlist: candidates equi-join the probed cell, each scored
+    # by n_sub LUT lookups summed as exact decimals
+    cand = (
+        probes.join(
+            assign.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cluster").alias("cl"),
+            ),
+            "cl",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "cl", "neighbor_id")
+    )
+    adc = (
+        cand.join(
+            codes.select(
+                F.col("vec_id").alias("neighbor_id"), "m", "code"
+            ),
+            "neighbor_id",
+        )
+        .join(lutw, ["query_id", "cl", "m"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.element_at("lut", F.col("code") + 1).alias("term"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("term").alias("adc"))
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= V16_REFINE)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact rerank on raw doubles (v01/v15 fold cosine, 6-dp decimal cut)
+    ev = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = ev.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    # janitor lifetime for ex/res (the q26/t33 note)
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= V16_TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

@@ -364,6 +364,7 @@ _MODULE_ORDER = [
     "operators.wave11",
     "operators.wave12",
     "operators.wave13",
+    "operators.wave14",
 ]
 
 
@@ -429,6 +430,7 @@ def _load_all():
     from .operators import wave11  # noqa: F401  (round-10 second wave)
     from .operators import wave12  # noqa: F401  (round-11 additions)
     from .operators import wave13  # noqa: F401  (round-12 additions)
+    from .operators import wave14  # noqa: F401  (round-13 additions)
     # red in round 1 (a08 canonicalizer err, s09 hash) — re-check next
     from .operators import misc, scalars  # noqa: F401
     # green in round 1 — last

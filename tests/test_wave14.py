@@ -1,0 +1,123 @@
+"""Round-13 operators: v16 IVF+PQ strict audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_worker_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+# ----------------------------------------------------------------- v16
+def test_v16_recall_vs_exact_topk(spark, sf_dir):
+    """The IVF+PQ audit probes nprobe=2 of 4 cells and shortlists by
+    lossy ADC before the exact rerank, so it's approximate by recall
+    but DETERMINISTIC by construction; recall@5 vs the exact brute
+    force must clear the v04-class floor even on the
+    near-unclusterable gaussian corpus."""
+    from datalake_worker_spark.functions.similarity import (
+        exact_topk,
+        to_double_array,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in exact_topk(e, q, "vec_id", "v", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["v16_ivfpq_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.35, len(got & exact) / len(exact)
+
+
+def test_v16_neighbors_live_in_probed_cells(spark, sf_dir):
+    """Every returned neighbor must live in one of its query's nprobe
+    probed cells — the structural IVF contract the oracle replays."""
+    from datalake_worker_spark.operators.wave11 import (
+        KM_ITERS,
+        _km_assign,
+        _km_dists,
+        _km_exploded,
+        kmeans_train,
+    )
+    from datalake_worker_spark.operators.wave14 import V16_NPROBE
+
+    ex = _km_exploded(spark, sf_dir)
+    cents = kmeans_train(ex, KM_ITERS)
+    assign = {
+        r.vec_id: r.cluster for r in _km_assign(_km_dists(ex, cents)).collect()
+    }
+    rows = REGISTRY["v16_ivfpq_audit"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    cells: dict[int, set] = {}
+    for r in rows:
+        cells.setdefault(r.query_id, set()).add(assign[r.neighbor_id])
+    assert all(len(s) <= V16_NPROBE for s in cells.values())
+
+
+def test_v16_pq_training_is_deterministic(spark, sf_dir):
+    """Two independent PQ training runs must produce BIT-IDENTICAL
+    codebooks — the property that lets the unrolled oracle replay the
+    trained model at all (partitioning/order cannot leak in through
+    the integer-exact 6-dp decimal mean)."""
+    from datalake_worker_spark.operators.wave11 import (
+        KM_ITERS,
+        _km_assign,
+        _km_dists,
+        _km_exploded,
+        kmeans_train,
+    )
+    from datalake_worker_spark.operators.wave14 import (
+        _v16_init_books,
+        _v16_pq_train,
+        _v16_residuals,
+    )
+
+    ex = _km_exploded(spark, sf_dir)
+    cents = kmeans_train(ex, KM_ITERS)
+    assign = _km_assign(_km_dists(ex, cents)).select("vec_id", "cluster")
+    res = _v16_residuals(ex, cents, assign)
+    # different shuffle layout on the second pass: same exact decimals
+    b1 = _v16_pq_train(res, _v16_init_books(res, ex))
+    b2 = _v16_pq_train(
+        res.repartition(7, "vec_id"), _v16_init_books(res, ex)
+    )
+    assert b1 == b2
+
+
+def test_v16_every_vector_encodes_all_subspaces(spark, sf_dir):
+    """Encoding is total: every corpus vector gets exactly V16_NSUB
+    codes, each in [0, V16_CODES)."""
+    from datalake_worker_spark.operators.wave11 import (
+        KM_ITERS,
+        _km_assign,
+        _km_dists,
+        _km_exploded,
+        kmeans_train,
+    )
+    from datalake_worker_spark.operators.wave14 import (
+        V16_CODES,
+        V16_NSUB,
+        _v16_init_books,
+        _v16_pq_argmin,
+        _v16_pq_dists,
+        _v16_pq_train,
+        _v16_residuals,
+    )
+
+    ex = _km_exploded(spark, sf_dir)
+    cents = kmeans_train(ex, KM_ITERS)
+    assign = _km_assign(_km_dists(ex, cents)).select("vec_id", "cluster")
+    res = _v16_residuals(ex, cents, assign)
+    books = _v16_pq_train(res, _v16_init_books(res, ex))
+    codes = _v16_pq_argmin(_v16_pq_dists(res, books)).collect()
+    n_vec = ex.select("vec_id").distinct().count()
+    assert len(codes) == n_vec * V16_NSUB
+    assert all(0 <= r.code < V16_CODES for r in codes)
