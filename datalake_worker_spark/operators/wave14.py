@@ -504,3 +504,184 @@ def v16_ivfpq_audit(spark, sf_dir):
         .filter(F.col("rn") <= V16_TOPK)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# m09: perceptual-hash pipeline audit (relational char-grid aHash)
+# ---------------------------------------------------------------------------
+
+#: 63 grid cells = bits 0..62: the top bit stays clear, so the whole
+#: fingerprint is non-negative in both engines and the PRODUCTION
+#: 64-bit band layout (offsets/widths below) replays with plain >> and
+#: & on signed BIGINTs — no sign-bit special-casing anywhere.
+M09_CELLS = 63
+
+
+def _m09_oracle_sql() -> str:
+    from ..functions.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
+        _PHASH_BAND_OFFSETS,
+        _PHASH_BAND_WIDTHS,
+    )
+
+    band_values = ", ".join(
+        f"({k}, {_PHASH_BAND_OFFSETS[k]}, {_PHASH_BAND_WIDTHS[k]})"
+        for k in range(PHASH_BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               upper(substr(text, 1, 3)) || substr(text, 4)
+        FROM documents
+    ),
+    chars AS (
+        SELECT doc_id,
+               (CAST(t.p AS BIGINT) * {M09_CELLS}) // length(text) AS b,
+               CAST(ord(substr(text, CAST(t.p AS INTEGER) + 1, 1))
+                    AS BIGINT) AS v
+        FROM corpus, UNNEST(range(length(text))) AS t(p)
+    ),
+    blocks AS (
+        SELECT doc_id, b, SUM(v) AS s, COUNT(*) AS c
+        FROM chars GROUP BY doc_id, b
+    ),
+    wb AS (
+        SELECT doc_id, b, s, c,
+               SUM(s) OVER (PARTITION BY doc_id) AS st,
+               SUM(c) OVER (PARTITION BY doc_id) AS ct
+        FROM blocks
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s * ct > st * c
+                             THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+        FROM wb GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT f.doc_id, f.ph, b.band_idx,
+               (f.ph >> b.off) & ((CAST(1 AS BIGINT) << b.w) - 1)
+                 AS band_val
+        FROM fp f CROSS JOIN (VALUES {band_values}) AS b(band_idx, off, w)
+    ),
+    capped AS (
+        SELECT doc_id, ph, band_idx, band_val
+        FROM banded
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY band_idx, band_val
+                                   ORDER BY doc_id) <= 4096
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ph AS fa, b.ph AS fb
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+        FROM cand WHERE bit_count(xor(fa, fb)) <= {PHASH_HAMMING_MAX}
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(id_a) AS BIGINT) AS first_a,
+           CAST(MAX(id_b) AS BIGINT) AS last_b
+    FROM ham GROUP BY hamming
+    """
+
+
+@register(
+    "m09_phash_audit",
+    _m09_oracle_sql(),
+    category="llm-multimodal",
+    doc=(
+        "oracle-audited twin of the m06 perceptual-hash near-dup "
+        "pipeline: the SAME banding machinery (phash_near_pairs — the "
+        "production 7-uneven-band layout, the row_number bucket cap, "
+        "the exact bit_count Hamming verify, all replayed by the "
+        "oracle) over a RELATIONAL character-grid aHash the oracle "
+        "derives too: each doc's code points fall into 63 equal "
+        "position blocks (b = p*63 div n — 63 cells keep the "
+        "fingerprint non-negative so signed shifts agree), bit b set "
+        "iff the block's mean exceeds the doc mean, compared "
+        "cross-multiplied in exact integers (s*ct > st*c — no "
+        "division). The corpus is m06's exact shape: every document "
+        "plus a perturbed re-encode (first 3 chars case-flipped, ids "
+        "+1e6), so real near-dup structure is found, not planted "
+        "trivially. Production m06 keeps the Arrow mapInPandas "
+        "byte-grid aHash over binary payloads (the decode stub's "
+        "domain); a pytest pins both paths through the shared "
+        "phash_near_pairs on identical fingerprints. Output: m06's "
+        "per-Hamming-distance pair profile. 100 TB: identical shape "
+        "to m06 — one char-explode groupBy per doc (partial-agg "
+        "combinable), banded equi-join with capped buckets, never "
+        "O(n^2)."
+    ),
+)
+def m09_phash_audit(spark, sf_dir):
+    from ..functions.multimodal import phash_near_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    replay = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 3)),
+            F.expr("substring(text, 4)"),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(replay)
+    chars = (
+        corpus.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n"),
+            F.posexplode(F.split("text", "")).alias("p", "ch"),
+        )
+        # Spark's regex split can emit a trailing '' element; drop it so
+        # positions 0..n-1 carry exactly the n characters both engines
+        # enumerate
+        .filter(F.col("ch") != "")
+        .select(
+            "doc_id",
+            F.expr(f"(cast(p as bigint) * {M09_CELLS}) div n").alias("b"),
+            F.ascii("ch").cast("long").alias("v"),
+        )
+    )
+    blocks = chars.groupBy("doc_id", "b").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    wdoc = W.partitionBy("doc_id")
+    wb = blocks.select(
+        "doc_id",
+        "b",
+        "s",
+        "c",
+        F.sum("s").over(wdoc).alias("st"),
+        F.sum("c").over(wdoc).alias("ct"),
+    )
+    bit = (F.col("s") * F.col("ct")) > (F.col("st") * F.col("c"))
+    fp = (
+        wb.select(
+            "doc_id",
+            F.when(
+                bit,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("t").cast("long").alias("phash"))
+    )
+    pairs = phash_near_pairs(fp)
+    return (
+        pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("id_a").cast("long").alias("first_a"),
+            F.max("id_b").cast("long").alias("last_b"),
+        )
+        .orderBy("hamming")
+    )

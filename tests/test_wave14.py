@@ -1,4 +1,4 @@
-"""Round-13 operators: v16 IVF+PQ strict audit."""
+"""Round-13 operators: v16 IVF+PQ strict audit, m09 pHash audit."""
 
 from __future__ import annotations
 
@@ -7,6 +7,67 @@ from pyspark.sql import functions as F
 from datalake_worker_spark.registry import REGISTRY, _load_all
 
 _load_all()
+
+
+# ----------------------------------------------------------------- m09
+def _py_grid_phash(text: str) -> int:
+    """Pure-Python replica of m09's 63-cell character-grid aHash."""
+    vals = [ord(c) for c in text]
+    n = len(vals)
+    if n == 0:
+        return None
+    s = [0] * 63
+    c = [0] * 63
+    for p, v in enumerate(vals):
+        b = (p * 63) // n
+        s[b] += v
+        c[b] += 1
+    st, ct = sum(s), n
+    out = 0
+    for b in range(63):
+        if s[b] * ct > st * c[b]:
+            out |= 1 << b
+    return out
+
+
+def test_m09_profile_equals_python_brute_force(spark, sf_dir):
+    """Independent differential: recompute every grid fingerprint in
+    pure Python, brute-force ALL pairs at Hamming <= 6, and pin the
+    banded+capped pipeline's per-distance profile equal — the 7-band
+    pigeonhole guarantee (recall 1.0 at Hamming <= PHASH_BANDS - 1)
+    checked end-to-end through the production machinery."""
+    from datalake_worker_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    fps = {}
+    for r in docs:
+        fps[r.doc_id] = _py_grid_phash(r.text)
+        fps[r.doc_id + 1_000_000] = _py_grid_phash(
+            r.text[:3].upper() + r.text[3:]
+        )
+    fps = {k: v for k, v in fps.items() if v is not None}
+    ids = sorted(fps)
+    expected: dict[int, int] = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 6:
+                expected[h] = expected.get(h, 0) + 1
+    got = {
+        r.hamming: r.n_pairs
+        for r in REGISTRY["m09_phash_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_m09_replay_pairs_have_small_hamming(spark, sf_dir):
+    """The perturbed re-encodes (3 case-flipped chars) must surface as
+    near-dup mass at small Hamming distances — the 'same media,
+    different encode' case the perceptual family exists for."""
+    rows = REGISTRY["m09_phash_audit"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.hamming <= 6 for r in rows)
+    assert sum(r.n_pairs for r in rows if r.hamming <= 2) > 0
 
 
 # ----------------------------------------------------------------- v16
