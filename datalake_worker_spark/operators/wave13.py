@@ -155,8 +155,11 @@ D21_BUCKET_CAP = 4096
 #: likely to collide in at least one band
 D21_JACCARD = 0.5
 
-_D21_ORACLE = rf"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: The shingle -> signature -> banding -> candidate -> exact-Jaccard
+#: CTE chain, shared by d21's oracle and d23's keep-list audit (wave14)
+#: so the two replays can never desynchronize on the candidate
+#: machinery.
+_D21_CTE_BODY = rf"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     g AS (
         SELECT doc_id,
                CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -200,7 +203,10 @@ _D21_ORACLE = rf"""
         JOIN s sa ON sa.doc_id = c.id_a
         JOIN s sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
         GROUP BY c.id_a, c.id_b
-    )
+    )"""
+
+_D21_ORACLE = rf"""
+    WITH {_D21_CTE_BODY}
     SELECT i.id_a, i.id_b, CAST(i.ninter AS BIGINT) AS n_common,
            -- 6-dp cut via VARCHAR->DECIMAL, NOT ROUND(double, 6): the
            -- shortest-repr HALF_UP rule Spark's double->decimal cast

@@ -685,3 +685,222 @@ def m09_phash_audit(spark, sf_dir):
         )
         .orderBy("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# d23: near-dup keep-list audit (LSH pairs -> CC -> min-id survivor)
+# ---------------------------------------------------------------------------
+
+
+def _d23_oracle_sql() -> str:
+    from .wave13 import _D21_CTE_BODY, D21_JACCARD
+
+    return rf"""
+    WITH RECURSIVE {_D21_CTE_BODY},
+    adm AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.id_a
+        JOIN sz zb ON zb.doc_id = i.id_b
+        WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter)
+              >= {D21_JACCARD}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM adm
+        UNION
+        SELECT id_b, id_a FROM adm
+    ),
+    walk(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, CAST(cluster_rep AS BIGINT) AS cluster_rep,
+           CAST(doc_id = cluster_rep AS INT) AS keep
+    FROM assigned
+    """
+
+
+@register(
+    "d23_keeplist_audit",
+    _d23_oracle_sql(),
+    category="llm-dedup",
+    doc=(
+        "oracle-audited twin of the d13 end-to-end near-dedup "
+        "keep-list: d21's sha-derived MinHash LSH candidates (the SAME "
+        "shingle/signature/banding/cap/exact-Jaccard machinery, "
+        "admitted at J >= 0.5) feed the PRODUCTION connected-components "
+        "operator (pointer-jumping min-label propagation, "
+        "functions/graph.py), and every document keeps its cluster's "
+        "minimum id — the full LSH -> CC -> survivor pipeline replays "
+        "in DuckDB (pairs via the shared d21 CTE chain, components via "
+        "the d10 recursive-CTE reachability fixpoint, the same min-id "
+        "election), so transitive-collapse correctness goes strict "
+        "hash-green (VERDICT r12 item 4). Production d13 keeps the "
+        "xxhash64 d04 candidate generator. 100 TB: composition of two "
+        "verified scale shapes — the banded equi-join is the only "
+        "corpus shuffle, CC rounds shuffle node/label ids with "
+        "two-phase MINs, O(log d) rounds."
+    ),
+)
+def d23_keeplist_audit(spark, sf_dir):
+    from ..functions.graph import connected_components
+    from .wave13 import d21_minhash_audit
+
+    pairs = d21_minhash_audit(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    )
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        rep.cast("long").alias("cluster_rep"),
+        (rep == F.col("doc_id")).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d24: SemDeDup audit (v13 clusters -> exact within-cluster cosine prune)
+# ---------------------------------------------------------------------------
+
+#: similarity threshold for the audit. The gaussian test embeddings
+#: have no planted near-dup mass (max pairwise cosine ~0.51, p99
+#: ~0.29), so the production 0.97 would never fire the drop rule; 0.3
+#: exercises it on ~1% of pairs while remaining a high-similarity cut
+#: on this corpus. d11 keeps the published SemDeDup 0.97.
+D24_THRESHOLD = 0.3
+#: the audited slice: the deterministic sha-prefix QUARTER (hex
+#: '0'-'3') — the v14 cost-bounding discipline; the within-cluster
+#: pair expansion is the quadratic stage, and the machinery is
+#: fraction-invariant.
+D24_SLICE = ("0", "1", "2", "3")
+
+
+def _d24_oracle_sql() -> str:
+    from .wave11 import KM_ITERS, _km_iter_ctes, _km_oracle_head
+
+    head = _km_oracle_head()
+    km = "".join(_km_iter_ctes(i) for i in range(KM_ITERS))
+    slice_in = ", ".join(f"'{c}'" for c in D24_SLICE)
+    cos = """CAST(CAST(CAST(list_dot_product(va.v, vb.v)
+                     / (sqrt(list_dot_product(va.v, va.v))
+                        * sqrt(list_dot_product(vb.v, vb.v))) AS VARCHAR)
+                    AS DECIMAL(18,6)) AS DOUBLE)"""
+    return head + km + f""",
+    distF AS MATERIALIZED (
+        SELECT e.vec_id, c.cl,
+               SUM((CAST(e.x AS DECIMAL(12,6)) - CAST(c.c AS DECIMAL(12,6)))
+                   * (CAST(e.x AS DECIMAL(12,6))
+                      - CAST(c.c AS DECIMAL(12,6)))) AS dist
+        FROM e JOIN c{KM_ITERS} c USING (d) GROUP BY e.vec_id, c.cl
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+            FROM distF) WHERE rn = 1
+    ),
+    sl AS MATERIALIZED (
+        SELECT vec_id, cl FROM assign
+        WHERE substr(sha256(CAST(vec_id AS VARCHAR)), 1, 1) IN ({slice_in})
+    ),
+    ev AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM sl a JOIN sl b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        JOIN ev va ON va.vec_id = a.vec_id
+        JOIN ev vb ON vb.vec_id = b.vec_id
+        WHERE {cos} >= {D24_THRESHOLD}
+    )
+    SELECT s.vec_id, CAST(s.cl AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM sl s LEFT JOIN dropped d ON d.id_b = s.vec_id
+    """
+
+
+@register(
+    "d24_semdedup_audit",
+    _d24_oracle_sql(),
+    category="llm-dedup",
+    doc=(
+        "oracle-audited twin of the d11 SemDeDup pipeline (Abbas et "
+        "al. 2023): cluster the embedding space with v13's bit-exact "
+        "relational k-means (the v15/v16 replayed prelude — same "
+        "sha-ranked init, exact-DECIMAL distances, integer-exact 6-dp "
+        "means), then WITHIN each cluster drop every vector with a "
+        "higher-similarity smaller-id neighbor — the pairwise stage "
+        "confined to the cluster equi-join exactly like production, "
+        "with the cosine computed as the exact fold == "
+        "list_dot_product identity (6-dp decimal cut, the v01/v14 "
+        "pin) instead of the Arrow matmul, so EVERY drop decision "
+        "replays in DuckDB and the semantic-dedup family gains a "
+        "strict hash-green row (VERDICT r12 item 5). The audited "
+        "slice is the deterministic sha-prefix quarter (v14 "
+        "discipline) because the within-cluster pair expansion is the "
+        "quadratic stage; the machinery is fraction-invariant and d11 "
+        "keeps the production threshold + Arrow-matmul path. 100 TB: "
+        "identical shape to d11 — one shuffle on cluster id, pairwise "
+        "work O(sum of cluster sizes squared) by construction, never "
+        "a global cross join."
+    ),
+)
+def d24_semdedup_audit(spark, sf_dir):
+    from .wave11 import (
+        _km_assign,
+        _km_dists,
+        _km_exploded,
+        kmeans_train,
+    )
+    from ..functions.similarity import cosine_sim, to_double_array
+
+    ex = _km_exploded(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    cents = kmeans_train(ex, KM_ITERS)
+    assign = _km_assign(_km_dists(ex, cents)).select("vec_id", "cluster")
+    sl = assign.filter(
+        F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 1).isin(
+            *D24_SLICE
+        )
+    )
+    ev = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    a = sl.select(F.col("vec_id").alias("id_a"), F.col("cluster").alias("cl"))
+    b = sl.select(F.col("vec_id").alias("id_b"), F.col("cluster").alias("cl"))
+    cos = (
+        cosine_sim(F.col("va"), F.col("vb"))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    dropped = (
+        a.join(b, "cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(ev.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(ev.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .filter(cos >= D24_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    # janitor lifetime for ex (the q26/t33 note)
+    return (
+        sl.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster_id"),
+            F.when(F.col("_dropped").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )

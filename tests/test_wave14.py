@@ -60,6 +60,104 @@ def test_m09_profile_equals_python_brute_force(spark, sf_dir):
     assert got == expected
 
 
+def test_d23_equals_python_union_find(spark, sf_dir):
+    """Full independent differential: take d21's admitted pairs, run a
+    pure-Python min-label union-find, and pin d23's (cluster_rep, keep)
+    map exactly — the transitive-collapse contract checked end-to-end
+    against an implementation that shares no code with the pipeline."""
+    from datalake_worker_spark.sources import load_table
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in REGISTRY["d21_minhash_audit"].spark_fn(spark, sf_dir).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    for a, b in pairs:
+        union(a, b)
+    docs = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    expected = {d: find(d) for d in docs}
+    got = {
+        r.doc_id: (r.cluster_rep, r.keep)
+        for r in REGISTRY["d23_keeplist_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for d, rep in expected.items():
+        assert got[d] == (rep, int(d == rep)), (d, got[d], rep)
+
+
+def test_d24_equals_python_semdedup(spark, sf_dir):
+    """Full independent differential: recompute the sliced cluster
+    assignment's within-cluster cosines in numpy and replicate the
+    SemDeDup drop rule (drop iff ANY smaller-id in-cluster neighbor
+    has cosine >= threshold); pin d24's keep flags exactly."""
+    import numpy as np
+
+    from datalake_worker_spark.functions.similarity import to_double_array
+    from datalake_worker_spark.operators.wave11 import (
+        KM_ITERS,
+        _km_assign,
+        _km_dists,
+        _km_exploded,
+        kmeans_train,
+    )
+    from datalake_worker_spark.operators.wave14 import (
+        D24_SLICE,
+        D24_THRESHOLD,
+    )
+    from datalake_worker_spark.sources import load_table
+    import hashlib
+
+    ex = _km_exploded(spark, sf_dir)
+    cents = kmeans_train(ex, KM_ITERS)
+    assign = {
+        r.vec_id: r.cluster
+        for r in _km_assign(_km_dists(ex, cents)).collect()
+        if hashlib.sha256(str(r.vec_id).encode()).hexdigest()[0] in D24_SLICE
+    }
+    vecs = {
+        r.vec_id: np.array(r.v)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .collect()
+        if r.vec_id in assign
+    }
+    expected = {}
+    for vid in sorted(assign):
+        keep = 1
+        v = vecs[vid]
+        for other in sorted(assign):
+            if other >= vid or assign[other] != assign[vid]:
+                continue
+            u = vecs[other]
+            cos = float(v @ u / (np.linalg.norm(v) * np.linalg.norm(u)))
+            # replicate the 6-dp decimal cut before the threshold test
+            if float(f"{cos:.6f}") >= D24_THRESHOLD:
+                keep = 0
+                break
+        expected[vid] = (assign[vid], keep)
+    got = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in REGISTRY["d24_semdedup_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_m09_replay_pairs_have_small_hamming(spark, sf_dir):
     """The perturbed re-encodes (3 case-flipped chars) must surface as
     near-dup mass at small Hamming distances — the 'same media,
