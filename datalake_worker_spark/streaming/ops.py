@@ -901,3 +901,105 @@ def st18_streaming_drift_psi(spark, sf_dir):
             F.sum("term").cast("double").alias("psi"),
         )
     )
+
+
+@register(
+    "st22_stream_stream_asof_join",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+        AND ts <= (SELECT max(ts) FROM events) - INTERVAL 3 HOUR
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, c.click_id, c.c_ts
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+    )
+    SELECT purchase_id, click_id AS asof_click_id FROM (
+        SELECT purchase_id, click_id, ROW_NUMBER() OVER (
+            PARTITION BY purchase_id
+            ORDER BY c_ts DESC, click_id DESC) AS rn
+        FROM j) WHERE rn = 1
+    """,
+    category="streaming",
+    doc=(
+        "stream-stream AS-OF join (the streaming rendering of x01/x04: "
+        "each purchase picks its LATEST preceding click within a 1-hour "
+        "tolerance) — the one streaming join shape st01-st21 lacked "
+        "(VERDICT r12 item 7). Two stateful operators compose: a "
+        "watermark-bounded interval join (clicks kept 1 h of state, the "
+        "tolerance window) emits candidate pairs, then a windowed "
+        "MAX(struct(c_ts, click_id)) aggregation reduces each purchase "
+        "to its as-of winner — ties broken (c_ts DESC, click_id DESC) "
+        "exactly like the batch oracle's ROW_NUMBER. Inner semantics: "
+        "purchases with no qualifying click emit nothing (the "
+        "mandatory-match as-of; st09 covers the outer shape). The "
+        "result is restricted to the FINALIZED region (purchase ts at "
+        "least 3 h behind the stream head: 1 h tolerance + 1 h "
+        "watermark + the aggregation window close), the deterministic-"
+        "replay analog of emission time, so replayed-file runs equal "
+        "the batch oracle under the unified-semantics policy. 100 TB: "
+        "both state stores are watermark-bounded (1 h of clicks, one "
+        "open window of per-purchase maxima); the per-purchase winner "
+        "is a partial-agg-combinable MAX, never a sort."
+    ),
+)
+def st22_stream_stream_asof_join(spark, sf_dir):
+    import datetime
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    # as-of reduction: one MAX(struct) per purchase, grouped with the
+    # purchase's event-time window so append mode can finalize it
+    best = j.groupBy(
+        F.window("p_ts", "15 minutes").alias("w"), "purchase_id"
+    ).agg(
+        F.max(F.struct("c_ts", "click_id")).alias("b"),
+        # each purchase has exactly one event time; MAX carries it
+        # through append mode so the frontier filter below matches the
+        # oracle's p_ts bound exactly (not the 15-min window start)
+        F.max("p_ts").alias("p_ts"),
+    )
+    out = run_to_memory(
+        best.select(
+            "purchase_id",
+            F.col("b.click_id").alias("asof_click_id"),
+            "p_ts",
+        ),
+        "append",
+    )
+    # finalization frontier (metadata-scale scalar over the replay input)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    bound = max_ts - datetime.timedelta(hours=3)
+    return out.filter(F.col("p_ts") <= F.lit(bound)).select(
+        "purchase_id", "asof_click_id"
+    )

@@ -387,3 +387,80 @@ def test_vector_index_compaction_identical_results(spark, tmp_path):
         d.startswith("cid=")
         for d in os.listdir(os.path.join(root_c, "index", "gen=c3"))
     )
+
+
+def test_st22_asof_stream_equals_batch(spark, sf_dir):
+    """The stream-stream as-of join must equal the batch as-of over the
+    finalized region (unified semantics), pick the LATEST qualifying
+    click per purchase, and emit each purchase at most once."""
+    import datetime
+
+    from pyspark.sql import Window as W
+
+    from datalake_worker_spark.registry import REGISTRY, _load_all
+    from datalake_worker_spark.sources import load_table
+
+    _load_all()
+    got = REGISTRY["st22_stream_stream_asof_join"].spark_fn(spark, sf_dir)
+    rows = got.collect()
+    ids = [r.purchase_id for r in rows]
+    assert len(ids) == len(set(ids))  # at most one winner per purchase
+
+    e = load_table(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).first()[0]
+    bound = max_ts - datetime.timedelta(hours=3)
+    p = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") <= F.lit(bound))
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    batch = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", F.col("click_id").alias("asof_click_id"))
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch.collect()))
+
+
+def test_st22_state_is_watermark_bounded(spark, sf_dir):
+    """Structural: both stream inputs carry event-time watermarks, so
+    the interval-join and aggregation state stores are bounded (1 h of
+    clicks + open windows), never append-only."""
+    from datalake_worker_spark.streaming.ops import _events_stream
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") >= 2, plan
