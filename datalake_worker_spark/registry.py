@@ -53,74 +53,23 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: therefore a rotation schedule: the ~50-query prefix is this round's
 #: verification budget, rewritten each round to burn the largest
 #: verification debt first.
-#: Round-12 ordering (VERDICT r11 item 3): the eight r12 additions
-#: (d20/a19/t34/d21/d22/v15/t35/q27, never driver-verified) lead, then
-#: the 48 queries whose newest driver row is still r7. 8 + 48 = 56, so
-#: with the driver's 50-row budget the cohort's last SIX rows (q20/q21/
-#: p02/p03/st03/st04, all re-proven by pytest equivalence suites every
-#: round and green in this round's four committed full sweeps) survive
-#: to r13 —
-#: the trade chosen deliberately: a query with NO driver row ever would
-#: break the every-query-has-a-cumulative-row contract, while a stale
-#: r7 row is merely dated; first rows for new operators therefore
-#: outrank the final staleness rows.
+#: Round-13 ordering (VERDICT r12 item 2): the five r13 additions
+#: (v16/m09/d23/d24/st22, never driver-verified) lead — a query with
+#: NO driver row ever would break the every-query-has-a-cumulative-row
+#: contract — then the final SIX r7-dated rows (the staleness floor:
+#: after this round no cumulative row predates r8), then the r8 cohort
+#: in recorded order (the 50-row budget refreshes its first ~39).
 #: Regenerated from the cumulative CORRECTNESS_r*.json files,
 #: stalest cohort first; within a cohort the prior recorded run order
 #: is preserved.
 _PRIORITY_NAMES = [
-    # never driver-verified (round-12 additions) — first: each needs
-    # its first CORRECTNESS row (r11 verdict items 1/4/6)
-    "d20_simhash_audit",
-    "a19_cms_audit",
-    "t34_binned_stump",
-    "d21_minhash_audit",
-    "d22_bloom_audit",
-    "v15_ivf_audit",
-    "t35_bm25_search",
-    "q27_label_propagation",
-    # newest driver row: round 7 (48 queries)
-    "io05_schema_evolution_merge",
-    "smp01_stratified_sample",
-    "smp02_doc_packing",
-    "smp03_exact_percentiles",
-    "smp04_histogram",
-    "smp05_temperature_resample",
-    "m01_binary_payload_dedup",
-    "m02_decode_metadata",
-    "m03_frame_sample",
-    "t23_zipf_token_curve",
-    "t24_sentence_stats",
-    "a15_weighted_median",
-    "w17_rolling_median",
-    "j12_binned_range_join",
-    "v10_matryoshka_audit",
-    "io18_parquet_codec_roundtrip",
-    "lk11_storage_integrity_scan",
-    "st17_watermark_late_drop",
-    "t25_bigram_logprob",
-    "io19_schema_drift_audit",
-    "t26_dedup_aware_token_count",
-    "w18_max_concurrent_intervals",
-    "x08_interval_overlap_join",
-    "io20_data_quality_audit",
-    "s09_casts",
-    "a10_statistical_aggregates",
-    "v03_embedding_stats",
-    "v05_embedding_quantize",
-    "v01_exact_cosine_topk",
-    "v02_ann_lsh_topk",
-    "v04_ann_ivf_topk",
-    "d06_embedding_near_dups",
-    "d07_ssjoin_prefix",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
+    # never driver-verified (round-13 additions) — first
+    "v16_ivfpq_audit",
+    "m09_phash_audit",
+    "d23_keeplist_audit",
+    "d24_semdedup_audit",
+    "st22_stream_stream_asof_join",
+    # newest driver row: round 7 (the last six; r12 burned the rest)
     "q20_heavy_suppliers_semijoin",
     "q21_last_shipper",
     "p02_grouped_map_pandas",
