@@ -215,6 +215,17 @@ WAVE12 = [
     "q27_label_propagation",
 ]
 
+# added in round 13 — thirteenth suite per the same contract (IVF+PQ /
+# pHash / keep-list / SemDeDup strict audits + the stream-stream as-of
+# join).
+WAVE13 = [
+    "v16_ivfpq_audit",
+    "m09_phash_audit",
+    "d23_keeplist_audit",
+    "d24_semdedup_audit",
+    "st22_stream_stream_asof_join",
+]
+
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"
 # (q07 0.43->1.13 s) was root-caused in round 7 to ambient run-to-run
 # variance — four same-code runs within round 6 recorded extended totals
@@ -295,6 +306,7 @@ def main() -> None:
         "LLM_WAVE": LLM_WAVE, "DEPTH": DEPTH, "WAVE6": WAVE6,
         "WAVE7": WAVE7, "WAVE8": WAVE8, "WAVE9": WAVE9,
         "WAVE10": WAVE10, "WAVE11": WAVE11, "WAVE12": WAVE12,
+        "WAVE13": WAVE13,
     }
     picked = (
         {s.strip().upper() for s in args.suites.split(",")}
@@ -322,6 +334,7 @@ def main() -> None:
     wave10 = _suite("WAVE10")
     wave11 = _suite("WAVE11")
     wave12 = _suite("WAVE12")
+    wave13 = _suite("WAVE13")
 
     # comparative baseline (BASELINE.md protocol): the same queries
     # through DuckDB on the identical parquet — extra keys, driver
@@ -346,6 +359,7 @@ def main() -> None:
     wave10_total = round(sum(wave10.values()), 4)
     wave11_total = round(sum(wave11.values()), 4)
     wave12_total = round(sum(wave12.values()), 4)
+    wave13_total = round(sum(wave13.values()), 4)
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,  # round-1-comparable 31-query core suite
@@ -373,6 +387,8 @@ def main() -> None:
         "wave11_value": wave11_total,
         "wave12_queries": wave12,  # round-12 suite (oracle audit twins)
         "wave12_value": wave12_total,
+        "wave13_queries": wave13,  # round-13 suite (IVF+PQ / pHash / keep-list / SemDeDup audits + as-of stream)
+        "wave13_value": wave13_total,
         "sf": sf,
     }
     if duck:
@@ -423,6 +439,8 @@ def main() -> None:
                 "wave11_queries": len(wave11),
                 "wave12_value": wave12_total,
                 "wave12_queries": len(wave12),
+                "wave13_value": wave13_total,
+                "wave13_queries": len(wave13),
             }
         )
     )

@@ -245,6 +245,140 @@ def t27_skew_probe(spark, n_small: int = 40_000, runs: int = 3) -> dict:
     return out
 
 
+def dedup_skew_probe(
+    spark, n_docs: int = 100_000, cap: int = 512
+) -> dict:
+    """VERDICT r12 item 8: plant a Zipf-1.2 KEY distribution into a
+    10x-scale corpus and prove the dedup family's bucket caps bound the
+    hot LSH bucket. Template ids follow the power-law tail
+    P(K >= k) ~ k^-(s-1) with s = 1.2 (inverse-CDF transform of a
+    deterministic xxhash64 uniform), so the hottest template covers
+    ~13% of all documents — every one of those docs shares ALL its
+    shingles, collides in every MinHash band, and lands in one bucket:
+    exactly the mass-duplication skew the row_number cap exists for.
+    Measured: the pre-cap hot-bucket population (the hazard), the
+    post-cap retained population (== cap), and the total emitted pair
+    count against the cap*(cap-1)/2-per-bucket-per-band bound — the
+    guarantee that pair expansion is O(bands * cap^2) REGARDLESS of key
+    skew, never O(hot_bucket^2)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from datalake_worker_spark.functions.dedup import (
+        capped_fingerprint_band_pairs,
+        shingles_from_words,
+    )
+    from datalake_worker_spark.operators.wave13 import (
+        D21_BANDS,
+        D21_K,
+        D21_ROWS,
+        sha40,
+    )
+
+    s = 1.2
+    u = (F.pmod(F.xxhash64(F.col("id")), 1000000) + 0.5) / 1000000.0
+    k = F.least(
+        F.lit(200000), F.ceil(F.pow(u, F.lit(-1.0 / (s - 1.0))))
+    ).cast("long")
+    words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(8)),
+            lambda j: F.concat(F.lit("w"), F.col("k"), F.lit("_"), j),
+        ),
+    )
+    d = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), k.alias("k"))
+        .select("doc_id", words.alias("text"))
+    )
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("_w"))
+        .select(
+            "doc_id", F.explode(shingles_from_words(F.col("_w"))).alias("sh")
+        )
+        .distinct()
+    )
+    aggs = [
+        F.min(sha40(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(D21_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig_str = F.concat_ws(
+        ":", *[F.col(f"h{i}").cast("string") for i in range(D21_K)]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{b * D21_ROWS + j}").cast("string")
+                        for j in range(D21_ROWS)
+                    ],
+                ).alias("band_val"),
+            )
+            for b in range(D21_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", sig_str.alias("_sig"), F.explode(bands).alias("b")
+    ).select(
+        "doc_id", "_sig",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    ).persist()
+    t0 = time.perf_counter()
+    pre = (
+        banded.groupBy("band_idx", "band_val")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    wcap = W.partitionBy("band_idx", "band_val").orderBy("doc_id")
+    post = (
+        banded.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= cap)
+        .groupBy("band_idx", "band_val")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    n_pairs = capped_fingerprint_band_pairs(
+        banded, "_sig", "doc_id", cap
+    ).count()
+    # the structural bound the cap guarantees: each bucket contributes
+    # at most C(min(members, cap), 2) pairs, summed over all buckets
+    # (a Zipf corpus has MANY hot buckets, not one — the first probe
+    # run's bands*cap^2 bound was wrong for exactly that reason)
+    m = F.least(F.col("count"), F.lit(cap))
+    bound = int(
+        banded.groupBy("band_idx", "band_val")
+        .count()
+        .agg(F.sum(m * (m - 1) / 2))
+        .first()[0]
+    )
+    elapsed = round(time.perf_counter() - t0, 2)
+    banded.unpersist(blocking=False)
+    out = {
+        "n_docs": n_docs,
+        "zipf_s": s,
+        "cap": cap,
+        "max_bucket_pre_cap": int(pre),
+        "max_bucket_post_cap": int(post),
+        "max_bucket_pairs_capped": cap * (cap - 1) // 2,
+        "max_bucket_pairs_uncapped_would_be": int(pre) * (int(pre) - 1) // 2,
+        "emitted_pairs": int(n_pairs),
+        "pair_bound_sum_min_cap2": bound,
+        "probe_s": elapsed,
+    }
+    assert post <= cap, out
+    assert n_pairs <= bound, out
+    print(f"dedup_skew: {json.dumps(out)}", flush=True)
+    return out
+
+
 def t06_skew_probe(spark, n_small: int = 40_000, runs: int = 3) -> dict:
     """VERDICT r9 item 4: the r9 Zipfian audit SALTED the
     occurrence⋈frequency joins (t06/t10/t25/smp10/d15) but never probed
@@ -377,6 +511,16 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    if "--dedup-skew-only" in sys.argv:
+        # standalone scenario (VERDICT r12 item 8): merge into the
+        # existing report without re-running the full probe matrix
+        skew = dedup_skew_probe(spark)
+        path = "scale_probe.json"
+        report = json.load(open(path)) if os.path.exists(path) else {}
+        report["dedup_skew_probe"] = skew
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+        return
     build_big(spark)
     qs = registry.queries()
     small = time_queries(spark, qs, SF_SRC, PROBE)
@@ -384,6 +528,7 @@ def main() -> None:
     streaming = streaming_per_batch_probe(spark, SF_BIG)
     t27_skew = t27_skew_probe(spark)
     t06_skew = t06_skew_probe(spark)
+    dedup_skew = dedup_skew_probe(spark)
     report = {
         "copies": COPIES,
         "small_dir": SF_SRC,
@@ -391,6 +536,7 @@ def main() -> None:
         "streaming_per_batch": streaming,
         "t27_skew_probe": t27_skew,
         "t06_skew_probe": t06_skew,
+        "dedup_skew_probe": dedup_skew,
         "queries": {
             n: {
                 "small_s": small[n],
