@@ -904,3 +904,182 @@ def d24_semdedup_audit(spark, sf_dir):
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a20: relational HyperLogLog audit (the last sketch family goes strict)
+# ---------------------------------------------------------------------------
+
+A20_B = 8
+A20_M = 1 << A20_B  # 256 registers
+#: alpha_256 = 0.7213 / (1 + 1.079/m) as the EXACT rational
+#: (0.7213 * m * 10^4) / ((m + 1.079) * 10^4), so the raw estimate
+#: alpha * m^2 / Z reduces to one integer division both engines
+#: truncate identically (Z = Zint / 2^33 with Zint integral).
+_A20_ALPHA_NUM = 1846528  # 0.7213 * 256 * 10^4
+_A20_ALPHA_DEN = 2570790  # (256 + 1.079) * 10^4
+A20_NUM = _A20_ALPHA_NUM * A20_M * A20_M * (1 << 33)
+#: Flajolet et al.'s small-range threshold 2.5 * m
+A20_SMALL = 5 * A20_M // 2
+
+_A20_ORACLE = rf"""
+    WITH tok AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    hh AS (
+        SELECT lang, CAST(('0x' || substr(sha256(tok), 1, 10)) AS BIGINT) AS h
+        FROM tok
+    ),
+    rb AS (
+        SELECT lang, h >> 32 AS bucket,
+               CASE WHEN (h & 4294967295) = 0 THEN 33
+                    ELSE 33 - length(ltrim(bin(h & 4294967295), '0'))
+                    END AS rho
+        FROM hh
+    ),
+    regs AS (SELECT lang, bucket, MAX(rho) AS m FROM rb GROUP BY lang, bucket),
+    regs2 AS (
+        SELECT lang, bucket, m FROM regs
+        UNION ALL
+        SELECT 'ALL', bucket, MAX(m) FROM regs GROUP BY bucket
+    ),
+    langs AS (SELECT DISTINCT lang FROM regs2),
+    grid AS (
+        SELECT l.lang, CAST(u.b AS BIGINT) AS bucket
+        FROM langs l, UNNEST(range({A20_M})) AS u(b)
+    ),
+    filled AS (
+        SELECT g.lang, g.bucket, COALESCE(r.m, 0) AS m
+        FROM grid g LEFT JOIN regs2 r
+          ON r.lang = g.lang AND r.bucket = g.bucket
+    ),
+    z AS (
+        SELECT lang,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - m AS INTEGER))
+                    AS BIGINT) AS zint,
+               CAST(COUNT(*) FILTER (m = 0) AS BIGINT) AS v
+        FROM filled GROUP BY lang
+    ),
+    ex AS (
+        SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+        FROM tok GROUP BY lang
+    ),
+    ex2 AS (
+        SELECT * FROM ex
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM tok
+    ),
+    est AS (
+        SELECT z.lang, e.exact_distinct,
+               CAST('{A20_NUM}' AS HUGEINT)
+                 // (CAST({_A20_ALPHA_DEN} AS HUGEINT)
+                     * CAST(zint AS HUGEINT)) AS e_fp,
+               z.v
+        FROM z JOIN ex2 e ON e.lang = z.lang
+    )
+    SELECT lang, exact_distinct,
+           CASE WHEN e_fp <= {A20_SMALL} AND v > 0
+                THEN {float(A20_M)!r} * ln({float(A20_M)!r}
+                                           / CAST(v AS DOUBLE))
+                ELSE CAST(e_fp AS DOUBLE) END AS hll_estimate,
+           v AS empty_buckets
+    FROM est
+"""
+
+
+@register(
+    "a20_hll_audit",
+    _A20_ORACLE,
+    category="aggregation",
+    doc=(
+        "oracle-audited twin of a11's HyperLogLog distinct rollup — the "
+        "LAST sketch family without a strict row (r12 verdict called "
+        "the engine HLL non-replayable; a RELATIONAL HLL over "
+        "sha256-derived hashes is): 40-bit sha prefix splits into an "
+        "8-bit register index and a 32-bit suffix whose leading-zero "
+        "rank is the classic rho (computed by exact integer bit-length "
+        "— length(conv(w,10,2)) == length(ltrim(bin(w),'0')), pinned "
+        "equal), registers are one MAX per (lang, bucket), and the "
+        "ALL row is a TRUE register-wise-max MERGE of the per-lang "
+        "registers (the mergeable-sketch property a11 demonstrates, "
+        "relationally). The Flajolet raw estimate alpha*m^2/Z reduces "
+        "to ONE exact integer division (Z's denominator is 2^33, "
+        "alpha the exact rational 1846528/2570790), and the "
+        "small-range linear-counting branch m*ln(m/V) is one double "
+        "expression over identical integers — so every register, "
+        "every Z, every estimate replays bit-exact in DuckDB. "
+        "Estimates carry the exact distinct count beside them (the "
+        "observable HLL error, ~1.04/sqrt(256) = 6.5%). Production "
+        "a11 keeps the engine hll_sketch_agg (binary sketches, "
+        "hll_union_agg merge). 100 TB: registers are a bounded "
+        "(groups x 256)-row frame from one partial-agg-combinable "
+        "MAX; merge never re-scans data — sketch once, merge anywhere."
+    ),
+)
+def a20_hll_audit(spark, sf_dir):
+    from ..functions.text import whitespace_tokens
+    from .wave13 import sha40
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(whitespace_tokens("text")).alias("tok")
+    ).persist(StorageLevel.DISK_ONLY)
+    h = sha40(F.col("tok"))
+    w = h.bitwiseAND(F.lit((1 << 32) - 1))
+    rho = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    rb = tok.select(
+        "lang",
+        F.shiftrightunsigned(h, 32).alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+    regs = rb.groupBy("lang", "bucket").agg(F.max("rho").alias("m"))
+    regs_all = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("ALL").alias("lang"), "bucket", "m")
+    )
+    regs2 = regs.unionByName(regs_all)
+    langs = regs2.select("lang").distinct()
+    buckets = spark.range(A20_M).select(F.col("id").alias("bucket"))
+    filled = (
+        langs.crossJoin(F.broadcast(buckets))
+        .join(regs2, ["lang", "bucket"], "left")
+        .select("lang", "bucket", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    z = filled.groupBy("lang").agg(
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(33 - m as int))")
+        ).alias("zint"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    )
+    ex = tok.groupBy("lang").agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct")
+    )
+    ex_all = tok.agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct")
+    ).select(F.lit("ALL").alias("lang"), "exact_distinct")
+    est = z.join(ex.unionByName(ex_all), "lang").withColumn(
+        "e_fp",
+        F.expr(
+            f"CAST('{A20_NUM}' AS DECIMAL(38,0)) div "
+            f"(CAST({_A20_ALPHA_DEN} AS DECIMAL(38,0))"
+            f" * CAST(zint AS DECIMAL(38,0)))"
+        ),
+    )
+    he = F.when(
+        (F.col("e_fp") <= F.lit(A20_SMALL)) & (F.col("v") > 0),
+        F.lit(float(A20_M))
+        * F.log(F.lit(float(A20_M)) / F.col("v").cast("double")),
+    ).otherwise(F.col("e_fp").cast("double"))
+    # janitor lifetime for tok (the a16/r8 lineage rule)
+    return est.select(
+        "lang",
+        "exact_distinct",
+        he.alias("hll_estimate"),
+        F.col("v").alias("empty_buckets"),
+    )

@@ -280,3 +280,63 @@ def test_v16_every_vector_encodes_all_subspaces(spark, sf_dir):
     n_vec = ex.select("vec_id").distinct().count()
     assert len(codes) == n_vec * V16_NSUB
     assert all(0 <= r.code < V16_CODES for r in codes)
+
+
+# ----------------------------------------------------------------- a20
+def test_a20_equals_python_hll(spark, sf_dir):
+    """Full independent differential: build the 256-register HLL in
+    pure Python (sha-40 bucket/rho, register max, exact integer raw
+    estimate, linear-counting branch) per lang AND for the merged ALL
+    row, and pin the relational audit's output exactly."""
+    import hashlib
+    import math
+
+    from datalake_worker_spark.operators.wave14 import (
+        A20_M,
+        A20_NUM,
+        A20_SMALL,
+        _A20_ALPHA_DEN,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    regs: dict[str, list[int]] = {}
+    toks: dict[str, set] = {}
+    for r in docs:
+        for t in (r.text.strip().split() if r.text.strip() else []):
+            h = int(hashlib.sha256(t.encode()).hexdigest()[:10], 16)
+            bucket, w = h >> 32, h & 0xFFFFFFFF
+            rho = 33 if w == 0 else 33 - w.bit_length()
+            for key in (r.lang, "ALL"):
+                m = regs.setdefault(key, [0] * A20_M)
+                if rho > m[bucket]:
+                    m[bucket] = rho
+                toks.setdefault(key, set()).add(t)
+    expected = {}
+    for key, m in regs.items():
+        zint = sum(1 << (33 - mj) for mj in m)
+        v = sum(1 for mj in m if mj == 0)
+        e_fp = A20_NUM // (_A20_ALPHA_DEN * zint)
+        est = (
+            float(A20_M) * math.log(float(A20_M) / float(v))
+            if (e_fp <= A20_SMALL and v > 0)
+            else float(e_fp)
+        )
+        expected[key] = (len(toks[key]), est, v)
+    got = {
+        r.lang: (r.exact_distinct, r.hll_estimate, r.empty_buckets)
+        for r in REGISTRY["a20_hll_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_a20_error_within_hll_band(spark, sf_dir):
+    """The estimate must sit inside a generous multiple of the HLL
+    standard error (1.04/sqrt(256) ~ 6.5%) for every group with enough
+    mass to be in the raw-estimate regime."""
+    rows = REGISTRY["a20_hll_audit"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.exact_distinct >= 1000:
+            rel = abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct
+            assert rel < 0.25, (r.lang, r.exact_distinct, r.hll_estimate)

@@ -36,7 +36,7 @@ AUDIT_TWINS = {
     "m06_perceptual_near_dup": "m09_phash_audit (r13)",
     "v08_pq_quantization_audit": "v16_ivfpq_audit (r13)",
     "a08_approx_aggregates": "(sketch estimates; APPROX_CHECKS differentials)",
-    "a11_hll_distinct_rollup": "(engine-internal HLL; APPROX_CHECKS differentials)",
+    "a11_hll_distinct_rollup": "a20_hll_audit (r13)",
 }
 
 
