@@ -225,6 +225,7 @@ WAVE13 = [
     "d24_semdedup_audit",
     "st22_stream_stream_asof_join",
     "a20_hll_audit",
+    "t36_winnow_audit",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

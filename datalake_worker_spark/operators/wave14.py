@@ -1083,3 +1083,128 @@ def a20_hll_audit(spark, sf_dir):
         he.alias("hll_estimate"),
         F.col("v").alias("empty_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t36: winnowing fingerprint audit (Schleimer et al. 2003, strict oracle)
+# ---------------------------------------------------------------------------
+
+T36_K = 5  # char-gram width (t05's)
+T36_W = 8  # winnowing window: guarantee = matches of length >= w+k-1 share a fingerprint
+#: positions pack into the low bits of the (hash, rightmost-tie) key;
+#: 2^20 chars bounds the doc length (corpus max is 577)
+_T36_PBITS = 20
+_T36_PCAP = 1 << _T36_PBITS
+
+_T36_ORACLE = rf"""
+    WITH base AS (
+        SELECT doc_id,
+               lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS norm
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, greatest(length(norm) - {T36_K - 1}, 1) AS np,
+               CAST(u.i AS BIGINT) + 1 AS p, norm
+        FROM base,
+             UNNEST(range(greatest(length(norm) - {T36_K - 1}, 1))) AS u(i)
+    ),
+    keyed AS (
+        SELECT doc_id, np, p,
+               (CAST(('0x' || substr(sha256(substr(norm, CAST(p AS INTEGER),
+                                                   {T36_K})), 1, 10))
+                     AS BIGINT) << {_T36_PBITS})
+               + ({_T36_PCAP} - p) AS key
+        FROM pos
+    ),
+    winmin AS (
+        SELECT doc_id, np, p,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW
+                              AND {T36_W - 1} FOLLOWING) AS wkey
+        FROM keyed
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, wkey FROM winmin
+        WHERE p <= greatest(np - {T36_W} + 1, 1)
+    ),
+    dec AS (SELECT doc_id, wkey >> {_T36_PBITS} AS h FROM sel)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(MIN(h) AS BIGINT) AS min_fp,
+           CAST(MAX(h) AS BIGINT) AS max_fp,
+           CAST(SUM(h) AS BIGINT) AS fp_sum
+    FROM dec GROUP BY doc_id
+"""
+
+
+@register(
+    "t36_winnow_audit",
+    _T36_ORACLE,
+    category="llm-text",
+    doc=(
+        "oracle-audited TRUE winnowing fingerprint (Schleimer, "
+        "Wilkerson & Aiken, SIGMOD'03 — the fingerprinting family's "
+        "published algorithm; t05 ships the min-of-rolling-hash lite "
+        "variant, property-tested): every window of {w} consecutive "
+        "char-{k}-gram hashes selects its minimum with the RIGHTMOST "
+        "tie-break, and the distinct selected (hash, position) pairs "
+        "are the document's fingerprint set — guaranteeing any "
+        "substring match of length >= w+k-1 shares a fingerprint. The "
+        "argmin is ONE windowed MIN over a packed (hash << {pb}) + "
+        "({pc} - position) key (rightmost tie = smallest packed key), "
+        "identical in both engines, over sha256-derived 40-bit gram "
+        "hashes — so the fingerprint family gains a strict hash-green "
+        "row. Output per doc: fingerprint count, min/max fingerprint "
+        "and the order-independent fingerprint sum. 100 TB: one "
+        "char-position explode per doc, one doc-partitioned window "
+        "pass, one distinct — no joins, no pair expansion; density is "
+        "2/(w+1) of positions by the published bound.".format(
+            w=T36_W, k=T36_K, pb=_T36_PBITS, pc=_T36_PCAP
+        )
+    ),
+)
+def t36_winnow_audit(spark, sf_dir):
+    from .wave13 import sha40
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace("text", r"[^a-zA-Z0-9 ]", "")
+        ).alias("_norm"),
+    )
+    np_ = F.greatest(F.length("_norm") - (T36_K - 1), F.lit(1))
+    pos = base.select(
+        "doc_id",
+        np_.alias("np"),
+        "_norm",
+        F.explode(F.sequence(F.lit(1), np_)).alias("p"),
+    )
+    h = sha40(F.expr(f"substring(_norm, p, {T36_K})"))
+    keyed = pos.select(
+        "doc_id",
+        "np",
+        "p",
+        (
+            F.shiftleft(h, _T36_PBITS) + (F.lit(_T36_PCAP) - F.col("p"))
+        ).alias("key"),
+    )
+    wspec = (
+        W.partitionBy("doc_id").orderBy("p").rowsBetween(0, T36_W - 1)
+    )
+    sel = (
+        keyed.select(
+            "doc_id", "np", "p", F.min("key").over(wspec).alias("wkey")
+        )
+        .filter(
+            F.col("p") <= F.greatest(F.col("np") - T36_W + 1, F.lit(1))
+        )
+        .select("doc_id", "wkey")
+        .distinct()
+    )
+    hdec = F.shiftrightunsigned(F.col("wkey"), _T36_PBITS)
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.min(hdec).cast("long").alias("min_fp"),
+        F.max(hdec).cast("long").alias("max_fp"),
+        F.sum(hdec).cast("long").alias("fp_sum"),
+    )

@@ -340,3 +340,60 @@ def test_a20_error_within_hll_band(spark, sf_dir):
         if r.exact_distinct >= 1000:
             rel = abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct
             assert rel < 0.25, (r.lang, r.exact_distinct, r.hll_estimate)
+
+
+# ----------------------------------------------------------------- t36
+def _py_winnow(text: str):
+    """Pure-Python Schleimer winnowing replica of t36 (sha-40 gram
+    hashes, rightmost-tie window minima, distinct (h, p) set)."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"[^a-zA-Z0-9 ]", "", text).lower()
+    np_ = max(len(norm) - 4, 1)
+    hs = []
+    for p in range(1, np_ + 1):
+        g = norm[p - 1 : p + 4]
+        hs.append(int(hashlib.sha256(g.encode()).hexdigest()[:10], 16))
+    sel = set()
+    for j in range(1, max(np_ - 8 + 1, 1) + 1):
+        win = [(hs[p - 1], -p) for p in range(j, min(j + 8, np_ + 1))]
+        h, negp = min(win)
+        sel.add((h, -negp))
+    return sel
+
+
+def test_t36_equals_python_winnowing(spark, sf_dir):
+    """Full independent differential: replicate winnowing per document
+    in pure Python and pin (n_fp, min_fp, max_fp, fp_sum) exactly."""
+    from datalake_worker_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        sel = _py_winnow(r.text)
+        hsel = [h for h, _ in sel]
+        expected[r.doc_id] = (len(sel), min(hsel), max(hsel), sum(hsel))
+    got = {
+        r.doc_id: (r.n_fp, r.min_fp, r.max_fp, r.fp_sum)
+        for r in REGISTRY["t36_winnow_audit"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_t36_shared_substring_shares_fingerprint(spark, tmp_path):
+    """The winnowing guarantee: two documents sharing a substring of
+    length >= w + k - 1 (= 12 chars after normalization) must share at
+    least one selected fingerprint."""
+    shared = "thequickbrownfoxjumpsover"  # 25 normalized chars
+    a = "aaaa1111 " + shared + " zzzz2222"
+    b = "bbbb3333 " + shared + " yyyy4444"
+    spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fa = _py_winnow(a)
+    fb = _py_winnow(b)
+    assert {h for h, _ in fa} & {h for h, _ in fb}
+    rows = REGISTRY["t36_winnow_audit"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 2

@@ -37,6 +37,7 @@ AUDIT_TWINS = {
     "v08_pq_quantization_audit": "v16_ivfpq_audit (r13)",
     "a08_approx_aggregates": "(sketch estimates; APPROX_CHECKS differentials)",
     "a11_hll_distinct_rollup": "a20_hll_audit (r13)",
+    "t05_fingerprint": "t36_winnow_audit (r13)",
 }
 
 
