@@ -74,6 +74,12 @@ FLAGSHIP = [
     ("v15_ivf_audit", "IVF audit: v13-trained literal centroids, cell equi-join only shuffle, fold-cosine rerank"),
     ("t35_bm25_search", "BM25: query-term-filtered tf partial agg, df/stats broadcast, decimal sums, rank-limited top-k"),
     ("q27_label_propagation", "LPA: broadcast dims into the edge build, per-round (dst,label) agg, label literals"),
+    ("v16_ivfpq_audit", "IVF+PQ audit: literal centroids+codebooks, cell equi-join, ADC array lookups, refine rerank"),
+    ("m09_phash_audit", "pHash audit: char-explode partial-agg grid, banded equi-join, capped buckets"),
+    ("d23_keeplist_audit", "keep-list audit: d21 band join feeds pointer-jump CC rounds, min-id survivor left join"),
+    ("d24_semdedup_audit", "SemDeDup audit: cluster equi-join bounds the pair stage, fold-cosine filter"),
+    ("a20_hll_audit", "HLL audit: one partial-agg register MAX, bounded (lang x 256) frame, merge without re-scan"),
+    ("t36_winnow_audit", "winnowing: one char-position explode, ONE doc-partitioned window MIN, distinct — no joins"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
