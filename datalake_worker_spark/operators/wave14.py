@@ -1208,3 +1208,343 @@ def t36_winnow_audit(spark, sf_dir):
         F.max(hdec).cast("long").alias("max_fp"),
         F.sum(hdec).cast("long").alias("fp_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28: single-source shortest paths (Bellman-Ford rounds, exact integers)
+# ---------------------------------------------------------------------------
+
+Q28_ROUNDS = 4
+Q28_SOURCE = 0
+#: per-edge cost = reciprocal trade popularity in fixed point: popular
+#: routes are cheap, so min-cost routing can prefer two popular hops
+#: over one unpopular direct edge — integer-exact in both engines.
+Q28_COST_NUM = 1_000_000
+Q28_INF = 10**15
+
+
+def _q28_iter_ctes(i: int) -> str:
+    """One synchronous Bellman-Ford relaxation as CTE text: d_{i+1}(v) =
+    min(d_i(v), min over in-edges (u,v) of d_i(u) + cost(u,v)). Pure
+    integer min-plus; unreachable stays at the INF literal."""
+    return f""",
+    relax{i} AS (
+        SELECT e.dst AS n, MIN(d.d + e.c) AS cand
+        FROM edges e JOIN dist{i} d ON d.n = e.src
+        WHERE d.d < {Q28_INF}
+        GROUP BY e.dst
+    ),
+    dist{i + 1} AS MATERIALIZED (
+        SELECT d.n, LEAST(d.d, COALESCE(r.cand, d.d)) AS d
+        FROM dist{i} d LEFT JOIN relax{i} r ON r.n = d.n
+    )"""
+
+
+def _q28_oracle_sql() -> str:
+    head = f"""
+    WITH edges AS MATERIALIZED (
+        SELECT src, dst, CAST({Q28_COST_NUM} AS BIGINT) // w AS c FROM (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY src, dst
+        )
+    ),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT n FROM (
+            SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges
+        )
+    ),
+    dist0 AS MATERIALIZED (
+        SELECT n, CAST(CASE WHEN n = {Q28_SOURCE} THEN 0
+                            ELSE {Q28_INF} END AS BIGINT) AS d
+        FROM nodes
+    )"""
+    body = "".join(_q28_iter_ctes(i) for i in range(Q28_ROUNDS))
+    tail = f"""
+    SELECT CAST(n AS BIGINT) AS nationkey, CAST(d AS BIGINT) AS cost_fp
+    FROM dist{Q28_ROUNDS} WHERE d < {Q28_INF}"""
+    return head + body + tail
+
+
+def _q28_edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("src", "dst", F.expr(f"cast({Q28_COST_NUM} as bigint) div w").alias("c"))
+    )
+
+
+@register(
+    "q28_sssp_bellman_ford",
+    _q28_oracle_sql(),
+    category="relational",
+    doc=(
+        "single-source shortest paths over the nation trade graph "
+        "(Bellman-Ford, the classic relational SSSP — the graph "
+        "primitive q26/q27/d10/q25 didn't cover): per-edge cost = "
+        f"{Q28_COST_NUM} div weight (reciprocal trade popularity, "
+        "fixed-point), so min-cost routing can prefer two popular hops "
+        f"over one unpopular direct edge. {Q28_ROUNDS} synchronous "
+        "relaxation rounds in the q26/q27 discipline — each ONE "
+        "(dst)-keyed min-plus aggregation over the edge frame with the "
+        "distance vector re-entering as literals (model-as-literal, "
+        "driver state O(nodes)) — and EVERY step is integer arithmetic, "
+        "so the unrolled oracle is bit-identical. Unreachable nodes "
+        "stay at the INF literal and are excluded. 100 TB: the edge "
+        "build is one corpus-scale groupBy (partial-agg combinable, "
+        "broadcast dims); per round one edge-frame scan + one "
+        "node-sized exchange; for web-scale node sets the literal "
+        "becomes a broadcast-joined frame — `sssp_broadcast` below, "
+        "pinned bit-equal."
+    ),
+)
+def q28_sssp_bellman_ford(spark, sf_dir):
+    edges = _q28_edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    nodes = sorted(
+        r.n
+        for r in edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .collect()
+    )
+    if not nodes:
+        edges.unpersist(blocking=False)
+        return spark.createDataFrame([], "nationkey long, cost_fp long")
+    dist = {n: (0 if n == Q28_SOURCE else Q28_INF) for n in nodes}
+    for _ in range(Q28_ROUNDS):
+        whens = " ".join(
+            f"WHEN src = {int(n)} THEN CAST({int(d)} AS BIGINT)"
+            for n, d in dist.items()
+        )
+        relax = (
+            edges.selectExpr("dst", f"(CASE {whens} END) AS du", "c")
+            .filter(F.col("du") < Q28_INF)
+            .groupBy("dst")
+            .agg(F.min(F.col("du") + F.col("c")).alias("cand"))
+            .collect()
+        )
+        cand = {int(r.dst): int(r.cand) for r in relax}
+        dist = {n: min(d, cand.get(n, d)) for n, d in dist.items()}
+    out = edges.select(F.col("src").alias("n")).unionByName(
+        edges.select(F.col("dst").alias("n"))
+    ).distinct()
+    expr = None
+    for n in nodes:
+        w_ = F.when(F.col("n") == int(n), F.lit(int(dist[n])))
+        expr = w_ if expr is None else expr.when(
+            F.col("n") == int(n), F.lit(int(dist[n]))
+        )
+    # janitor lifetime for edges (the q26/t33 note)
+    return (
+        out.select(
+            F.col("n").cast("long").alias("nationkey"),
+            expr.cast("long").alias("cost_fp"),
+        )
+        .filter(F.col("cost_fp") < Q28_INF)
+    )
+
+
+def sssp_broadcast(spark, edges, source: int = Q28_SOURCE,
+                   rounds: int = Q28_ROUNDS):
+    """q28's web-scale path (the pagerank_broadcast pattern): the
+    distance vector lives in a node-sized DataFrame broadcast-joined
+    onto the edge frame each round — never a literal CASE, so the node
+    set can be millions. Bit-equal to the literal path by construction
+    (same integer min-plus, same INF sentinel). ``edges``: (src, dst,
+    c). Returns q28's exact output schema."""
+    ew = edges.persist(StorageLevel.DISK_ONLY)
+    nodes = (
+        ew.select(F.col("src").alias("n"))
+        .unionByName(ew.select(F.col("dst").alias("n")))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    if nodes.count() == 0:
+        ew.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return spark.createDataFrame([], "nationkey long, cost_fp long")
+    dist = nodes.select(
+        "n",
+        F.when(F.col("n") == source, F.lit(0))
+        .otherwise(F.lit(Q28_INF))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relax = (
+            ew.join(F.broadcast(dist), ew["src"] == dist["n"])
+            .filter(F.col("d") < Q28_INF)
+            .groupBy("dst")
+            .agg(F.min(F.col("d") + F.col("c")).alias("cand"))
+        )
+        dist = (
+            dist.join(relax, dist["n"] == relax["dst"], "left")
+            .select(
+                "n",
+                F.least(F.col("d"), F.coalesce("cand", "d"))
+                .cast("long")
+                .alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = dist.filter(F.col("d") < Q28_INF).select(
+        F.col("n").cast("long").alias("nationkey"),
+        F.col("d").alias("cost_fp"),
+    )
+    ew.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# w20: per-key linear interpolation onto a dense time grid
+# ---------------------------------------------------------------------------
+
+_W20_ORACLE = """
+    WITH obs AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS v
+        FROM events WHERE user_id < 20 GROUP BY user_id, h
+    ),
+    b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id),
+    g AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS TIMESTAMP) AS h
+        FROM b
+    ),
+    j AS (
+        SELECT g.user_id, g.h, o.v,
+               epoch_us(g.h) // 3600000000 AS hi
+        FROM g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+    ),
+    w AS (
+        SELECT user_id, h, v, hi,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS)
+                 OVER wp AS pt,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS)
+                 OVER wf AS nt
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h,
+           CAST(CAST(CAST(
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE pv + (nv - pv) * (CAST(hi - pt AS DOUBLE)
+                                           / CAST(nt - pt AS DOUBLE)) END
+               AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS value,
+           CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+    FROM w
+"""
+
+
+@register(
+    "w20_linear_interpolation",
+    _W20_ORACLE,
+    category="windows",
+    doc=(
+        "per-key LINEAR interpolation onto a dense hourly grid — the "
+        "interpolating complement of w08's as-of carry (the standard "
+        "time-series feature-prep pair): sparse per-user hourly means "
+        "(user_id < 20 keeps each timeline genuinely gappy) land on a "
+        "per-user min..max hour grid; missing hours take "
+        "v0 + (v1-v0)*(t-t0)/(t1-t0) between the bracketing "
+        "observations. Exact cross-engine: hourly means are "
+        "DECIMAL-sum/count doubles (the a10/w10 trick), hour indexes "
+        "are integer epoch-microsecond divisions, and the interpolation "
+        "is ONE double expression over those identical inputs, cut to "
+        "6 dp via the decimal cast (never ROUND). Bracketing values "
+        "come from two ignorenulls window passes (last-before / "
+        "first-after) — no self-join, one user_id exchange. Grid size "
+        "is O(keys x span) from per-key BOUNDS, independent of event "
+        "count. 100 TB: identical shape — bounds aggregate, "
+        "sequence-explode grid, left join on the aggregated keys, two "
+        "window passes."
+    ),
+)
+def w20_linear_interpolation(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("user_id", "h", (F.col("sx") / F.col("cnt")).alias("v"))
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = grid.join(obs, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "v",
+        F.expr("unix_micros(h) div 3600000000").alias("hi"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    hi_obs = F.when(F.col("v").isNotNull(), F.col("hi"))
+    w_ = j.select(
+        "user_id",
+        "h",
+        "v",
+        "hi",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(hi_obs, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(hi_obs, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("hi") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return w_.select(
+        "user_id",
+        "h",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("value"),
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
+    )
