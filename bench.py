@@ -226,6 +226,8 @@ WAVE13 = [
     "st22_stream_stream_asof_join",
     "a20_hll_audit",
     "t36_winnow_audit",
+    "q28_sssp_bellman_ford",
+    "w20_linear_interpolation",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

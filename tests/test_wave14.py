@@ -397,3 +397,100 @@ def test_t36_shared_substring_shares_fingerprint(spark, tmp_path):
     assert {h for h, _ in fa} & {h for h, _ in fb}
     rows = REGISTRY["t36_winnow_audit"].spark_fn(spark, str(tmp_path)).collect()
     assert len(rows) == 2
+
+
+# ----------------------------------------------------------------- q28
+def test_q28_equals_python_bellman_ford(spark, sf_dir):
+    """Independent differential: rebuild the cost graph, run classic
+    Bellman-Ford in pure Python, pin the distance map exactly."""
+    from datalake_worker_spark.operators.wave14 import (
+        Q28_INF,
+        Q28_ROUNDS,
+        Q28_SOURCE,
+        _q28_edges,
+    )
+
+    edges = [
+        (r.src, r.dst, r.c) for r in _q28_edges(spark, sf_dir).collect()
+    ]
+    nodes = {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    dist = {n: (0 if n == Q28_SOURCE else Q28_INF) for n in nodes}
+    for _ in range(Q28_ROUNDS):
+        nxt = dict(dist)
+        for u, v, c in edges:
+            if dist[u] < Q28_INF and dist[u] + c < nxt[v]:
+                nxt[v] = dist[u] + c
+        dist = nxt
+    expected = {n: d for n, d in dist.items() if d < Q28_INF}
+    got = {
+        r.nationkey: r.cost_fp
+        for r in REGISTRY["q28_sssp_bellman_ford"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_q28_broadcast_bit_equals_literal_path(spark, sf_dir):
+    """The web-scale broadcast-frame SSSP must be BIT-EQUAL to the
+    registered literal path on the same graph, and safe on empty."""
+    from datalake_worker_spark.operators.wave14 import (
+        _q28_edges,
+        q28_sssp_bellman_ford,
+        sssp_broadcast,
+    )
+
+    lit = sorted(
+        map(tuple, q28_sssp_bellman_ford(spark, sf_dir).collect())
+    )
+    bc = sorted(
+        map(tuple, sssp_broadcast(spark, _q28_edges(spark, sf_dir)).collect())
+    )
+    assert lit == bc
+    empty = spark.createDataFrame([], "src long, dst long, c long")
+    assert sssp_broadcast(spark, empty).count() == 0
+
+
+# ----------------------------------------------------------------- w20
+def test_w20_interpolation_math(spark, tmp_path):
+    """Planted timeline: user 1 observes value 10.0 at hour 0 and 20.0
+    at hour 4 — hours 1..3 must interpolate to 12.5/15.0/17.5 exactly,
+    endpoints marked obs."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, 10.0, "click", "{}"),
+        (2, 1, base + datetime.timedelta(hours=4), 20.0, "click", "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.user_id, r.h.hour): (r.value, r.src)
+        for r in REGISTRY["w20_linear_interpolation"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        (1, 0): (10.0, "obs"),
+        (1, 1): (12.5, "interp"),
+        (1, 2): (15.0, "interp"),
+        (1, 3): (17.5, "interp"),
+        (1, 4): (20.0, "obs"),
+    }
+
+
+def test_w20_grid_is_dense_and_bounded(spark, sf_dir):
+    """Every user's output covers exactly its min..max observed hours,
+    one row per hour, observations marked obs."""
+    rows = REGISTRY["w20_linear_interpolation"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        hours = sorted(r.h for r in rs)
+        span = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
+        assert len(rs) == span, (uid, len(rs), span)
+        assert rs[0].src is not None
