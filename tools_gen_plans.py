@@ -80,6 +80,8 @@ FLAGSHIP = [
     ("d24_semdedup_audit", "SemDeDup audit: cluster equi-join bounds the pair stage, fold-cosine filter"),
     ("a20_hll_audit", "HLL audit: one partial-agg register MAX, bounded (lang x 256) frame, merge without re-scan"),
     ("t36_winnow_audit", "winnowing: one char-position explode, ONE doc-partitioned window MIN, distinct — no joins"),
+    ("q28_sssp_bellman_ford", "SSSP: broadcast dims into the edge build, per-round min-plus (dst) agg, distance literals"),
+    ("w20_linear_interpolation", "interpolation: bounds agg, sequence grid, left join, two ignorenulls window passes on ONE exchange"),
 ]
 
 spark = get_spark(cpus="8", extra_conf={"spark.ui.showConsoleProgress": "false"})
