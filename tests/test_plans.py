@@ -585,3 +585,42 @@ def test_d22_probe_is_map_side_filter(spark, sf_dir):
     df = REGISTRY["d22_bloom_audit"].spark_fn(spark, sf_dir)
     plan = simple_plan(df).lower()
     assert "join" not in plan, plan
+
+
+def test_t36_winnowing_is_join_free(spark, sf_dir):
+    """t36's whole pipeline is explode -> window MIN -> distinct ->
+    agg: no join anywhere — the property that makes winnowing a
+    map-side + one-exchange pass at any corpus size."""
+    df = REGISTRY["t36_winnow_audit"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df).lower()
+    assert "join" not in plan, plan
+
+
+def test_w20_windows_share_one_sort(spark, sf_dir):
+    """w20's two ignorenulls passes (last-before / first-after) share
+    the same (user_id, h) partitioning+ordering, so Catalyst must fuse
+    them into ONE Window node over ONE sort — never a second exchange
+    or a self-join."""
+    df = REGISTRY["w20_linear_interpolation"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df)
+    # count Window NODES (the node detail mentions windowspecdefinition
+    # once per expression — match the operator line, not the text)
+    assert plan.count("+- Window ") == 1, plan
+    assert "cartesianproduct" not in plan.lower()
+
+
+def test_m09_no_cartesian_product(spark, sf_dir):
+    """The pHash audit's candidate stage is the banded equi-join
+    machinery (d20's contract applied to the media column)."""
+    df = REGISTRY["m09_phash_audit"].spark_fn(spark, sf_dir)
+    plan = simple_plan(df).lower()
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloop" not in plan
+
+
+def test_a20_registers_partial_aggregate(spark, sf_dir):
+    """a20's register MAX must partial-aggregate map-side — the
+    mergeable-sketch property expressed in the plan: per-partition
+    registers combine without re-scanning tokens."""
+    df = REGISTRY["a20_hll_audit"].spark_fn(spark, sf_dir)
+    assert "partial" in simple_plan(df).lower()
