@@ -228,6 +228,8 @@ WAVE13 = [
     "t36_winnow_audit",
     "q28_sssp_bellman_ford",
     "w20_linear_interpolation",
+    "q29_kcore",
+    "t37_kneser_ney_logprob",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

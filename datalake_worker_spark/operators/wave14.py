@@ -1548,3 +1548,256 @@ def w20_linear_interpolation(spark, sf_dir):
         .otherwise(F.lit("interp"))
         .alias("src"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q29: k-core decomposition (fixed-k synchronous peeling, exact integers)
+# ---------------------------------------------------------------------------
+
+Q29_K = 15
+Q29_ROUNDS = 4
+
+
+def _q29_iter_ctes(i: int) -> str:
+    """One synchronous peel round: degree within the surviving
+    subgraph, then drop nodes below k. Pure integer counting."""
+    return f""",
+    deg{i} AS (
+        SELECT e.a AS n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym e
+        JOIN alive{i} x ON x.n = e.a
+        JOIN alive{i} y ON y.n = e.b
+        GROUP BY e.a
+    ),
+    alive{i + 1} AS MATERIALIZED (
+        SELECT n FROM deg{i} WHERE d >= {Q29_K}
+    )"""
+
+
+def _q29_oracle_sql() -> str:
+    head = f"""
+    WITH raw AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY src, dst
+    ),
+    sym AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM raw WHERE src <> dst
+            UNION ALL
+            SELECT dst, src FROM raw WHERE src <> dst
+        )
+    ),
+    alive0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM sym)"""
+    body = "".join(_q29_iter_ctes(i) for i in range(Q29_ROUNDS))
+    tail = f"""
+    SELECT CAST(d.n AS BIGINT) AS nationkey, d.d AS core_degree
+    FROM deg{Q29_ROUNDS - 1} d JOIN alive{Q29_ROUNDS} a ON a.n = d.n"""
+    return head + body + tail
+
+
+@register(
+    "q29_kcore",
+    _q29_oracle_sql(),
+    category="relational",
+    doc=(
+        f"k-core decomposition (k={Q29_K}) of the undirected nation "
+        "trade graph — the density-peeling graph primitive (Seidman "
+        "1983; the standard spam/boilerplate community filter in "
+        f"web-graph curation): {Q29_ROUNDS} synchronous peel rounds, "
+        "each ONE degree aggregation over the surviving subgraph "
+        "followed by the threshold drop, in the q26/q27/q28 "
+        "discipline (alive set as literals, driver state O(nodes), "
+        "every step integer counting so the unrolled oracle is "
+        "bit-identical). The fixed round count makes the result "
+        "deterministic even mid-peel; a pytest asserts the fixpoint "
+        "is actually reached on every test corpus (the peel converges "
+        "in <= 3 rounds on the trade graph). Output: surviving nodes "
+        "with their within-core degree. 100 TB: the edge build is one "
+        "corpus-scale groupBy; per round one edge-frame scan + one "
+        "node-sized exchange; the alive literal becomes a broadcast "
+        "semi-join frame at web scale (the established broadcast-dual "
+        "pattern)."
+    ),
+)
+def q29_kcore(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = (
+        raw.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(raw.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    alive = sorted(r.n for r in sym.select(F.col("a").alias("n")).distinct().collect())
+    deg: dict[int, int] = {}
+    for _ in range(Q29_ROUNDS):
+        if not alive:
+            deg = {}
+            break
+        alive_sql = ",".join(str(int(n)) for n in alive)
+        deg_rows = (
+            sym.filter(
+                F.expr(f"a IN ({alive_sql}) AND b IN ({alive_sql})")
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .collect()
+        )
+        deg = {int(r.a): int(r.d) for r in deg_rows}
+        alive = sorted(n for n in alive if deg.get(n, 0) >= Q29_K)
+    if not alive:
+        # empty core: the typed empty frame (q26 discipline)
+        return spark.createDataFrame([], "nationkey long, core_degree long")
+    rows = [(int(n), int(deg[n])) for n in alive]
+    out = spark.createDataFrame(rows, "nationkey long, core_degree long")
+    # janitor lifetime for sym (the q26/t33 note)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# t37: interpolated Kneser-Ney bigram scoring (exact cross-engine)
+# ---------------------------------------------------------------------------
+
+T37_D = 0.75
+
+_T37_ORACLE = rf"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM words, LATERAL (
+            SELECT unnest(generate_series(1, len(w) - 1)) AS i
+        )
+        WHERE len(w) >= 2
+    ),
+    c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+        FROM big GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1,
+               CAST(COUNT(*) AS BIGINT) AS nf
+        FROM c2 GROUP BY w1
+    ),
+    cb AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM c2 GROUP BY w2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c2),
+    scored AS (
+        -- interpolated KN over identical integer inputs: the whole
+        -- probability is ONE double expression, the nll cut to 9-dp
+        -- DECIMAL via VARCHAR (shortest-repr HALF_UP; never
+        -- ROUND(double)) so the per-doc sum is order-independent
+        SELECT b.doc_id,
+               CAST(CAST(-LN(
+                   (GREATEST(CAST(c2.n2 AS DOUBLE) - {T37_D}, 0.0)
+                    / CAST(c1.n1 AS DOUBLE))
+                   + (({T37_D} * CAST(c1.nf AS DOUBLE)
+                       / CAST(c1.n1 AS DOUBLE))
+                      * (CAST(cb.nb AS DOUBLE) / CAST(tot.nt AS DOUBLE)))
+               ) AS VARCHAR) AS DECIMAL(18,9)) AS nll
+        FROM big b
+        JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        JOIN c1 ON b.w1 = c1.w1
+        JOIN cb ON b.w2 = cb.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll) AS DOUBLE) AS total_nll,
+           CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "t37_kneser_ney_logprob",
+    _T37_ORACLE,
+    category="llm-text",
+    doc=(
+        "interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; "
+        "Chen & Goodman 1999 — the LM-based data-selection scorer "
+        "beside t10's unigram and t25's add-one bigram): "
+        "P(w2|w1) = max(c12-D,0)/c1 + (D*N1+(w1.)/c1) * "
+        "(N1+(.w2)/N1+(..)) with D=0.75 — absolute discounting plus "
+        "the continuation-probability backoff that makes KN the "
+        "standard n-gram smoother. EVERY input is an integer corpus "
+        "statistic (bigram count, context total, distinct followers, "
+        "distinct predecessors, distinct bigram types), the "
+        "probability is ONE double expression over them (identical "
+        "IEEE ops both engines — the t35 discipline), each nll cuts "
+        "to a 9-dp DECIMAL via the shortest-repr cast, and per-doc "
+        "sums ride DECIMAL (order-independent) — strict hash-green. "
+        "100 TB: bigram stats are partial-agg-combinable groupBys; "
+        "follower/predecessor counts derive from the (already "
+        "bounded) bigram-type table; the scoring join is bigram-keyed "
+        "with AQE handling the Zipf head (the t06/t10 salted-join "
+        "family applies if a probe ever shows a binding hot key)."
+    ),
+)
+def t37_kneser_ney_logprob(spark, sf_dir):
+    from ..functions.text import whitespace_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", whitespace_tokens("text").alias("w"))
+    big = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n2").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("nf"),
+    )
+    cb = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    tot = c2.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    p = (
+        F.greatest(F.col("n2").cast("double") - T37_D, F.lit(0.0))
+        / F.col("n1").cast("double")
+    ) + (
+        (T37_D * F.col("nf").cast("double") / F.col("n1").cast("double"))
+        * (F.col("nb").cast("double") / F.col("nt").cast("double"))
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(p)).cast("decimal(18,9)").alias("nll"))
+    )
+    # janitor lifetime for big (the a16/r8 lineage rule)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nll").cast("double").alias("total_nll"),
+        (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+    )

@@ -494,3 +494,141 @@ def test_w20_grid_is_dense_and_bounded(spark, sf_dir):
         span = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
         assert len(rs) == span, (uid, len(rs), span)
         assert rs[0].src is not None
+
+
+# ----------------------------------------------------------------- q29
+def test_q29_equals_python_peel_and_reaches_fixpoint(spark, sf_dir):
+    """Independent differential: symmetrize the trade graph, peel in
+    pure Python to the k-core FIXPOINT, and pin the surviving set +
+    within-core degrees exactly — also proving the registered fixed
+    round count reaches the fixpoint on this corpus."""
+    from datalake_worker_spark.operators.wave14 import Q29_K, Q29_ROUNDS
+    from datalake_worker_spark.sources import load_table
+    from pyspark.sql import functions as F2
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    raw = {
+        (r.src, r.dst)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .select(
+            F2.col("c_nationkey").alias("src"), F2.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+        .collect()
+        if r.src != r.dst
+    }
+    adj: dict[int, set] = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        deg = {n: len(adj[n] & alive) for n in alive}
+        nxt = {n for n in alive if deg[n] >= Q29_K}
+        rounds += 1
+        if nxt == alive:
+            break
+        alive = nxt
+    assert rounds <= Q29_ROUNDS, f"fixpoint needs {rounds} > {Q29_ROUNDS} rounds"
+    expected = {n: len(adj[n] & alive) for n in alive}
+    got = {
+        r.nationkey: r.core_degree
+        for r in REGISTRY["q29_kcore"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ----------------------------------------------------------------- t37
+def test_t37_equals_python_kneser_ney(spark, tmp_path):
+    """Planted corpus: compute interpolated KN by hand in Python and
+    pin per-doc (n_bigrams, total_nll, avg_nll) exactly (9-dp term
+    cut replicated)."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "a b c d"),
+        (3, "d a d a"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    bigrams = []
+    for i, t in docs:
+        w = t.split()
+        bigrams += [(i, w[j], w[j + 1]) for j in range(len(w) - 1)]
+    from collections import Counter
+
+    c2 = Counter((a, b) for _, a, b in bigrams)
+    c1 = Counter()
+    nf = Counter()
+    nb = Counter()
+    for (a, b), n in c2.items():
+        c1[a] += n
+        nf[a] += 1
+        nb[b] += 1
+    nt = len(c2)
+    D = 0.75
+    expected = {}
+    for i, _ in docs:
+        terms = []
+        for _, a, b in [x for x in bigrams if x[0] == i]:
+            p = max(c2[(a, b)] - D, 0.0) / c1[a] + (D * nf[a] / c1[a]) * (
+                nb[b] / nt
+            )
+            nll = Decimal(repr(-math.log(p))).quantize(
+                Decimal("0.000000001"), rounding=ROUND_HALF_UP
+            )
+            terms.append(nll)
+        tot = sum(terms)
+        expected[i] = (len(terms), float(tot), float(tot) / len(terms))
+    got = {
+        r.doc_id: (r.n_bigrams, r.total_nll, r.avg_nll)
+        for r in REGISTRY["t37_kneser_ney_logprob"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_t37_probability_mass_sums_to_one(spark, sf_dir):
+    """The defining KN property: for every context w1, the discounted
+    mass plus the redistributed continuation mass sums to EXACTLY 1
+    over the observed bigram-type vocabulary (within float eps) —
+    absolute discounting frees D*N1+(w1.) of mass and the backoff
+    returns all of it."""
+    from datalake_worker_spark.sources import load_table
+    from datalake_worker_spark.functions.text import whitespace_tokens
+    from collections import Counter
+
+    d = load_table(spark, sf_dir, "documents").select("text").limit(100)
+    c2 = Counter()
+    for r in d.collect():
+        w = r.text.strip().split()
+        for j in range(len(w) - 1):
+            c2[(w[j], w[j + 1])] += 1
+    c1 = Counter()
+    nf = Counter()
+    nb = Counter()
+    for (a, b), n in c2.items():
+        c1[a] += n
+        nf[a] += 1
+        nb[b] += 1
+    nt = len(c2)
+    D = 0.75
+    vocab_w2 = list(nb)
+    for a in list(c1)[:20]:
+        mass = sum(
+            max(c2.get((a, b), 0) - D, 0.0) / c1[a]
+            + (D * nf[a] / c1[a]) * (nb[b] / nt)
+            for b in vocab_w2
+        )
+        assert abs(mass - 1.0) < 1e-9, (a, mass)
