@@ -1801,3 +1801,49 @@ def t37_kneser_ney_logprob(spark, sf_dir):
         F.sum("nll").cast("double").alias("total_nll"),
         (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
     )
+
+
+def kcore_broadcast(spark, edges, k: int = Q29_K, rounds: int = Q29_ROUNDS):
+    """q29's web-scale peel (the pagerank_broadcast pattern): the alive
+    set lives in a node-sized DataFrame semi-joined onto both edge
+    endpoints each round — never a literal IN list, so the node set can
+    be millions. Bit-equal to the q29 literal path by construction:
+    the same degree-within-survivors aggregation, the same >= k drop,
+    the same fixed round count. ``edges``: symmetric (a, b) frame with
+    self-loops removed. Returns q29's exact output schema. Per round:
+    ONE edge-frame scan (two broadcast semi-joins + a count agg) and a
+    node-sized rebuild, localCheckpoint'ed so lineage stays flat; at
+    true web scale drop the broadcast hints and AQE picks shuffle
+    joins."""
+    sym = edges.persist(StorageLevel.DISK_ONLY)
+    alive = (
+        sym.select(F.col("a").alias("n")).distinct().localCheckpoint(eager=True)
+    )
+    deg = None
+    for _ in range(rounds):
+        if alive.rdd.isEmpty():
+            deg = None
+            break
+        deg = (
+            sym.join(F.broadcast(alive), sym["a"] == alive["n"])
+            .drop("n")
+            .join(
+                F.broadcast(alive.select(F.col("n").alias("_b"))),
+                F.col("b") == F.col("_b"),
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        alive = (
+            deg.filter(F.col("d") >= k)
+            .select(F.col("a").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist(blocking=False)
+    if deg is None:
+        return spark.createDataFrame([], "nationkey long, core_degree long")
+    return deg.join(F.broadcast(alive), deg["a"] == alive["n"]).select(
+        F.col("a").cast("long").alias("nationkey"),
+        F.col("d").cast("long").alias("core_degree"),
+    )

@@ -632,3 +632,36 @@ def test_t37_probability_mass_sums_to_one(spark, sf_dir):
             for b in vocab_w2
         )
         assert abs(mass - 1.0) < 1e-9, (a, mass)
+
+
+def test_kcore_broadcast_bit_equals_literal_path(spark, sf_dir):
+    """The web-scale broadcast-frame peel must be BIT-EQUAL to the
+    registered literal path on the same graph, and safe on empty."""
+    from datalake_worker_spark.operators.wave14 import (
+        kcore_broadcast,
+        q29_kcore,
+    )
+    from datalake_worker_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = raw.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        raw.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    lit = sorted(map(tuple, q29_kcore(spark, sf_dir).collect()))
+    bc = sorted(map(tuple, kcore_broadcast(spark, sym).collect()))
+    assert lit == bc
+    empty = spark.createDataFrame([], "a long, b long")
+    assert kcore_broadcast(spark, empty).count() == 0
