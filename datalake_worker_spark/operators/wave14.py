@@ -612,8 +612,11 @@ def _m09_oracle_sql() -> str:
         "+1e6), so real near-dup structure is found, not planted "
         "trivially. Production m06 keeps the Arrow mapInPandas "
         "byte-grid aHash over binary payloads (the decode stub's "
-        "domain); a pytest pins both paths through the shared "
-        "phash_near_pairs on identical fingerprints. Output: m06's "
+        "domain); both paths run through the ONE shared "
+        "phash_near_pairs (same function, same band constants — the "
+        "oracle's band table is GENERATED from the production "
+        "_PHASH_BAND_OFFSETS/_PHASH_BAND_WIDTHS, so they cannot "
+        "diverge). Output: m06's "
         "per-Hamming-distance pair profile. 100 TB: identical shape "
         "to m06 — one char-explode groupBy per doc (partial-agg "
         "combinable), banded equi-join with capped buckets, never "
