@@ -230,6 +230,7 @@ WAVE13 = [
     "w20_linear_interpolation",
     "q29_kcore",
     "t37_kneser_ney_logprob",
+    "d25_containment_audit",
 ]
 
 # 5 runs (was 3 through round 6): the r6 extended-suite "regression"

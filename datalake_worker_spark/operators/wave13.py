@@ -222,33 +222,11 @@ _D21_ORACLE = rf"""
 """
 
 
-@register(
-    "d21_minhash_audit",
-    _D21_ORACLE,
-    category="llm-dedup",
-    doc=(
-        "oracle-audited twin of the d04 MinHash LSH near-dup pipeline: "
-        "the SAME shingle construction (shingles_from_words 3-gram + "
-        "short-doc fallback), the SAME k-MIN-aggregate signature fold "
-        "(one groupBy, map-side combinable — minhash_signatures' "
-        "shape), the SAME banded blocking with the SAME row_number "
-        "bucket cap (capped_fingerprint_band_pairs), and an EXACT "
-        "distinct-shingle Jaccard verify — with the hash family "
-        "sha256-derived (40-bit prefixes, the d20/v14 discipline) so "
-        "DuckDB replays every signature component, band key and cap "
-        "decision: the MinHash family's correctness goes strict "
-        "hash-green. Production d04 keeps the xxhash64 two-hash "
-        "construction (2 hashes/shingle vs k). 12 hashes x 4 bands x 3 "
-        "rows put the LSH s-curve threshold at ~0.63; candidates are "
-        "admitted at exact Jaccard >= 0.5 (integer intersection counts "
-        "over distinct shingles — one relational join, both engines "
-        "divide identical integers ONCE). 100 TB: same shape as d04 — "
-        "the band equi-join is the only corpus shuffle, bucket caps "
-        "bound pair expansion under skew, the verify joins only "
-        "candidate pairs (never all pairs)."
-    ),
-)
-def d21_minhash_audit(spark, sf_dir):
+def _d21_inter_sz(spark, sf_dir):
+    """The shared candidate machinery (shingles -> sha-derived k-MIN
+    signatures -> capped band blocking -> per-pair intersection counts
+    + per-doc shingle sizes) — d21 verifies symmetric Jaccard on top of
+    it, d25 (wave14) asymmetric containment. Returns (inter, sz)."""
     from ..functions.dedup import (
         capped_fingerprint_band_pairs,
         shingles_from_words,
@@ -307,6 +285,37 @@ def d21_minhash_audit(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("ninter"))
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return inter, sz
+
+
+@register(
+    "d21_minhash_audit",
+    _D21_ORACLE,
+    category="llm-dedup",
+    doc=(
+        "oracle-audited twin of the d04 MinHash LSH near-dup pipeline: "
+        "the SAME shingle construction (shingles_from_words 3-gram + "
+        "short-doc fallback), the SAME k-MIN-aggregate signature fold "
+        "(one groupBy, map-side combinable — minhash_signatures' "
+        "shape), the SAME banded blocking with the SAME row_number "
+        "bucket cap (capped_fingerprint_band_pairs), and an EXACT "
+        "distinct-shingle Jaccard verify — with the hash family "
+        "sha256-derived (40-bit prefixes, the d20/v14 discipline) so "
+        "DuckDB replays every signature component, band key and cap "
+        "decision: the MinHash family's correctness goes strict "
+        "hash-green. Production d04 keeps the xxhash64 two-hash "
+        "construction (2 hashes/shingle vs k). 12 hashes x 4 bands x 3 "
+        "rows put the LSH s-curve threshold at ~0.63; candidates are "
+        "admitted at exact Jaccard >= 0.5 (integer intersection counts "
+        "over distinct shingles — one relational join, both engines "
+        "divide identical integers ONCE). 100 TB: same shape as d04 — "
+        "the band equi-join is the only corpus shuffle, bucket caps "
+        "bound pair expansion under skew, the verify joins only "
+        "candidate pairs (never all pairs)."
+    ),
+)
+def d21_minhash_audit(spark, sf_dir):
+    inter, sz = _d21_inter_sz(spark, sf_dir)
     jac = F.col("ninter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("ninter")
     )

@@ -1850,3 +1850,85 @@ def kcore_broadcast(spark, edges, k: int = Q29_K, rounds: int = Q29_ROUNDS):
         F.col("a").cast("long").alias("nationkey"),
         F.col("d").cast("long").alias("core_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d25: asymmetric containment near-dup audit (near-subset detection)
+# ---------------------------------------------------------------------------
+
+D25_CONTAINMENT = 0.8
+
+
+def _d25_oracle_sql() -> str:
+    from .wave13 import _D21_CTE_BODY
+
+    return rf"""
+    WITH {_D21_CTE_BODY},
+    adm AS (
+        SELECT i.id_a, i.id_b, i.ninter, za.n AS na, zb.n AS nb
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.id_a
+        JOIN sz zb ON zb.doc_id = i.id_b
+        WHERE GREATEST(CAST(i.ninter AS DOUBLE) / za.n,
+                       CAST(i.ninter AS DOUBLE) / zb.n)
+              >= {D25_CONTAINMENT}
+    )
+    SELECT id_a, id_b, CAST(ninter AS BIGINT) AS n_common,
+           CAST(CAST(CAST(CAST(ninter AS DOUBLE) / na AS VARCHAR)
+                AS DECIMAL(18,6)) AS DOUBLE) AS containment_ab,
+           CAST(CAST(CAST(CAST(ninter AS DOUBLE) / nb AS VARCHAR)
+                AS DECIMAL(18,6)) AS DOUBLE) AS containment_ba
+    FROM adm
+    """
+
+
+@register(
+    "d25_containment_audit",
+    _d25_oracle_sql(),
+    category="llm-dedup",
+    doc=(
+        "asymmetric Jaccard-CONTAINMENT near-dup detection (Broder's "
+        "containment measure |A∩B|/|A| — the near-SUBSET detector "
+        "symmetric Jaccard misses: a short document quoted whole "
+        "inside a long one scores high containment but low Jaccard, "
+        "the boilerplate-wrapper / quote-extraction case every "
+        "curation pipeline also needs): the SAME sha-derived candidate "
+        "machinery as d21 (shared `_d21_inter_sz` Spark helper and "
+        "shared `_D21_CTE_BODY` oracle chain — the two audits cannot "
+        "desynchronize), admitting pairs where EITHER direction's "
+        "exact distinct-shingle containment reaches "
+        f"{D25_CONTAINMENT}. Both directions reported (6-dp decimal "
+        "cut of identical integer divisions). Strict hash-green. "
+        "100 TB: identical shape to d21 — the band equi-join is the "
+        "only corpus shuffle; LSH recall for high-containment "
+        "asymmetric pairs is lower than for symmetric ones (the "
+        "min-hash collision probability follows Jaccard, not "
+        "containment) — the documented trade; a prefix-filtered "
+        "containment join (d07's PPJoin family) is the exhaustive "
+        "alternative when recall must be total."
+    ),
+)
+def d25_containment_audit(spark, sf_dir):
+    from .wave13 import _d21_inter_sz
+
+    inter, sz = _d21_inter_sz(spark, sf_dir)
+    c_ab = F.col("ninter").cast("double") / F.col("na")
+    c_ba = F.col("ninter").cast("double") / F.col("nb")
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(F.greatest(c_ab, c_ba) >= D25_CONTAINMENT)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("ninter").cast("long").alias("n_common"),
+            c_ab.cast("decimal(18,6)").cast("double").alias("containment_ab"),
+            c_ba.cast("decimal(18,6)").cast("double").alias("containment_ba"),
+        )
+    )

@@ -54,7 +54,7 @@ def register(name: str, oracle_sql: str | None, category: str = "relational", do
 #: verification budget, rewritten each round to burn the largest
 #: verification debt first.
 #: Round-13 ordering (VERDICT r12 item 2): the six r13 additions
-#: (v16/m09/d23/d24/st22/a20/t36/q28/w20/q29/t37, never driver-verified) lead — a query with
+#: (v16/m09/d23/d24/st22/a20/t36/q28/w20/q29/t37/d25, never driver-verified) lead — a query with
 #: NO driver row ever would break the every-query-has-a-cumulative-row
 #: contract — then the final SIX r7-dated rows (the staleness floor:
 #: after this round no cumulative row predates r8), then the r8 cohort
@@ -75,6 +75,7 @@ _PRIORITY_NAMES = [
     "w20_linear_interpolation",
     "q29_kcore",
     "t37_kneser_ney_logprob",
+    "d25_containment_audit",
     # newest driver row: round 7 (the last six; r12 burned the rest)
     "q20_heavy_suppliers_semijoin",
     "q21_last_shipper",

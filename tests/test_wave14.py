@@ -665,3 +665,47 @@ def test_kcore_broadcast_bit_equals_literal_path(spark, sf_dir):
     assert lit == bc
     empty = spark.createDataFrame([], "a long, b long")
     assert kcore_broadcast(spark, empty).count() == 0
+
+
+# ----------------------------------------------------------------- d25
+def test_d25_planted_near_subset(spark, tmp_path):
+    """A document fully contained in a longer one must surface with
+    containment 1.0 in the subset direction — the asymmetric case
+    symmetric Jaccard under-scores."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    longer = base + " extraA extraB extraC"
+    spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, longer, "en", "s", len(longer))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["d25_containment_audit"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    # every shingle of the short doc appears in the long one
+    assert r.containment_ab == 1.0
+    assert r.containment_ba < 1.0
+
+
+def test_d25_agrees_with_python_containment(spark, sf_dir):
+    """For every admitted pair, recompute exact distinct-shingle
+    containment in Python and pin both directions (6-dp cut)."""
+    from datalake_worker_spark.sources import load_table
+
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    docs = {
+        r.doc_id: shingles(r.text)
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = REGISTRY["d25_containment_audit"].spark_fn(spark, sf_dir).collect()
+    for r in rows:
+        inter = len(docs[r.id_a] & docs[r.id_b])
+        assert r.n_common == inter
+        assert abs(r.containment_ab - inter / len(docs[r.id_a])) < 1e-6
+        assert abs(r.containment_ba - inter / len(docs[r.id_b])) < 1e-6
+        assert max(r.containment_ab, r.containment_ba) >= 0.8
