@@ -223,6 +223,14 @@ def near_dup_pairs_minhash(
     original scan by candidate id — candidates are few, so AQE
     broadcasts them.
     """
+    # spread_scan: BOTH corpus passes (the signature fold and the
+    # verify-side shingle projection) are CPU-bound per row; on a
+    # sub-core-count single-file scan each ran as ONE task (profiled
+    # 0.8 s + 1.6 s at sf0.1). The earlier A/B that rejected a
+    # repartition measured only the signature pass — spreading the
+    # shared input pays for itself across the two passes. No-op at
+    # scale (multi-file inputs already exceed the core count).
+    docs = spread_scan(docs, id_col)
     b = bands_from_signatures(_rep_signatures(docs, id_col, text_col, k), id_col, k, bands)
     # candidate pairs bucket-locally: group each (band, hash) bucket and
     # expand pairs inside it. One aggregation instead of a second scan +

@@ -39,7 +39,16 @@ def jaccard_pairs_prefix(
 
     Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    base = docs.select(F.col(id_col).alias("_id"), F.col(grams_col).alias("_g"))
+    from pyspark.storagelevel import StorageLevel
+
+    # base feeds FOUR consumers (df table, ranked prefixes, sizes, both
+    # verify sides): without a persist the upstream tokenize/shingle map
+    # re-ran once per broadcast/shuffle materialization (profiled as two
+    # ~1.7 s duplicate map jobs in d07 at sf0.1). Recomputable DISK_ONLY
+    # persist, the d03 discipline — one row per doc, corpus-linear.
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(grams_col).alias("_g")
+    ).persist(StorageLevel.DISK_ONLY)
 
     # 1. global document frequency per gram
     tok = base.select("_id", F.explode("_g").alias("gram"))

@@ -268,7 +268,13 @@ def t21_textrank_keywords(spark, sf_dir):
     deg = und.groupBy("a").agg(F.count("*").alias("outdeg"))
     edges = und.join(deg, "a").persist()
     try:
-        n = deg.count()  # vocabulary-scale scalar (bounded model state)
+        # vocabulary-scale scalar (bounded model state). Counting
+        # distinct sources on EDGES (== deg.count(): every und row has
+        # a deg row by construction) populates the edge cache in this
+        # job, so the iteration job below reads the cache instead of
+        # re-running the corpus explode+distinct (was two full corpus
+        # passes per call)
+        n = edges.select("a").distinct().count()
         ranks = deg.select(
             F.col("a").alias("token"), F.lit(round(1.0 / n, 12)).alias("pr")
         )

@@ -432,10 +432,18 @@ def _km_exploded(spark, sf_dir):
     of a double being the same shortest round-trip repr — so the two
     engines can never disagree on a 6-dp boundary."""
     from ..functions.similarity import to_double_array
+    from ..sources import spread_scan
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
+    # spread_scan (the d03/t21 pattern): the single-file embeddings scan
+    # plans as ONE task, so every exact-DECIMAL distance aggregation
+    # over the (persisted) exploded frame ran single-threaded — measured
+    # 280-600 ms per k-means stage on local[32] with 31 cores idle.
+    # Hash-repartition by vec_id up to the core count before the
+    # explode; no-op at scale, bit-identical results (keyed aggs over
+    # exact decimals are order-independent).
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select("vec_id", to_double_array("embedding").alias("v"))
     return e.select(
         "vec_id", F.posexplode("v").alias("p", "xr")
     ).select(
@@ -451,18 +459,22 @@ def _km_init(ex) -> dict[int, list[float]]:
     and sha-scattered (the similarity.py sampling convention), and
     exactly replayable in the oracle's ROW_NUMBER OVER (ORDER BY
     sha256)."""
-    ids = [
-        r.vec_id
-        for r in ex.select("vec_id")
+    # ONE collect: join the sha-top-KM_K id frame back to ex and ship
+    # the K*DIM component rows with their digests in a single job (was
+    # two driver round-trips: ids first, then the filtered rows)
+    top = (
+        ex.select("vec_id")
         .distinct()
         .select(
             "vec_id", F.sha2(F.col("vec_id").cast("string"), 256).alias("h")
         )
         .orderBy("h")
         .limit(KM_K)
-        .collect()
-    ]
-    rows = ex.filter(F.col("vec_id").isin(ids)).collect()
+    )
+    rows = ex.join(F.broadcast(top), "vec_id").collect()
+    ids = [r.vec_id for r in sorted(rows, key=lambda r: r.h)]
+    seen: list[int] = []
+    ids = [i for i in ids if not (i in seen or seen.append(i))]
     by_id: dict[int, list[float]] = {i: [0.0] * KM_DIM for i in ids}
     for r in rows:
         by_id[r.vec_id][r.d - 1] = r.x

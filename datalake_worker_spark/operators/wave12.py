@@ -140,10 +140,15 @@ def q26_nation_pagerank(spark, sf_dir):
     # the iterated frame: (src, dst, w, wsum) — graph-sized, persisted
     # once, scanned once per round (recomputable DISK_ONLY, r9 class)
     ew = edges.join(outw, "src").persist(StorageLevel.DISK_ONLY)
+    # derive nodes and out-weights FROM the persisted frame: collecting
+    # them from `edges`/`outw` re-ran the corpus-scale 4-way join once
+    # per collect (3 full passes per call, profiled r13); ew is an inner
+    # join of edges with its own src aggregate, so node set and (src,
+    # wsum) pairs are identical by construction — one corpus pass total
     nodes = sorted(
         r.n
-        for r in edges.select(F.col("src").alias("n"))
-        .unionByName(edges.select(F.col("dst").alias("n")))
+        for r in ew.select(F.col("src").alias("n"))
+        .unionByName(ew.select(F.col("dst").alias("n")))
         .distinct()
         .collect()
     )
@@ -156,7 +161,7 @@ def q26_nation_pagerank(spark, sf_dir):
         return spark.createDataFrame(
             [], "nationkey long, rank_fp long, pagerank double"
         )
-    outw_rows = outw.collect()
+    outw_rows = ew.select("src", "wsum").distinct().collect()
     src_set = {r.src for r in outw_rows}
     # per-edge product rank * w runs in LONG: rank <= Q26_ONE, so the
     # product stays below 2^63 iff every edge weight < 2^63 / Q26_ONE

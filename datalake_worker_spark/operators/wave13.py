@@ -232,9 +232,15 @@ def _d21_inter_sz(spark, sf_dir):
         shingles_from_words,
     )
 
+    from ..sources import spread_scan
+
     d = load_table(spark, sf_dir, "documents")
     sh = (
-        d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+        # spread_scan (the d03 pattern): single-file scan -> the shingle
+        # explode and the 12-way sha signature fold otherwise run as ONE
+        # task; no-op at scale
+        spread_scan(d, "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("_w"))
         .select(
             "doc_id", F.explode(shingles_from_words(F.col("_w"))).alias("sh")
         )

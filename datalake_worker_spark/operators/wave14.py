@@ -239,18 +239,21 @@ def _v16_init_books(res, ex) -> list[list[list[float]]]:
     """books[m][j][ds-1]: the j-th sha-ranked vector's subspace-m
     residual slice — the PQ analog of `_km_init` (and the identical
     digest ranking, so the oracle reuses the head's `init` CTE)."""
-    ids = [
-        r.vec_id
-        for r in ex.select("vec_id")
+    # ONE collect (the _km_init discipline): ship the top-V16_CODES
+    # vectors' residual rows with their digests in a single job
+    top = (
+        ex.select("vec_id")
         .distinct()
         .select(
             "vec_id", F.sha2(F.col("vec_id").cast("string"), 256).alias("h")
         )
         .orderBy("h")
         .limit(V16_CODES)
-        .collect()
-    ]
-    rows = res.filter(F.col("vec_id").isin(ids)).collect()
+    )
+    rows = res.join(F.broadcast(top), "vec_id").collect()
+    ids = [r.vec_id for r in sorted(rows, key=lambda r: r.h)]
+    seen: list[int] = []
+    ids = [i for i in ids if not (i in seen or seen.append(i))]
     by_id: dict = {
         i: [[0.0] * V16_SUBDIM for _ in range(V16_NSUB)] for i in ids
     }
