@@ -989,7 +989,10 @@ def duplicate_spans(
     ),
 )
 def d15_duplicate_spans(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    # spread_scan: the gram-position explode runs twice (dup-gram agg +
+    # salted probe) and each pass was single-task (r13 profile); no-op
+    # at scale
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return duplicate_spans(d, "doc_id", "text", n=10)
 
 

@@ -51,7 +51,11 @@ def connected_components(
     graph up to diameter ~2^25)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # lazy truncation (the bpe_train discipline): the checkpoint
+    # materializes inside the first round's convergence count instead of
+    # paying a separate eager job — halves the per-round job count
+    # (profiled ~1 s/round of pure scheduling overhead at test scale)
+    sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
@@ -84,8 +88,10 @@ def connected_components(
                 "left",
             )
             .select("node", "_old", F.coalesce("_ll", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # the count materializes the lazy checkpoint (one job per round,
+        # not two); next round's joins read the truncated RDD
         changed = jumped.filter(F.col("_old") != F.col("label")).count()
         labels = jumped.select("node", "label")
         if changed == 0:

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, spread_scan
 
 
 def to_double_array(col: str | Column) -> Column:
@@ -521,7 +521,11 @@ def ann_topk_ivf(
     doc="exact brute-force cosine top-5 for 20 probe vectors (broadcast × corpus).",
 )
 def v01_exact_cosine_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)
@@ -535,7 +539,11 @@ def v01_exact_cosine_topk(spark, sf_dir):
     doc="ANN top-5 via multi-table random-hyperplane LSH (6 planes × 8 tables, seed=42, Hamming-1 multiprobe on the query side) + exact rerank.",
 )
 def v02_ann_lsh_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)
@@ -653,7 +661,11 @@ def _v14_oracle_sql(
     ),
 )
 def v14_lsh_candidate_audit(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)
@@ -678,7 +690,11 @@ def v14_lsh_candidate_audit(spark, sf_dir):
     ),
 )
 def v04_ann_ivf_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)
@@ -844,7 +860,11 @@ def semantic_dedup(
     ),
 )
 def d11_semantic_dedup(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     return semantic_dedup(e, "vec_id", "v", n_clusters=8, dim=64, iters=1)
@@ -876,7 +896,11 @@ def d11_semantic_dedup(spark, sf_dir):
     ),
 )
 def v06_cosine_range_search(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20).select(
@@ -953,7 +977,11 @@ def mips_topk(
     ),
 )
 def v07_mips_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)
@@ -1103,7 +1131,11 @@ def _pq_argmin(sv: Column, m: Column, lit_books: Column) -> Column:
 )
 def v08_pq_quantization_audit(spark, sf_dir):
     n_sub, sub_dim = 8, 8
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     # the projection is scanned by init, every Lloyd iteration, and the
@@ -1301,7 +1333,11 @@ def ann_topk_ivfpq(
     ),
 )
 def v09_ann_ivfpq_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread_scan: single-file scan -> every vector-fold/centroid
+    # pass ran as ONE task (r13 profile); no-op at scale
+    e = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)

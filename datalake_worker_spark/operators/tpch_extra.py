@@ -208,7 +208,14 @@ def a09_collect_set_sorted(spark, sf_dir):
     ),
 )
 def q23_copurchase_lift(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from ..sources import spread_scan
+
+    # spread_scan: the order-local pair expansion (the 17 MB-shuffle map
+    # stage) ran on the single-row-group scan's 3 tasks (r13 profile);
+    # no-op at scale
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    ).select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pairs = (

@@ -123,8 +123,11 @@ def d20_simhash_audit(spark, sf_dir):
         simhash_from_token_hashes,
     )
     from ..functions.text import whitespace_tokens
+    from ..sources import spread_scan
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread_scan: the token explode + sha fold ran single-task over
+    # the single-file scan (r13 profile discipline); no-op at scale
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id", F.explode(whitespace_tokens("text")).alias("_t")
     ).select("doc_id", sha40(F.col("_t")).alias("_h"))

@@ -628,8 +628,11 @@ def _m09_oracle_sql() -> str:
 )
 def m09_phash_audit(spark, sf_dir):
     from ..functions.multimodal import phash_near_pairs
+    from ..sources import spread_scan
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread_scan: the per-CHARACTER explode below multiplies the
+    # single-task scan ~500x; parallelize it up front (no-op at scale)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     base = d.select("doc_id", "text")
     replay = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
