@@ -781,9 +781,14 @@ def _logreg_oracle_sql(t: int = T_LOGREG) -> str:
 def t31_quality_logreg(spark, sf_dir):
     from pyspark import StorageLevel
 
-    feat = _logreg_features(load_table(spark, sf_dir, "documents")).persist(
-        StorageLevel.DISK_ONLY
-    )
+    from ..sources import spread_scan
+
+    # spread_scan: the regex feature extraction AND all five GD-round
+    # scans read the persisted frame's single partition (r13 profile
+    # discipline); no-op at scale
+    feat = _logreg_features(
+        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    ).persist(StorageLevel.DISK_ONLY)
     w = logreg_train(feat, T_LOGREG, LR_LOGREG)
     p = _logreg_p(w)
     return feat.select(

@@ -440,7 +440,10 @@ def v15_ivf_audit(spark, sf_dir):
 
     ex = _km_exploded(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     cents = kmeans_train(ex, KM_ITERS)
-    dists = _km_dists(ex, cents)
+    # dists feeds BOTH the corpus assignment and the query probes: a
+    # persist makes the final-distance agg over ex run once per call,
+    # not once per consuming subtree (vec-count-sized frame; r13)
+    dists = _km_dists(ex, cents).persist(StorageLevel.DISK_ONLY)
     assign = _km_assign(dists).select(
         F.col("vec_id").alias("neighbor_id"), F.col("cluster").alias("cl")
     )

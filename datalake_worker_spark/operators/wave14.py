@@ -366,7 +366,10 @@ def v16_ivfpq_audit(spark, sf_dir):
 
     ex = _km_exploded(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     cents = kmeans_train(ex, KM_ITERS)
-    dists = _km_dists(ex, cents)
+    # dists feeds the assignment (res, cand, codes subtrees) AND the
+    # query probes: persist so the final-distance agg over ex runs once
+    # per call (vec-count-sized frame; r13)
+    dists = _km_dists(ex, cents).persist(StorageLevel.DISK_ONLY)
     assign = _km_assign(dists).select("vec_id", "cluster")
     res = _v16_residuals(ex, cents, assign).persist(StorageLevel.DISK_ONLY)
     books = _v16_pq_train(res, _v16_init_books(res, ex))

@@ -349,7 +349,11 @@ def j12_binned_range_join(spark, sf_dir):
     ),
 )
 def v10_matryoshka_audit(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from ..sources import spread_scan
+
+    # spread_scan: both exact-topk corpus passes ran single-task over
+    # the single-row-group scan (r13 profile discipline); no-op at scale
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 20)
