@@ -290,7 +290,14 @@ def test_logreg_plan_gates(spark, sf_dir):
     assert "partial" in plan.lower(), plan
     scored = REGISTRY["t31_quality_logreg"].spark_fn(spark, sf_dir)
     splan = simple_plan(scored).split("== Initial Plan ==")[0]
-    assert "Exchange" not in splan, splan
+    # the gate's intent: SCORING adds no exchange — it is a narrow map
+    # over the persisted feature frame. The cached relation's own build
+    # plan (everything under InMemoryRelation) legitimately contains the
+    # r13 spread_scan repartition that parallelizes the single-file
+    # scan, so the gate inspects only the plan ABOVE the cache read.
+    above_cache = splan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in splan, splan
+    assert "Exchange" not in above_cache, splan
 
 
 # ----------------------------------------------------------- v12 knn join
