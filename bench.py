@@ -416,6 +416,16 @@ def main() -> None:
     out_name = args.out or "bench_results.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         json.dump(detail, f, indent=1)
+    # the docstring's promised per-query map, restored to the one-line
+    # stdout contract (VERDICT r13 item 2): every measured suite's
+    # medians in ONE compact {name: sec} map (names are globally unique
+    # across suites), 3-dp and separator-free so the line stays well
+    # inside the driver's tail capture (~4 KB for all 137 queries). The
+    # driver's per-query regression/scaling analysis reads this.
+    all_queries = {}
+    for qmap in (timings, extended, pipeline, llm_wave, depth, wave6,
+                 wave7, wave8, wave9, wave10, wave11, wave12, wave13):
+        all_queries.update({k: round(v, 3) for k, v in qmap.items()})
     print(
         json.dumps(
             {
@@ -423,6 +433,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "queries": all_queries,
                 "core_queries": len(timings),
                 "extended_value": ext_total,
                 "extended_queries": len(extended),
@@ -448,7 +459,8 @@ def main() -> None:
                 "wave12_queries": len(wave12),
                 "wave13_value": wave13_total,
                 "wave13_queries": len(wave13),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
