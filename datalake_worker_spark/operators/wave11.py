@@ -453,36 +453,44 @@ def _km_exploded(spark, sf_dir):
     )
 
 
+def _sha_topk_rows(frame, ids_frame, k: int):
+    """Shared sha-ranked init collect (_km_init / _v16_init_books): the
+    k vec_ids with the smallest sha256(vec_id) digests, their component
+    rows shipped with the digests in ONE job (broadcast the id frame
+    back onto ``frame``). Returns (rows, ids) where ids is the
+    digest-ranked order-preserving distinct id list (ADVICE r13: linear
+    dict.fromkeys, not the O(k^2) seen-list idiom)."""
+    top = (
+        ids_frame.select("vec_id")
+        .distinct()
+        .select(
+            "vec_id", F.sha2(F.col("vec_id").cast("string"), 256).alias("h")
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    rows = frame.join(F.broadcast(top), "vec_id").collect()
+    ids = list(
+        dict.fromkeys(r.vec_id for r in sorted(rows, key=lambda r: r.h))
+    )
+    return rows, ids
+
+
 def _km_init(ex) -> dict[int, list[float]]:
     """Initial centroids: the KM_K vectors with the smallest
     sha256(vec_id) digests, cluster id = digest rank — deterministic
     and sha-scattered (the similarity.py sampling convention), and
     exactly replayable in the oracle's ROW_NUMBER OVER (ORDER BY
     sha256)."""
-    # ONE collect: join the sha-top-KM_K id frame back to ex and ship
-    # the K*DIM component rows with their digests in a single job (was
-    # two driver round-trips: ids first, then the filtered rows)
-    top = (
-        ex.select("vec_id")
-        .distinct()
-        .select(
-            "vec_id", F.sha2(F.col("vec_id").cast("string"), 256).alias("h")
-        )
-        .orderBy("h")
-        .limit(KM_K)
-    )
-    rows = ex.join(F.broadcast(top), "vec_id").collect()
-    ids = [r.vec_id for r in sorted(rows, key=lambda r: r.h)]
-    seen: list[int] = []
-    ids = [i for i in ids if not (i in seen or seen.append(i))]
+    rows, ids = _sha_topk_rows(ex, ex, KM_K)
     by_id: dict[int, list[float]] = {i: [0.0] * KM_DIM for i in ids}
     for r in rows:
         by_id[r.vec_id][r.d - 1] = r.x
     return {j: by_id[i] for j, i in enumerate(ids)}
 
 
-def _km_dists(ex, cents: dict[int, list[float]]):
-    """One vec_id-keyed aggregation computing ALL k squared distances:
+def _km_dist_aggs(cents: dict[int, list[float]]) -> list:
+    """The k exact-DECIMAL squared-distance aggregate columns (d0..dk):
     centroids are literal arrays (no join). The arithmetic is PURE
     DECIMAL end-to-end — 6-dp inputs cast to DECIMAL(12,6), exact
     products DECIMAL(26,12), exact order-independent sums — because
@@ -502,27 +510,40 @@ def _km_dists(ex, cents: dict[int, list[float]]):
             carr, F.col("d")
         ).cast("decimal(12,6)")
         aggs.append(F.sum(diff * diff).alias(f"d{j}"))
-    return ex.groupBy("vec_id").agg(*aggs)
+    return aggs
+
+
+def _km_dists(ex, cents: dict[int, list[float]]):
+    """One vec_id-keyed aggregation computing ALL k squared distances
+    (see _km_dist_aggs for the exactness argument)."""
+    return ex.groupBy("vec_id").agg(*_km_dist_aggs(cents))
+
+
+def _km_argmin_col(n: int = KM_K, prefix: str = "d"):
+    """Argmin over n exact-decimal distance columns; the when-chain
+    takes the LOWEST index on ties (the oracle's ORDER BY dist, id)."""
+    dcols = [F.col(f"{prefix}{j}") for j in range(n)]
+    m = F.least(*dcols)
+    cl = F.lit(None)
+    for j in reversed(range(n)):
+        cl = F.when(dcols[j] == m, F.lit(j)).otherwise(cl)
+    return cl, m
 
 
 def _km_assign(dists):
-    """Argmin over the k exact-decimal distance columns; the when-chain
-    takes the LOWEST cluster id on ties (the oracle's ORDER BY dist,
-    cl)."""
-    dcols = [F.col(f"d{j}") for j in range(KM_K)]
-    m = F.least(*dcols)
-    cl = F.lit(None)
-    for j in reversed(range(KM_K)):
-        cl = F.when(dcols[j] == m, F.lit(j)).otherwise(cl)
+    """Argmin over the k exact-decimal distance columns; lowest cluster
+    id on ties (the oracle's ORDER BY dist, cl)."""
+    cl, m = _km_argmin_col()
     return dists.select(
         "vec_id", cl.cast("long").alias("cluster"), m.alias("mdist")
     )
 
 
 def kmeans_train(ex, iters: int = KM_ITERS) -> dict[int, list[float]]:
-    """Lloyd's: per round one distance aggregation, one argmin, one
-    (cluster, dim) mean — k*dim rounded doubles to the driver. Empty
-    clusters keep their previous centroid.
+    """Lloyd's: per round ONE fused pass over ex (distances + argmin +
+    carried (d, x) rows) feeding one (cluster, dim) mean — k*dim
+    rounded doubles to the driver. Empty clusters keep their previous
+    centroid.
 
     The 6-dp centroid mean is INTEGER-EXACT (r10 ADVICE): the DECIMAL
     sum is exactly scaled to micro-units (a long), and half-away-from-
@@ -534,9 +555,25 @@ def kmeans_train(ex, iters: int = KM_ITERS) -> dict[int, list[float]]:
     oracle's with NO double-rounding step anywhere."""
     cents = _km_init(ex)
     for _ in range(iters):
-        assign = _km_assign(_km_dists(ex, cents))
+        # FUSED assignment+update (r14, guide §2.4): ONE vec_id-keyed
+        # aggregation computes the k distances AND carries the vector's
+        # (d, x) rows through the argmin as a collected list, so the
+        # round makes a single pass over ex instead of a distance pass
+        # plus an ex-join-assign pass. Re-exploding the list hands the
+        # (cluster, d) mean EXACTLY the multiset of rows the join
+        # produced (each vec contributes its 64 (d, x) rows tagged with
+        # its argmin cluster); the DECIMAL sums are order-independent,
+        # so the update — and every downstream centroid — is
+        # bit-identical to the joined form the oracle replays.
+        fused = ex.groupBy("vec_id").agg(
+            *_km_dist_aggs(cents),
+            F.collect_list(F.struct("d", "x")).alias("_pts"),
+        )
+        cl, _ = _km_argmin_col()
+        assigned = fused.select(cl.cast("long").alias("cluster"), "_pts")
         upd = (
-            ex.join(assign.select("vec_id", "cluster"), "vec_id")
+            assigned.select("cluster", F.explode("_pts").alias("_p"))
+            .select("cluster", F.col("_p.d").alias("d"), F.col("_p.x").alias("x"))
             .groupBy("cluster", "d")
             .agg(
                 (F.sum(F.col("x").cast("decimal(18,6)")) * 1000000)
@@ -668,6 +705,12 @@ def _km_oracle_sql(iters: int = KM_ITERS) -> str:
     ),
 )
 def v13_kmeans_clusters(spark, sf_dir):
+    # DISK_ONLY kept (r14): MEMORY_AND_DISK_DESER was A/B'd for the
+    # training window (VERDICT r13 item 1) — interleaved same-window
+    # pairs split 1-1 within noise (v16 7.52/6.95 vs 7.45/7.59), so the
+    # recomputable-DISK discipline stays; at 100 TB deserialized caching
+    # of a corpus-sized exploded frame would also compete with execution
+    # memory.
     ex = _km_exploded(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     cents = kmeans_train(ex, KM_ITERS)
     # round the exact DECIMAL, THEN cast: rounding after a double cast

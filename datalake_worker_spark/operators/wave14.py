@@ -239,21 +239,11 @@ def _v16_init_books(res, ex) -> list[list[list[float]]]:
     """books[m][j][ds-1]: the j-th sha-ranked vector's subspace-m
     residual slice — the PQ analog of `_km_init` (and the identical
     digest ranking, so the oracle reuses the head's `init` CTE)."""
-    # ONE collect (the _km_init discipline): ship the top-V16_CODES
-    # vectors' residual rows with their digests in a single job
-    top = (
-        ex.select("vec_id")
-        .distinct()
-        .select(
-            "vec_id", F.sha2(F.col("vec_id").cast("string"), 256).alias("h")
-        )
-        .orderBy("h")
-        .limit(V16_CODES)
-    )
-    rows = res.join(F.broadcast(top), "vec_id").collect()
-    ids = [r.vec_id for r in sorted(rows, key=lambda r: r.h)]
-    seen: list[int] = []
-    ids = [i for i in ids if not (i in seen or seen.append(i))]
+    # ONE collect (the _km_init discipline, shared helper): ship the
+    # top-V16_CODES vectors' residual rows with their digests in one job
+    from .wave11 import _sha_topk_rows
+
+    rows, ids = _sha_topk_rows(res, ex, V16_CODES)
     by_id: dict = {
         i: [[0.0] * V16_SUBDIM for _ in range(V16_NSUB)] for i in ids
     }
@@ -262,10 +252,10 @@ def _v16_init_books(res, ex) -> list[list[list[float]]]:
     return [[by_id[i][m] for i in ids] for m in range(V16_NSUB)]
 
 
-def _v16_pq_dists(res, books):
-    """One (vec_id, m)-keyed aggregation computing ALL code distances:
-    codebooks are one nested [m][j][ds] literal; arithmetic is pure
-    exact DECIMAL (the `_km_dists` discipline)."""
+def _v16_pq_dist_aggs(books) -> list:
+    """The code-distance aggregate columns (pd0..pdN): codebooks are one
+    nested [m][j][ds] literal; arithmetic is pure exact DECIMAL (the
+    `_km_dists` discipline)."""
     from ..functions.similarity import lit_matrix
 
     lit_b = lit_matrix(books)
@@ -277,30 +267,50 @@ def _v16_pq_dists(res, books):
         )
         diff = F.col("r").cast("decimal(12,6)") - bexp.cast("decimal(12,6)")
         aggs.append(F.sum(diff * diff).alias(f"pd{j}"))
-    return res.groupBy("vec_id", "m").agg(*aggs)
+    return aggs
+
+
+def _v16_pq_dists(res, books):
+    """One (vec_id, m)-keyed aggregation computing ALL code distances."""
+    return res.groupBy("vec_id", "m").agg(*_v16_pq_dist_aggs(books))
 
 
 def _v16_pq_argmin(pd_df):
     """Argmin over the code distance columns; lowest code id on ties
     (the oracle's ORDER BY dist, j)."""
-    dcols = [F.col(f"pd{j}") for j in range(V16_CODES)]
-    mn = F.least(*dcols)
-    code = F.lit(None)
-    for j in reversed(range(V16_CODES)):
-        code = F.when(dcols[j] == mn, F.lit(j)).otherwise(code)
+    from .wave11 import _km_argmin_col
+
+    code, _ = _km_argmin_col(V16_CODES, "pd")
     return pd_df.select("vec_id", "m", code.cast("int").alias("code"))
 
 
 def _v16_pq_train(res, books) -> list[list[list[float]]]:
-    """Relational PQ Lloyd's: per round one distance aggregation, one
-    argmin, one (m, code, ds) integer-exact 6-dp mean (the
-    `kmeans_train` update verbatim, keyed by subspace); empty codes
-    keep their previous word. Driver state is n_sub*n_codes*sub_dim
-    rounded doubles per round."""
+    """Relational PQ Lloyd's: per round ONE fused (vec_id, m)-keyed
+    pass over res (code distances + argmin + carried (ds, r) rows — the
+    `kmeans_train` r14 fusion, keyed by subspace) feeding one
+    (m, code, ds) integer-exact 6-dp mean; empty codes keep their
+    previous word. Driver state is n_sub*n_codes*sub_dim rounded
+    doubles per round. The re-exploded list hands the mean exactly the
+    row multiset the res-join-argmin form produced; DECIMAL sums are
+    order-independent, so codebooks are bit-identical to the oracle's
+    joined replay."""
+    from .wave11 import _km_argmin_col
+
     for _ in range(V16_PQ_ITERS):
-        pa = _v16_pq_argmin(_v16_pq_dists(res, books))
+        fused = res.groupBy("vec_id", "m").agg(
+            *_v16_pq_dist_aggs(books),
+            F.collect_list(F.struct("ds", "r")).alias("_pts"),
+        )
+        code, _ = _km_argmin_col(V16_CODES, "pd")
+        assigned = fused.select(
+            "m", code.cast("int").alias("code"), "_pts"
+        )
         upd = (
-            res.join(pa, ["vec_id", "m"])
+            assigned.select("m", "code", F.explode("_pts").alias("_p"))
+            .select(
+                "m", "code",
+                F.col("_p.ds").alias("ds"), F.col("_p.r").alias("r"),
+            )
             .groupBy("m", "code", "ds")
             .agg(
                 (F.sum(F.col("r").cast("decimal(18,6)")) * 1000000)
