@@ -50,7 +50,24 @@ def connected_components(
     ``max_rounds`` is hit first — 25 pointer-jumping rounds covers any
     graph up to diameter ~2^25)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # symmetrize in ONE pass over the candidate-pair subtree (r14, guide
+    # §2.4): the union form referenced ``e`` twice, so the (expensive)
+    # pair generator upstream ran twice before the checkpoint could
+    # materialize — profiled as two full 2.8 MB candidate-join jobs per
+    # d23 call. Exploding both directions from each row is the same
+    # multiset, and the same distinct, with the generator run once.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+    )
     # lazy truncation (the bpe_train discipline): the checkpoint
     # materializes inside the first round's convergence count instead of
     # paying a separate eager job — halves the per-round job count
@@ -60,25 +77,33 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     for _ in range(max_rounds):
-        # 1. neighbor-min: two-phase MIN over each node's neighbor labels
-        nbr = (
-            sym.join(
+        # 1. neighbor-min MERGED with the self-label (r14, guide §2.4):
+        # augmenting the edge set with one flagged self-edge per node
+        # makes min(label over neighbors ∪ self) the stepped label
+        # directly — ONE keyed join + one two-phase MIN per round where
+        # the previous shape needed a neighbor-min join/agg AND a
+        # node-keyed left join to fold the old label back in. The self
+        # row also carries the pre-round label out of the aggregation
+        # ("_old", exactly one self row per node), so the convergence
+        # check still needs no extra join.
+        aug = sym.withColumn("_s", F.lit(1)).union(
+            labels.select(
+                F.col("node").alias("a"),
+                F.col("node").alias("b"),
+                F.lit(0).alias("_s"),
+            )
+        )
+        stepped = (
+            aug.join(
                 labels.select(F.col("node").alias("b"), F.col("label").alias("_bl")),
                 "b",
             )
             .groupBy("a")
-            .agg(F.min("_bl").alias("_nbr_min"))
-        )
-        # carry the pre-round label ("_old") through both steps so the
-        # convergence check is a filter+count on the already-checkpointed
-        # result — not an extra node-keyed join per round
-        stepped = (
-            labels.join(nbr.select(F.col("a").alias("node"), "_nbr_min"), "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("_old"),
-                F.least(F.col("label"), F.coalesce("_nbr_min", "label")).alias("label"),
+            .agg(
+                F.min("_bl").alias("label"),
+                F.max(F.when(F.col("_s") == 0, F.col("_bl"))).alias("_old"),
             )
+            .select(F.col("a").alias("node"), "label", "_old")
         )
         # 2. pointer jump: label <- label(label), halving chain depth
         jumped = (
