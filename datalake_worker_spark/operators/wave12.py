@@ -145,13 +145,12 @@ def q26_nation_pagerank(spark, sf_dir):
     # per collect (3 full passes per call, profiled r13); ew is an inner
     # join of edges with its own src aggregate, so node set and (src,
     # wsum) pairs are identical by construction — one corpus pass total
-    nodes = sorted(
-        r.n
-        for r in ew.select(F.col("src").alias("n"))
-        .unionByName(ew.select(F.col("dst").alias("n")))
-        .distinct()
-        .collect()
-    )
+    # ONE collect for node set + out-weights (r14; was two driver
+    # round-trips over the cached frame): the distinct (src, dst, wsum)
+    # triples are edge-count-bounded and carry both derivations —
+    # nodes = src ∪ dst, out-weight pairs = distinct (src, wsum).
+    ew_rows = ew.select("src", "dst", "wsum").distinct().collect()
+    nodes = sorted({r.src for r in ew_rows} | {r.dst for r in ew_rows})
     n_nodes = len(nodes)
     if n_nodes == 0:
         # empty input slice: no edges → no nodes; return the empty
@@ -161,14 +160,14 @@ def q26_nation_pagerank(spark, sf_dir):
         return spark.createDataFrame(
             [], "nationkey long, rank_fp long, pagerank double"
         )
-    outw_rows = ew.select("src", "wsum").distinct().collect()
-    src_set = {r.src for r in outw_rows}
+    outw_rows = sorted({(r.src, int(r.wsum)) for r in ew_rows})
+    src_set = {s for s, _ in outw_rows}
     # per-edge product rank * w runs in LONG: rank <= Q26_ONE, so the
     # product stays below 2^63 iff every edge weight < 2^63 / Q26_ONE
     # (~9.2e9 lineitems per nation pair). Beyond that the contribution
     # column must widen to DECIMAL(38,0) — fail loudly instead of
     # wrapping silently (ADVICE r11; non-ANSI mode wraps).
-    max_w = max((int(r.wsum) for r in outw_rows), default=0)
+    max_w = max((w for _, w in outw_rows), default=0)
     # explicit raise, not assert: asserts are stripped under python -O,
     # which would silently re-enable the wraparound (ADVICE r12)
     if max_w >= (2**63) // Q26_ONE:

@@ -1661,9 +1661,25 @@ def q29_kcore(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # symmetrize in ONE pass (r14, the connected_components fix): the
+    # unionByName form referenced ``raw`` twice, so the corpus-scale
+    # 4-way join ran twice before the persist could populate (profiled
+    # as a 1.5 s duplicate join job per call). Exploding both directions
+    # is the same multiset into the same distinct.
     sym = (
-        raw.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(raw.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("a"), F.col("dst").alias("b")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("a"), F.col("src").alias("b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .distinct()
         .persist(StorageLevel.DISK_ONLY)
     )
