@@ -132,6 +132,10 @@ def duplicate_clusters(
     singleton. Returns (id, component_id, n_members, keep) — ``keep``
     marks the one representative (min id) per cluster, i.e. the rows a
     dedup pass retains."""
+    # NOTE (ADVICE r13): connected_components' per-round lazy
+    # localCheckpoint is materialized BY its own convergence count —
+    # consumers must not insert an action on the returned frame's
+    # lineage between rounds, or the untruncated plan is recomputed.
     comp = connected_components(pairs, "id_a", "id_b")
     assigned = docs.select(F.col(id_col)).join(
         comp.select(F.col("node").alias(id_col), "component"), id_col, "left"

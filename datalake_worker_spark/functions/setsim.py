@@ -38,6 +38,15 @@ def jaccard_pairs_prefix(
     index. ``grams_col`` must be an array of DISTINCT grams.
 
     Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Cache lifetime (ADVICE r13): the returned frame depends on an
+    internal DISK_ONLY persist (``base`` below), so this function has
+    no in-op unpersist path — releasing before return would forfeit the
+    persist at action time. Long-lived sessions replaying many queries
+    reclaim the blocks with ``session.release_cached_state`` between
+    queries (the janitor discipline every driver/bench runner follows);
+    CacheManager dedupes the identical plan across calls, so growth is
+    bounded per distinct plan.
     """
     from pyspark.storagelevel import StorageLevel
 

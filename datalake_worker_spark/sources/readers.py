@@ -126,6 +126,15 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+#: spread_scan size floor, per target partition: below this the input is
+#: dimension-table-scale — the CPU work downstream is bounded by the
+#: input's own size, so a cluster-wide shuffle cannot pay for itself.
+_SPREAD_MIN_BYTES_PER_PART = 4 * 1024
+#: absolute floor regardless of core count (a 2-core session must still
+#: not shuffle a 5-row dim table).
+_SPREAD_MIN_BYTES = 64 * 1024
+
+
 def spread_scan(df: DataFrame, key: str) -> DataFrame:
     """Parallelize a sub-core-count scan before CPU-heavy per-row work.
 
@@ -135,18 +144,39 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     took 5.1 s on one core vs 0.9 s spread over 32). When the input's
     planned scan parallelism is below the session default, hash-
     repartition on ``key`` (deterministic layout — never round-robin)
-    up to the core count. At production scale the file/row-group count
-    exceeds the core count and this returns the input UNCHANGED — the
-    shuffle is only ever inserted where scan parallelism is otherwise
-    impossible, so the 100 TB plan shape is untouched.
+    up to the core count.
+
+    The exact condition (r14, VERDICT r13 item 7): the repartition is
+    SKIPPED when (a) the optimizer's size estimate is below
+    ``max(_SPREAD_MIN_BYTES, _SPREAD_MIN_BYTES_PER_PART * cores)`` —
+    inputs that small are dimension-table-scale and their downstream
+    CPU work is bounded by their own size, so the shuffle cannot pay
+    for itself — or (b) the planned partition count already reaches the
+    session default. On a production cluster the condition CAN fire for
+    a mid-sized multi-file table whose file count is below the total
+    core count; for the CPU-bound consumers this helper guards
+    (explodes, hash folds, distance sums) that extra parallelism is the
+    point, and the shuffled bytes are bounded by the input size the
+    floor just vetted. The size floor also short-circuits BEFORE the
+    plan-to-RDD conversion, so tiny-input callers skip that driver-side
+    cost too.
     """
     from pyspark.sql import functions as F
 
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
     try:
-        current = df.rdd.getNumPartitions()
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
     except Exception:  # exotic plans (e.g. streaming) — leave untouched
+        return df
+    floor = max(_SPREAD_MIN_BYTES, _SPREAD_MIN_BYTES_PER_PART * target)
+    if 0 <= est_bytes < floor:
+        return df
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans — leave untouched
         return df
     if current >= target:
         return df

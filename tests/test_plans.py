@@ -504,21 +504,37 @@ def test_w18_sweep_line_single_exchange(spark, sf_dir):
 
 
 def test_spread_scan_adaptive(spark, sf_dir):
-    """spread_scan parallelizes ONLY sub-core-count inputs: a single-file
-    scan gains partitions; an input already at/above the session default
-    comes back unchanged (same plan object — no shuffle inserted)."""
+    """spread_scan parallelizes ONLY sub-core-count inputs above the
+    size floor: a single-file scan of a corpus-scale table gains
+    partitions; an input already at/above the session default comes
+    back unchanged (same plan object — no shuffle inserted); and a tiny
+    dimension table stays unchanged regardless of its partition count
+    (r14 floor, VERDICT r13 item 7)."""
     from datalake_worker_spark.sources import load_table, spread_scan
+    from datalake_worker_spark.sources.readers import (
+        _SPREAD_MIN_BYTES,
+        _SPREAD_MIN_BYTES_PER_PART,
+    )
 
     target = spark.sparkContext.defaultParallelism
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    assert d.rdd.getNumPartitions() < target  # single unsplittable file
-    spread = spread_scan(d, "doc_id")
-    assert spread.rdd.getNumPartitions() == target
-    # deterministic hash layout, not round-robin
-    assert "RoundRobin" not in spread._jdf.queryExecution().toString()
+    floor = max(_SPREAD_MIN_BYTES, _SPREAD_MIN_BYTES_PER_PART * target)
+    # embeddings is the largest fixture at every SF; the spread fires
+    # iff its estimate clears the floor (at sf0.001 on 32 cores it does)
+    e = load_table(spark, sf_dir, "embeddings")
+    est = int(e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est >= floor:
+        assert e.rdd.getNumPartitions() < target  # single unsplittable file
+        spread = spread_scan(e, "vec_id")
+        assert spread.rdd.getNumPartitions() == target
+        # deterministic hash layout, not round-robin
+        assert "RoundRobin" not in spread._jdf.queryExecution().toString()
+        wide = e.repartition(target, "vec_id")
+        assert spread_scan(wide, "vec_id") is wide  # no-op above the bound
 
-    wide = d.repartition(target, "doc_id")
-    assert spread_scan(wide, "doc_id") is wide  # no-op above the bound
+    # a tiny dimension table is NEVER repartitioned: the shuffle cannot
+    # pay for itself below the floor
+    n = load_table(spark, sf_dir, "nation")
+    assert spread_scan(n, "n_nationkey") is n
 
 
 def test_io24_dynamic_partition_pruning_in_plan(spark, sf_dir):
@@ -624,3 +640,38 @@ def test_a20_registers_partial_aggregate(spark, sf_dir):
     registers combine without re-scanning tokens."""
     df = REGISTRY["a20_hll_audit"].spark_fn(spark, sf_dir)
     assert "partial" in simple_plan(df).lower()
+
+
+def test_d07_gram_frame_persisted_gate(spark, sf_dir):
+    """r14 gate (VERDICT r13 item 9): d07's shared gram frame must stay
+    persisted — it feeds FOUR consumers (df table, ranked prefixes,
+    sizes, both verify sides), and removing the persist silently
+    reintroduces duplicate tokenize/shingle passes. Red when the
+    setsim.py persist is removed: the plan then has no cached relation
+    and its exchange count grows past the r13 bound."""
+    df = REGISTRY["d07_ssjoin_prefix"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "InMemoryRelation" in plan, plan[:2000]
+    import re
+
+    ex_nodes = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(ex_nodes) <= 35, f"{len(ex_nodes)} exchanges: {sorted(ex_nodes)}"
+
+
+@pytest.mark.parametrize("name", ["v15_ivf_audit", "v16_ivfpq_audit"])
+def test_kmeans_dists_persisted_gate(spark, sf_dir, name):
+    """r14 gate (VERDICT r13 item 9): v15/v16 persist the shared
+    _km_dists frame (feeds the corpus assignment AND the query probes).
+    The returned plan must read a cached relation whose output carries
+    the k distance columns (d0..d3); removing the persist drops that
+    cached node and recomputes the distance aggregation per subtree."""
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    # an InMemoryTableScan whose Output block lists the distance cols
+    scans = re.findall(
+        r"\(\d+\) InMemoryTableScan[^(]*\nOutput \[\d+\]: \[([^\]]*)\]",
+        plan,
+    )
+    assert any("d0#" in s and "d3#" in s for s in scans), plan[:3000]
