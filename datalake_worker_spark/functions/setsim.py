@@ -59,28 +59,35 @@ def jaccard_pairs_prefix(
         F.col(id_col).alias("_id"), F.col(grams_col).alias("_g")
     ).persist(StorageLevel.DISK_ONLY)
 
-    # 1. global document frequency per gram
+    # 1.+2. document frequency AND per-doc rank in two window passes
+    # over the SAME token frame (r14, guide §2.4): the previous
+    # groupBy(gram) + join-back shuffled the exploded tokens on gram
+    # TWICE (once into the partial agg, once into the join) — profiled
+    # as two identical 158 KB exchanges per d07 run. count(*) OVER
+    # (PARTITION BY gram) is the identical _df through one gram
+    # exchange; the doc-size _sz equals the per-doc token count (grams
+    # are DISTINCT by contract), so it rides the _id window's exchange
+    # instead of joining `sizes` back.
     tok = base.select("_id", F.explode("_g").alias("gram"))
-    df_tbl = tok.groupBy("gram").agg(F.count("*").alias("_df"))
-
-    # 2. rank grams per doc by (df asc, gram asc); prefix length
-    #    = |g| - ceil(t*|g|) + 1
-    ranked = tok.join(df_tbl, "gram").withColumn(
-        "_rn",
-        F.row_number().over(
-            W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("gram").asc())
-        ),
+    ranked = (
+        tok.withColumn("_df", F.count("*").over(W.partitionBy("gram")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("_id").orderBy(
+                    F.col("_df").asc(), F.col("gram").asc()
+                )
+            ),
+        )
+        .withColumn("_sz", F.count("*").over(W.partitionBy("_id")))
     )
-    sizes = base.select("_id", F.size("_g").alias("_sz"))
     # ceil over float products can overshoot the exact integer
     # (0.55*20 → 11.000000000000002 → ceil 12), which would shorten the
     # prefix and drop qualifying pairs; the epsilon keeps ceil exact.
     need = F.ceil(F.col("_sz") * F.lit(threshold) - F.lit(1e-9))
-    prefix = (
-        ranked.join(sizes, "_id")
-        .filter(F.col("_rn") <= F.col("_sz") - need + 1)
-        .select("_id", "gram")
-    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_sz") - need + 1
+    ).select("_id", "gram")
 
     # 3. candidates: postings self-join on the gram
     cand = (
@@ -91,12 +98,19 @@ def jaccard_pairs_prefix(
         .distinct()
     )
 
-    # 4. exact verification
+    # 4. exact verification. The array-intersection is CPU-bound per
+    # pair while the candidate frame is bytes-tiny, so AQE coalesces it
+    # to one partition and the verify runs single-task (profiled ~1.1 s
+    # at sf0.1); spread_scan re-spreads it across the cores (no-op when
+    # the planned parallelism already reaches the session default).
+    from ..sources import spread_scan
+
     ga = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("_ga"))
     gb = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("_gb"))
     jac = exact_jaccard(F.col("_ga"), F.col("_gb"))
     return (
-        cand.join(ga, "id_a")
+        spread_scan(cand, "id_a")
+        .join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
