@@ -262,9 +262,24 @@ def t21_textrank_keywords(spark, sf_dir):
     fe = pe.filter(
         (F.length("a") >= 4) & (F.length("b") >= 4) & (F.col("a") != F.col("b"))
     )
-    und = fe.unionAll(
-        fe.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # symmetrize in ONE pass (r14, the connected_components fix): the
+    # unionAll form referenced ``fe`` twice, so the corpus explode +
+    # split ran twice per materialization (profiled as 64-task jobs
+    # reading the spread exchange's output two full times). Exploding
+    # both directions from each row is the same multiset into the same
+    # distinct.
+    und = (
+        fe.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+    )
     deg = und.groupBy("a").agg(F.count("*").alias("outdeg"))
     edges = und.join(deg, "a").persist()
     try:
