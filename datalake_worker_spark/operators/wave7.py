@@ -167,12 +167,19 @@ def t24_sentence_stats(spark, sf_dir):
     ),
 )
 def a15_weighted_median(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    cum_w = (
-        W.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    # shuffle only the three columns the median needs (r14, guide §2.3):
+    # the cumulative sum previously ordered by (price, orderkey,
+    # linenumber), dragging two 8-byte tie-breakers through the window
+    # exchange. Ordering by price alone is result-identical: the filter
+    # keeps every row from the threshold crossing onward and min(price)
+    # is the crossing row's price, which is the same whichever order
+    # equal-price rows accumulate in (the crossing lands inside the
+    # equal-price run either way).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
     )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    cum_w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
     w = li.select(
         "l_returnflag",
         F.col("l_extendedprice").cast("double").alias("price"),
