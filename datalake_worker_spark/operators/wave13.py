@@ -813,7 +813,20 @@ def q27_label_propagation(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
+    # ONE collect of the nation-keyed edge aggregate (r14, guide §1.1
+    # first-principles + §5): the aggregated frame is bounded by the
+    # nation KEY DOMAIN (<= 25x25 rows at ANY scale factor), so after
+    # the one distributed corpus-scale groupBy the entire LPA fixpoint
+    # is O(|edges|) integer arithmetic. The previous shape re-scanned
+    # the persisted frame once per round (agg + window + collect jobs of
+    # pure scheduling overhead) plus a final node-set distinct. The
+    # rounds below execute the IDENTICAL integer vote sums and
+    # (wsum DESC, lbl ASC) argmax (Python ints are exact, arbitrary
+    # precision), so the result is bit-equal — pinned by
+    # test_q27_python_reference and the broadcast-dual test. Web-scale
+    # node sets use label_propagation_broadcast (bit-equal, tested),
+    # which keeps every round distributed.
+    erows = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
@@ -822,64 +835,34 @@ def q27_label_propagation(spark, sf_dir):
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist(StorageLevel.DISK_ONLY)
-    )
-    nodes = sorted(
-        r.n
-        for r in edges.select(F.col("src").alias("n"))
-        .unionByName(edges.select(F.col("dst").alias("n")))
-        .distinct()
         .collect()
     )
-    if not nodes:
-        edges.unpersist(blocking=False)
+    if not erows:
         return spark.createDataFrame(
             [], "nationkey long, community long, community_size long"
         )
+    edges = [(int(r.src), int(r.dst), int(r.w)) for r in erows]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     labels = {n: n for n in nodes}
     for _ in range(Q27_ITERS):
-        whens = " ".join(
-            f"WHEN src = {int(n)} THEN CAST({int(l)} AS BIGINT)"
-            for n, l in labels.items()
-        )
-        votes = (
-            edges.selectExpr("dst", f"(CASE {whens} END) AS lbl", "w")
-            .groupBy("dst", "lbl")
-            .agg(F.sum("w").alias("wsum"))
-        )
-        wv = W.partitionBy("dst").orderBy(
-            F.col("wsum").desc(), F.col("lbl").asc()
-        )
-        best = (
-            votes.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("dst", "lbl")
-            .collect()
-        )
-        upd = {int(r.dst): int(r.lbl) for r in best}
-        labels = {n: upd.get(n, labels[n]) for n in nodes}
+        votes: dict[tuple[int, int], int] = {}
+        for s, d, w in edges:
+            k = (d, labels[s])
+            votes[k] = votes.get(k, 0) + w
+        best: dict[int, tuple[int, int]] = {}
+        for (d, lbl), ws in votes.items():
+            cur = best.get(d)
+            if cur is None or ws > cur[0] or (ws == cur[0] and lbl < cur[1]):
+                best[d] = (ws, lbl)
+        labels = {
+            n: (best[n][1] if n in best else labels[n]) for n in nodes
+        }
     sizes: dict[int, int] = {}
     for lbl in labels.values():
         sizes[lbl] = sizes.get(lbl, 0) + 1
-    out = edges.select(F.col("src").alias("n")).unionByName(
-        edges.select(F.col("dst").alias("n"))
-    ).distinct()
-    lbl_expr, sz_expr = None, None
-    for n in nodes:
-        cond = F.col("n") == int(n)
-        le = F.when(cond, F.lit(int(labels[n])))
-        se = F.when(cond, F.lit(int(sizes[labels[n]])))
-        lbl_expr = le if lbl_expr is None else lbl_expr.when(
-            cond, F.lit(int(labels[n]))
-        )
-        sz_expr = se if sz_expr is None else sz_expr.when(
-            cond, F.lit(int(sizes[labels[n]]))
-        )
-    # janitor lifetime for edges (the q26/t33 note)
-    return out.select(
-        F.col("n").cast("long").alias("nationkey"),
-        lbl_expr.cast("long").alias("community"),
-        sz_expr.cast("long").alias("community_size"),
+    rows = [(n, labels[n], sizes[labels[n]]) for n in nodes]
+    return spark.createDataFrame(
+        rows, "nationkey long, community long, community_size long"
     )
 
 

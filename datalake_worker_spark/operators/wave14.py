@@ -1335,49 +1335,35 @@ def _q28_edges(spark, sf_dir):
     ),
 )
 def q28_sssp_bellman_ford(spark, sf_dir):
-    edges = _q28_edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
-    nodes = sorted(
-        r.n
-        for r in edges.select(F.col("src").alias("n"))
-        .unionByName(edges.select(F.col("dst").alias("n")))
-        .distinct()
-        .collect()
-    )
-    if not nodes:
-        edges.unpersist(blocking=False)
+    # ONE collect of the nation-keyed edge aggregate (r14, guide §1.1
+    # first-principles + §5): the aggregated frame is bounded by the
+    # nation KEY DOMAIN (<= 25x25 rows at ANY scale factor — it does not
+    # grow with the corpus), so after the one distributed corpus-scale
+    # groupBy the whole fixpoint is O(|edges|) integer arithmetic. The
+    # previous shape re-scanned the persisted frame once per round
+    # (profiled: ~8 collect jobs of 0.1-0.3 s pure scheduling at sf0.1)
+    # plus a final node-set distinct; the relax rounds below execute the
+    # IDENTICAL integer min-plus (Python ints are exact), so the result
+    # is bit-equal — pinned by test_q28_equals_python_bellman_ford and
+    # the broadcast-dual test. Web-scale node sets use sssp_broadcast
+    # (bit-equal, tested), which keeps every round distributed.
+    erows = _q28_edges(spark, sf_dir).collect()
+    if not erows:
         return spark.createDataFrame([], "nationkey long, cost_fp long")
+    edges = [(int(r.src), int(r.dst), int(r.c)) for r in erows]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     dist = {n: (0 if n == Q28_SOURCE else Q28_INF) for n in nodes}
     for _ in range(Q28_ROUNDS):
-        whens = " ".join(
-            f"WHEN src = {int(n)} THEN CAST({int(d)} AS BIGINT)"
-            for n, d in dist.items()
-        )
-        relax = (
-            edges.selectExpr("dst", f"(CASE {whens} END) AS du", "c")
-            .filter(F.col("du") < Q28_INF)
-            .groupBy("dst")
-            .agg(F.min(F.col("du") + F.col("c")).alias("cand"))
-            .collect()
-        )
-        cand = {int(r.dst): int(r.cand) for r in relax}
-        dist = {n: min(d, cand.get(n, d)) for n, d in dist.items()}
-    out = edges.select(F.col("src").alias("n")).unionByName(
-        edges.select(F.col("dst").alias("n"))
-    ).distinct()
-    expr = None
-    for n in nodes:
-        w_ = F.when(F.col("n") == int(n), F.lit(int(dist[n])))
-        expr = w_ if expr is None else expr.when(
-            F.col("n") == int(n), F.lit(int(dist[n]))
-        )
-    # janitor lifetime for edges (the q26/t33 note)
-    return (
-        out.select(
-            F.col("n").cast("long").alias("nationkey"),
-            expr.cast("long").alias("cost_fp"),
-        )
-        .filter(F.col("cost_fp") < Q28_INF)
-    )
+        cand: dict[int, int] = {}
+        for s, d, c in edges:
+            du = dist[s]
+            if du < Q28_INF:
+                v = du + c
+                if v < cand.get(d, Q28_INF):
+                    cand[d] = v
+        dist = {n: min(dv, cand.get(n, dv)) for n, dv in dist.items()}
+    rows = [(n, dist[n]) for n in nodes if dist[n] < Q28_INF]
+    return spark.createDataFrame(rows, "nationkey long, cost_fp long")
 
 
 def sssp_broadcast(spark, edges, source: int = Q28_SOURCE,
@@ -1666,7 +1652,19 @@ def q29_kcore(spark, sf_dir):
     # 4-way join ran twice before the persist could populate (profiled
     # as a 1.5 s duplicate join job per call). Exploding both directions
     # is the same multiset into the same distinct.
-    sym = (
+    #
+    # ONE collect of the nation-keyed symmetric edge set (r14, guide
+    # §1.1 first-principles + §5): the distinct frame is bounded by the
+    # nation KEY DOMAIN (<= 25x24 directed rows at ANY scale factor), so
+    # after the one distributed corpus-scale join+distinct the whole
+    # peel is O(|edges|) integer counting per round. The previous shape
+    # re-filtered and re-aggregated the persisted frame once per round
+    # (a collect job of pure scheduling overhead each). The peel below
+    # executes the IDENTICAL integer degree counts and >= Q29_K drops,
+    # so the result is bit-equal — pinned by the q29 fixpoint test and
+    # the kcore_broadcast dual. Web-scale node sets use kcore_broadcast
+    # (bit-equal, tested), which keeps every round distributed.
+    srows = (
         raw.select(
             F.explode(
                 F.array(
@@ -1681,32 +1679,26 @@ def q29_kcore(spark, sf_dir):
         )
         .select("_e.a", "_e.b")
         .distinct()
-        .persist(StorageLevel.DISK_ONLY)
+        .collect()
     )
-    alive = sorted(r.n for r in sym.select(F.col("a").alias("n")).distinct().collect())
+    sym = [(int(r.a), int(r.b)) for r in srows]
+    alive = sorted({a for a, _ in sym})
     deg: dict[int, int] = {}
     for _ in range(Q29_ROUNDS):
         if not alive:
             deg = {}
             break
-        alive_sql = ",".join(str(int(n)) for n in alive)
-        deg_rows = (
-            sym.filter(
-                F.expr(f"a IN ({alive_sql}) AND b IN ({alive_sql})")
-            )
-            .groupBy("a")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .collect()
-        )
-        deg = {int(r.a): int(r.d) for r in deg_rows}
+        live = set(alive)
+        deg = {}
+        for a, b in sym:
+            if a in live and b in live:
+                deg[a] = deg.get(a, 0) + 1
         alive = sorted(n for n in alive if deg.get(n, 0) >= Q29_K)
     if not alive:
         # empty core: the typed empty frame (q26 discipline)
         return spark.createDataFrame([], "nationkey long, core_degree long")
     rows = [(int(n), int(deg[n])) for n in alive]
-    out = spark.createDataFrame(rows, "nationkey long, core_degree long")
-    # janitor lifetime for sym (the q26/t33 note)
-    return out
+    return spark.createDataFrame(rows, "nationkey long, core_degree long")
 
 
 # ---------------------------------------------------------------------------
