@@ -781,13 +781,14 @@ def _logreg_oracle_sql(t: int = T_LOGREG) -> str:
 def t31_quality_logreg(spark, sf_dir):
     from pyspark import StorageLevel
 
-    from ..sources import spread_scan
-
-    # spread_scan: the regex feature extraction AND all five GD-round
-    # scans read the persisted frame's single partition (r13 profile
-    # discipline); no-op at scale
+    # r13 added a spread_scan before the persist; the r14 clean A/B
+    # (VERDICT r13 item 4: two same-window stash flip-flops) showed it
+    # SLOWER both times (2.81/5.73 s with vs 1.93/3.57 s without): the
+    # one-time parallel feature extraction saves less than the five
+    # GD-round reads of the now-32-partition cached frame cost in task
+    # scheduling. Reverted on that signal.
     feat = _logreg_features(
-        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+        load_table(spark, sf_dir, "documents")
     ).persist(StorageLevel.DISK_ONLY)
     w = logreg_train(feat, T_LOGREG, LR_LOGREG)
     p = _logreg_p(w)

@@ -359,7 +359,10 @@ def v10_matryoshka_audit(spark, sf_dir):
     from ..sources import spread_scan
 
     # spread_scan: both exact-topk corpus passes ran single-task over
-    # the single-row-group scan (r13 profile discipline); no-op at scale
+    # the single-row-group scan (r13 profile discipline). KEPT by the
+    # r14 clean A/B (VERDICT r13 item 4): in probe-quiet windows the
+    # spread wins (0.98/1.19 s vs 1.32-1.75 s without); noisy-window
+    # runs invert only because contention inflates the added exchange.
     e = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", to_double_array("embedding").alias("v")
     )

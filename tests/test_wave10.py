@@ -291,10 +291,10 @@ def test_logreg_plan_gates(spark, sf_dir):
     scored = REGISTRY["t31_quality_logreg"].spark_fn(spark, sf_dir)
     splan = simple_plan(scored).split("== Initial Plan ==")[0]
     # the gate's intent: SCORING adds no exchange — it is a narrow map
-    # over the persisted feature frame. The cached relation's own build
-    # plan (everything under InMemoryRelation) legitimately contains the
-    # r13 spread_scan repartition that parallelizes the single-file
-    # scan, so the gate inspects only the plan ABOVE the cache read.
+    # over the persisted feature frame. The gate inspects only the plan
+    # ABOVE the cache read so the cached relation's own build plan stays
+    # free to change shape (r13 added a spread_scan repartition there;
+    # the r14 clean A/B reverted it).
     above_cache = splan.split("InMemoryRelation")[0]
     assert "InMemoryTableScan" in splan, splan
     assert "Exchange" not in above_cache, splan
