@@ -230,7 +230,16 @@ def near_dup_pairs_minhash(
     # repartition measured only the signature pass — spreading the
     # shared input pays for itself across the two passes. No-op at
     # scale (multi-file inputs already exceed the core count).
-    docs = spread_scan(docs, id_col)
+    #
+    # DISK_ONLY persist (r14, guide §5 caching-for-reuse, the d07 base
+    # discipline): the two passes are separate jobs, so the scan +
+    # spread exchange executed TWICE per call (profiled as two identical
+    # 850 KB exchange writes). One row per doc, corpus-linear,
+    # recomputable; janitor lifetime (release_cached_state between
+    # queries), same contract as jaccard_pairs_prefix.
+    from pyspark.storagelevel import StorageLevel
+
+    docs = spread_scan(docs, id_col).persist(StorageLevel.DISK_ONLY)
     b = bands_from_signatures(_rep_signatures(docs, id_col, text_col, k), id_col, k, bands)
     # candidate pairs bucket-locally: group each (band, hash) bucket and
     # expand pairs inside it. One aggregation instead of a second scan +
