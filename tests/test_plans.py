@@ -675,3 +675,15 @@ def test_kmeans_dists_persisted_gate(spark, sf_dir, name):
         plan,
     )
     assert any("d0#" in s and "d3#" in s for s in scans), plan[:3000]
+
+
+def test_d04_shared_input_persisted_gate(spark, sf_dir):
+    """r14 gate: d04's spread corpus input must stay persisted — it
+    feeds two separate jobs (the signature fold and the verify-side
+    shingle projection), and removing the persist silently reintroduces
+    the duplicate scan + spread exchange (profiled as two identical
+    850 KB exchange writes per call). Red when the dedup.py persist is
+    removed: the returned plan then has no cached relation."""
+    df = REGISTRY["d04_minhash_near_dups"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "InMemoryRelation" in plan, plan[:2000]
