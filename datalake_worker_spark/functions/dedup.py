@@ -237,9 +237,19 @@ def near_dup_pairs_minhash(
     # 850 KB exchange writes). One row per doc, corpus-linear,
     # recomputable; janitor lifetime (release_cached_state between
     # queries), same contract as jaccard_pairs_prefix.
+    #
+    # Persist the (id, text) PROJECTION, not the raw frame (guide §2.3
+    # — these are the only columns the operator touches — and a
+    # correctness guard: when spread_scan no-ops, persisting the bare
+    # table scan would let CacheManager substitute the cached FULL-width
+    # relation into every later same-session query over the table,
+    # silently defeating their column pruning — caught by
+    # test_smp06_hash_split_narrow running after a d04 test).
     from pyspark.storagelevel import StorageLevel
 
-    docs = spread_scan(docs, id_col).persist(StorageLevel.DISK_ONLY)
+    docs = spread_scan(docs.select(id_col, text_col), id_col).persist(
+        StorageLevel.DISK_ONLY
+    )
     b = bands_from_signatures(_rep_signatures(docs, id_col, text_col, k), id_col, k, bands)
     # candidate pairs bucket-locally: group each (band, hash) bucket and
     # expand pairs inside it. One aggregation instead of a second scan +
